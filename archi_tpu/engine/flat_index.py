@@ -1,0 +1,265 @@
+"""TPU-resident flat (exact) vector index.
+
+Replaces the reference's pgvector ``document_chunks(embedding vector(N))``
+plane (``src/cli/templates/init.sql:266-292``) and the KNN/similarity SQL in
+``src/data_manager/vectorstore/postgres_vectorstore.py:272-364``.  Instead of
+a Postgres table + HNSW index, the corpus lives as a padded device array
+``[capacity, D]`` scanned by a fused Pallas matmul+top-k kernel — exact
+search, so recall@k vs brute force is 1.0 by construction.
+
+XLA-friendly incremental ingest (SURVEY.md §7 "hard parts"):
+- **Static shapes / no recompiles**: capacity is a power of two; appends are
+  bucketed ``dynamic_update_slice`` writes, so growth triggers at most
+  O(log N) distinct compiled shapes.
+- **Deletes are tombstones** (an ``alive`` mask multiplied into scores), not
+  array surgery; ``compact()`` reclaims space.  The reference instead issues
+  hard SQL DELETEs (``manager.py:234``).
+- **Buffer donation**: append/delete donate the old buffer, so growth is
+  alloc+copy, steady-state append is in-place.
+
+Chunk identity: each row has an int64-able position; the caller (the
+vectorstore manager / catalog) maps rows to chunk ids + metadata.  This class
+keeps only ``row -> chunk_id`` (opaque python objects) for convenience.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from archi_tpu.engine.topk import topk_scores
+
+MIN_CAPACITY = 1024
+_WRITE_BUCKETS = (256, 1024, 4096, 16384, 65536)
+
+
+def _round_capacity(n: int, tile_n: int) -> int:
+    cap = MIN_CAPACITY
+    while cap < n:
+        cap *= 2
+    return max(cap, tile_n)
+
+
+def _bucket(n: int) -> int:
+    for b in _WRITE_BUCKETS:
+        if n <= b:
+            return b
+    return int(2 ** np.ceil(np.log2(n)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _write_block(emb, alive, block, alive_block, offset):
+    emb = jax.lax.dynamic_update_slice(emb, block, (offset, 0))
+    alive = jax.lax.dynamic_update_slice(alive, alive_block, (offset,))
+    return emb, alive
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _mask_rows(alive, rows_onehot):
+    return alive * (1.0 - rows_onehot)
+
+
+@jax.jit
+def _l2_normalize(x):
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return x / jnp.maximum(n, 1e-12)
+
+
+class FlatIndex:
+    """Exact cosine/IP index over a padded device array."""
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        dtype=jnp.bfloat16,
+        tile_n: int = 2048,
+        normalize: bool = True,
+        metric: str = "cosine",
+    ):
+        self.dim = int(dim)
+        self.dtype = jnp.dtype(dtype)
+        self.tile_n = int(tile_n)
+        self.normalize = bool(normalize) and metric == "cosine"
+        self.metric = metric
+        self.capacity = _round_capacity(MIN_CAPACITY, tile_n)
+        self.n_rows = 0  # high-water mark (incl. tombstones)
+        self.emb = jnp.zeros((self.capacity, self.dim), self.dtype)
+        self.alive = jnp.zeros((self.capacity,), jnp.float32)
+        self._ids: list[Any] = []  # row -> chunk id
+        self._id_rows: dict[Any, list[int]] = {}
+        self._n_dead = 0
+
+    # ------------------------------------------------------------------ size
+    def __len__(self) -> int:
+        return self.n_rows - self._n_dead
+
+    @property
+    def n_active(self) -> int:
+        return self.n_rows
+
+    # ----------------------------------------------------------------- write
+    def _grow_to(self, n: int) -> None:
+        new_cap = _round_capacity(n, self.tile_n)
+        if new_cap <= self.capacity:
+            return
+        pad = new_cap - self.capacity
+        self.emb = jnp.concatenate(
+            [self.emb, jnp.zeros((pad, self.dim), self.dtype)], axis=0
+        )
+        self.alive = jnp.concatenate([self.alive, jnp.zeros((pad,), jnp.float32)])
+        self.capacity = new_cap
+
+    def add(self, embeddings, ids: Sequence[Any]) -> list[int]:
+        """Append embeddings; returns assigned physical rows."""
+        embeddings = jnp.asarray(embeddings)
+        n = embeddings.shape[0]
+        assert embeddings.shape == (n, self.dim), embeddings.shape
+        assert len(ids) == n
+        if n == 0:
+            return []
+        if self.normalize:
+            embeddings = _l2_normalize(embeddings)
+        embeddings = embeddings.astype(self.dtype)
+
+        offset = self.n_rows
+        self._grow_to(offset + n)
+        bucket = _bucket(n)
+        block = jnp.zeros((bucket, self.dim), self.dtype).at[:n].set(embeddings)
+        alive_block = (
+            jnp.zeros((bucket,), jnp.float32)
+            .at[:n]
+            .set(1.0)
+        )
+        # Clamp so the bucketed write never runs past capacity.
+        if offset + bucket > self.capacity:
+            self._grow_to(offset + bucket)
+        self.emb, self.alive = _write_block(
+            self.emb, self.alive, block, alive_block, offset
+        )
+        rows = list(range(offset, offset + n))
+        self._ids.extend(ids)
+        for r, i in zip(rows, ids):
+            self._id_rows.setdefault(i, []).append(r)
+        self.n_rows += n
+        return rows
+
+    def delete(self, ids: Sequence[Any]) -> int:
+        """Tombstone all rows belonging to the given chunk ids."""
+        rows: list[int] = []
+        for i in ids:
+            rows.extend(self._id_rows.pop(i, []))
+        if not rows:
+            return 0
+        onehot = np.zeros((self.capacity,), np.float32)
+        onehot[np.asarray(rows, np.int64)] = 1.0
+        self.alive = _mask_rows(self.alive, jnp.asarray(onehot))
+        for r in rows:
+            self._ids[r] = None
+        self._n_dead += len(rows)
+        return len(rows)
+
+    def compact(self) -> None:
+        """Physically drop tombstoned rows (host round-trip; call rarely)."""
+        if self._n_dead == 0:
+            return
+        emb = np.asarray(self.emb[: self.n_rows].astype(jnp.float32))
+        keep = [r for r in range(self.n_rows) if self._ids[r] is not None]
+        ids = [self._ids[r] for r in keep]
+        emb = emb[keep]
+        self.__init__(
+            self.dim,
+            dtype=self.dtype,
+            tile_n=self.tile_n,
+            normalize=False,  # already normalized at first insert
+            metric=self.metric,
+        )
+        self.normalize = self.metric == "cosine"
+        if len(ids):
+            # rows were normalized already; bypass re-normalization
+            saved = self.normalize
+            self.normalize = False
+            self.add(emb, ids)
+            self.normalize = saved
+
+    # ---------------------------------------------------------------- search
+    def search(self, queries, k: int = 10, *, filter_mask=None, impl="auto"):
+        """Top-k search.
+
+        Args:
+          queries: [B, D] or [D].
+          filter_mask: optional [capacity] (or [n_rows]) 0/1 float mask for
+            metadata filtering / per-conversation doc enablement (analog of
+            the JSONB filters + 3-tier selection in
+            ``postgres_vectorstore.py:317-332``, ``init.sql:315-336``).
+        Returns:
+          (ids: list[list[chunk_id]], scores [B, k] np.f32, rows [B, k]).
+        """
+        queries = jnp.asarray(queries, jnp.float32)
+        squeeze = queries.ndim == 1
+        if squeeze:
+            queries = queries[None, :]
+        if self.normalize:
+            queries = _l2_normalize(queries)
+        alive = self.alive
+        if filter_mask is not None:
+            fm = jnp.asarray(filter_mask, jnp.float32)
+            if fm.shape[0] < self.capacity:
+                fm = jnp.pad(fm, (0, self.capacity - fm.shape[0]))
+            alive = alive * fm
+        k_eff = min(k, max(len(self), 1))
+        vals, rows = topk_scores(
+            queries, self.emb, alive, self.n_rows, k=k_eff, impl=impl,
+            tile_n=self.tile_n,
+        )
+        vals = np.asarray(vals)
+        rows = np.asarray(rows)
+        ids = [
+            [self._ids[r] if (v > -1e29 and r < len(self._ids)) else None
+             for r, v in zip(rr, vv)]
+            for rr, vv in zip(rows, vals)
+        ]
+        return ids, vals, rows
+
+    # ------------------------------------------------------------- serialize
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(
+            path,
+            emb=np.asarray(self.emb[: self.n_rows].astype(jnp.float32)),
+            alive=np.asarray(self.alive[: self.n_rows]),
+            meta=json.dumps(
+                {
+                    "dim": self.dim,
+                    "dtype": self.dtype.name,
+                    "tile_n": self.tile_n,
+                    "metric": self.metric,
+                    "ids": [i if i is None else str(i) for i in self._ids],
+                }
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FlatIndex":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        idx = cls(
+            meta["dim"], dtype=meta["dtype"], tile_n=meta["tile_n"],
+            metric=meta["metric"],
+        )
+        emb = z["emb"]
+        alive = z["alive"]
+        ids = meta["ids"]
+        keep = alive > 0.5
+        if keep.any():
+            saved = idx.normalize
+            idx.normalize = False
+            idx.add(emb[keep], [i for i, kp in zip(ids, keep) if kp])
+            idx.normalize = saved
+        return idx

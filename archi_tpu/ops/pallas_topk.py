@@ -1,0 +1,182 @@
+"""Fused matmul + streaming top-k Pallas kernel for TPU.
+
+This is the query hot loop of the retrieval engine: given a batch of
+(normalized) query embeddings ``Q [B, D]`` and a corpus of (normalized) chunk
+embeddings ``E [N, D]`` resident in HBM, return the top-k cosine scores and
+row indices per query WITHOUT materializing the full ``[B, N]`` score matrix
+in HBM.
+
+Reference equivalent: pgvector's ``ORDER BY embedding <=> $q LIMIT k`` KNN
+scan (see reference ``src/data_manager/vectorstore/postgres_vectorstore.py:317-332``
+and the HNSW index in ``src/cli/templates/init.sql:282-284``).  Here the scan
+is a single Pallas kernel: a grid over corpus tiles where each step does a
+``[B, TILE_N]`` MXU matmul followed by an in-VMEM streaming top-k update, so
+the only HBM traffic is the one pass over the corpus (bandwidth-roofline) plus
+``[B, k]`` outputs.
+
+Design notes
+------------
+- The running top-k state lives in VMEM scratch ``[B, LANES]`` (LANES=128 so
+  the buffer is lane-aligned); only the first ``k`` columns are meaningful.
+- Per tile we concatenate the running candidates with the fresh tile scores
+  and run ``k`` iterations of (max, argmax, mask) — an O(k * (LANES+TILE_N))
+  VPU cost that is small next to the O(D * TILE_N) MXU cost per tile.
+- Rows past ``n_active`` (the corpus is a padded power-of-two capacity
+  buffer, see ``archi_tpu.engine.flat_index``) are masked to -inf, as are
+  tombstoned rows via the ``alive`` mask.
+- Grid steps on TPU run sequentially on a core, so scratch carries state
+  across tiles; outputs are written on the last step only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+LANES = 128  # lane width; running top-k buffer is [B, LANES]
+
+
+def _topk_update(cand_vals, cand_idx, k):
+    """k iterations of (max, argmax, mask-out) over axis 1.
+
+    cand_vals: [B, C] f32, cand_idx: [B, C] i32.  Returns ([B, k] vals list,
+    [B, k] idx list) as stacked columns.
+    """
+    b, c = cand_vals.shape
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    vals_cols = []
+    idx_cols = []
+    for _ in range(k):
+        m = jnp.max(cand_vals, axis=1)  # [B]
+        a = jnp.argmax(cand_vals, axis=1).astype(jnp.int32)  # [B]
+        onehot = col_iota == a[:, None]
+        sel_idx = jnp.sum(jnp.where(onehot, cand_idx, 0), axis=1)
+        vals_cols.append(m)
+        idx_cols.append(sel_idx)
+        cand_vals = jnp.where(onehot, NEG_INF, cand_vals)
+    return vals_cols, idx_cols
+
+
+def _fused_topk_kernel(
+    n_active_ref,  # SMEM (1,) i32
+    q_ref,         # VMEM [B, D]
+    e_ref,         # VMEM [TILE_N, D] (current tile)
+    alive_ref,     # VMEM [1, TILE_N] f32 (1.0 alive / 0.0 tombstone)
+    out_vals_ref,  # VMEM [B, LANES]
+    out_idx_ref,   # VMEM [B, LANES]
+    run_vals,      # scratch VMEM [B, LANES] f32
+    run_idx,       # scratch VMEM [B, LANES] i32
+    thresh_ref,    # scratch SMEM (1,) f32 — min over batch of k-th best
+    *,
+    k: int,
+    tile_n: int,
+):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.zeros_like(run_idx)
+        thresh_ref[0] = NEG_INF
+
+    b = q_ref.shape[0]
+    # [B, TILE_N] scores on the MXU, f32 accumulation.
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    base = step * tile_n
+    col_global = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    n_active = n_active_ref[0]
+    valid = (col_global < n_active) & (alive_ref[0, :][None, :] > 0.5)
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    # Threshold skip: no candidate in this tile can enter any query's top-k
+    # unless the tile's max score beats the weakest current k-th best.  With
+    # random corpora almost every tile is skipped, leaving the kernel
+    # matmul/HBM-bound instead of VPU(top-k-merge)-bound.
+    tile_max = jnp.max(scores)
+
+    @pl.when(tile_max > thresh_ref[0])
+    def _merge():
+        cand_vals = jnp.concatenate([run_vals[:], scores], axis=1)
+        cand_idx = jnp.concatenate([run_idx[:], col_global], axis=1)
+        vals_cols, idx_cols = _topk_update(cand_vals, cand_idx, k)
+
+        for j in range(k):
+            run_vals[:, j] = vals_cols[j]
+            run_idx[:, j] = idx_cols[j]
+        # kth-best per query is vals_cols[k-1]; threshold is its batch min.
+        thresh_ref[0] = jnp.min(vals_cols[k - 1])
+
+    @pl.when(step == n_steps - 1)
+    def _emit():
+        out_vals_ref[:] = run_vals[:]
+        out_idx_ref[:] = run_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def fused_topk(
+    queries: jax.Array,   # [B, D] (any float dtype)
+    corpus: jax.Array,    # [N_pad, D] (bf16/f32), N_pad % tile_n == 0
+    alive: jax.Array,     # [N_pad] f32 mask (1 alive, 0 dead)
+    n_active: jax.Array,  # scalar i32: rows < n_active are populated
+    *,
+    k: int = 10,
+    tile_n: int = 2048,
+    interpret: bool = False,
+):
+    """Returns (vals [B, k] f32, idx [B, k] i32) of the top-k inner products."""
+    b, d = queries.shape
+    n_pad = corpus.shape[0]
+    assert n_pad % tile_n == 0, (n_pad, tile_n)
+    assert k <= LANES
+    num_tiles = n_pad // tile_n
+
+    queries = queries.astype(corpus.dtype)
+    alive2d = alive.reshape(1, n_pad).astype(jnp.float32)
+    n_active_arr = jnp.asarray(n_active, jnp.int32).reshape(1)
+
+    kernel = functools.partial(_fused_topk_kernel, k=k, tile_n=tile_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+    )
+    out_vals, out_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, LANES), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d,
+            bytes_accessed=n_pad * d * corpus.dtype.itemsize + b * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_active_arr, queries, corpus, alive2d)
+    return out_vals[:, :k], out_idx[:, :k]
