@@ -1,0 +1,203 @@
+"""BERT-class text encoder as a pure-JAX forward pass.
+
+TPU-native replacement for the reference's embedding inference, which runs
+PyTorch sentence-transformers on CPU/GPU (reference
+``src/data_manager/vectorstore/manager.py:66-73,373`` with
+``all-MiniLM-L6-v2`` as the default model,
+``src/cli/templates/base-config.yaml:137-152``).  Covers the MiniLM /
+bge-small / bge-base families (standard post-LN BERT encoders + mean pooling
++ L2 normalization).
+
+Design:
+- Parameters are a plain pytree (dict) — easy to shard, donate, and load
+  from HF checkpoints (see ``archi_tpu.models.hf_loader``).
+- The L encoder layers are stacked along a leading axis and consumed with
+  ``jax.lax.scan`` — one compiled layer body regardless of depth.
+- Compute dtype is configurable (bf16 on TPU for MXU throughput); layernorm
+  statistics and the attention softmax accumulate in f32.
+- Everything is shape-static: callers pad to fixed (batch, seq) buckets
+  (see ``archi_tpu.models.embedder``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    intermediate_size: int = 1536
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    # pooling: "mean" (sentence-transformers MiniLM/bge default) or "cls"
+    pooling: str = "mean"
+    normalize: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def minilm_l6(cls) -> "BertConfig":
+        return cls()
+
+    @classmethod
+    def bge_small(cls) -> "BertConfig":
+        return cls(hidden_size=384, num_layers=12, num_heads=12,
+                   intermediate_size=1536, pooling="cls")
+
+    @classmethod
+    def bge_base(cls) -> "BertConfig":
+        return cls(hidden_size=768, num_layers=12, num_heads=12,
+                   intermediate_size=3072, pooling="cls")
+
+
+def init_params(config: BertConfig, seed: int = 0, dtype=jnp.float32) -> dict:
+    """Deterministic random init (used when no checkpoint is available)."""
+    rng = np.random.default_rng(seed)
+    h, f, L = config.hidden_size, config.intermediate_size, config.num_layers
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(rng.normal(0.0, scale, shape), dtype)
+
+    def zeros(*shape):
+        return jnp.zeros(shape, dtype)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype)
+
+    params = {
+        "embeddings": {
+            "word": w(config.vocab_size, h),
+            "position": w(config.max_position_embeddings, h),
+            "token_type": w(config.type_vocab_size, h),
+            "ln_scale": ones(h),
+            "ln_bias": zeros(h),
+        },
+        "layers": {
+            "q_w": w(L, h, h), "q_b": zeros(L, h),
+            "k_w": w(L, h, h), "k_b": zeros(L, h),
+            "v_w": w(L, h, h), "v_b": zeros(L, h),
+            "o_w": w(L, h, h), "o_b": zeros(L, h),
+            "attn_ln_scale": ones(L, h), "attn_ln_bias": zeros(L, h),
+            "ffn_i_w": w(L, h, f), "ffn_i_b": zeros(L, f),
+            "ffn_o_w": w(L, f, h), "ffn_o_b": zeros(L, h),
+            "ffn_ln_scale": ones(L, h), "ffn_ln_bias": zeros(L, h),
+        },
+    }
+    return params
+
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _encoder_layer(x, mask_bias, lp, config: BertConfig):
+    """One post-LN BERT layer. x: [B, S, H]; mask_bias: [B, 1, 1, S] f32."""
+    b, s, h = x.shape
+    nh, hd = config.num_heads, config.head_dim
+    dt = x.dtype
+
+    def proj(w_, b_):
+        return (jnp.einsum("bsh,hk->bsk", x, w_.astype(dt)) + b_.astype(dt))
+
+    q = proj(lp["q_w"], lp["q_b"]).reshape(b, s, nh, hd)
+    k = proj(lp["k_w"], lp["k_b"]).reshape(b, s, nh, hd)
+    v = proj(lp["v_w"], lp["v_b"]).reshape(b, s, nh, hd)
+
+    # [B, nh, S, S] logits in f32 for a stable softmax.
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / np.sqrt(hd) + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
+
+    attn_out = jnp.einsum("bsh,hk->bsk", ctx, lp["o_w"].astype(dt)) + lp["o_b"].astype(dt)
+    x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
+                    config.layer_norm_eps)
+
+    inter = jnp.einsum("bsh,hf->bsf", x, lp["ffn_i_w"].astype(dt)) + lp["ffn_i_b"].astype(dt)
+    inter = jax.nn.gelu(inter.astype(jnp.float32), approximate=False).astype(dt)
+    out = jnp.einsum("bsf,fh->bsh", inter, lp["ffn_o_w"].astype(dt)) + lp["ffn_o_b"].astype(dt)
+    return _layer_norm(x + out, lp["ffn_ln_scale"], lp["ffn_ln_bias"],
+                       config.layer_norm_eps)
+
+
+def encode(params: dict, input_ids, attention_mask, config: BertConfig,
+           *, compute_dtype=jnp.float32, token_type_ids=None):
+    """Forward pass → pooled, (optionally) L2-normalized embeddings.
+
+    Args:
+      input_ids: [B, S] int32.
+      attention_mask: [B, S] {0,1}.
+    Returns:
+      [B, H] f32 embeddings.
+    """
+    b, s = input_ids.shape
+    emb = params["embeddings"]
+    x = jnp.take(emb["word"], input_ids, axis=0)
+    x = x + emb["position"][:s][None, :, :]
+    if token_type_ids is None:
+        x = x + emb["token_type"][0][None, None, :]
+    else:
+        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
+    x = x.astype(compute_dtype)
+
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+    def body(carry, lp):
+        return _encoder_layer(carry, mask_bias, lp, config), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+
+    x = x.astype(jnp.float32)
+    m = attention_mask.astype(jnp.float32)[:, :, None]
+    if config.pooling == "cls":
+        pooled = x[:, 0, :]
+    else:  # mean pooling over non-pad tokens
+        pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    if config.normalize:
+        pooled = pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+        )
+    return pooled
+
+
+def encode_tokens(params, input_ids, attention_mask, config: BertConfig,
+                  *, compute_dtype=jnp.float32, token_type_ids=None):
+    """Forward pass → per-token hidden states [B, S, H] f32 (no pooling).
+
+    Used by rerankers / late-interaction retrieval.
+    """
+    b, s = input_ids.shape
+    emb = params["embeddings"]
+    x = jnp.take(emb["word"], input_ids, axis=0)
+    x = x + emb["position"][:s][None, :, :]
+    if token_type_ids is None:
+        x = x + emb["token_type"][0][None, None, :]
+    else:
+        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
+    x = x.astype(compute_dtype)
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+    def body(carry, lp):
+        return _encoder_layer(carry, mask_bias, lp, config), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x.astype(jnp.float32)

@@ -1,0 +1,138 @@
+"""Encoder numerical parity vs HuggingFace transformers BertModel.
+
+The analog of the reference's mocked-embedding unit tests
+(tests/unit/test_postgres_vectorstore.py uses fixed 384-d vectors); here we
+go further: our pure-JAX forward must match torch BertModel bit-for-bit-ish
+(fp32, same random weights) — tolerance-based, per SURVEY.md §7 "embedding
+numerical parity".
+"""
+
+import numpy as np
+import pytest
+
+from archi_tpu.models.bert import BertConfig, encode, init_params
+from archi_tpu.models.hf_loader import params_from_state_dict
+from archi_tpu.models.tokenizer import WordPieceTokenizer
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_bert():
+    cfg = transformers.BertConfig(
+        vocab_size=500,
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=128,
+        type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg, add_pooling_layer=False)
+    model.eval()
+    return cfg, model
+
+
+def test_forward_matches_transformers(tiny_bert, rng):
+    hf_cfg, model = tiny_bert
+    config = BertConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        pooling="mean",
+        normalize=False,
+    )
+    sd = {k: v for k, v in model.state_dict().items()}
+    params = params_from_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, config
+    )
+
+    b, s = 3, 17
+    ids = rng.integers(0, hf_cfg.vocab_size, (b, s))
+    mask = np.ones((b, s), np.int64)
+    mask[0, 10:] = 0
+    mask[2, 5:] = 0
+
+    with torch.no_grad():
+        hf_out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+
+    ours = encode(params, ids.astype(np.int32), mask.astype(np.int32), config)
+    # mean-pool HF output the sentence-transformers way
+    m = mask[:, :, None].astype(np.float32)
+    hf_pooled = (hf_out * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+    np.testing.assert_allclose(np.asarray(ours), hf_pooled, rtol=2e-4, atol=2e-4)
+
+
+def test_cls_pooling_and_normalize(tiny_bert, rng):
+    hf_cfg, model = tiny_bert
+    config = BertConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        pooling="cls",
+        normalize=True,
+    )
+    params = params_from_state_dict(
+        {k: v.numpy() for k, v in model.state_dict().items()}, config
+    )
+    b, s = 2, 9
+    ids = rng.integers(0, hf_cfg.vocab_size, (b, s))
+    mask = np.ones((b, s), np.int64)
+    with torch.no_grad():
+        hf_out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    hf_cls = hf_out[:, 0, :]
+    hf_cls = hf_cls / np.linalg.norm(hf_cls, axis=-1, keepdims=True)
+    ours = np.asarray(
+        encode(params, ids.astype(np.int32), mask.astype(np.int32), config)
+    )
+    np.testing.assert_allclose(ours, hf_cls, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.linalg.norm(ours, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_padding_invariance(rng):
+    """Padding a batch to a longer bucket must not change embeddings."""
+    config = BertConfig(
+        vocab_size=200, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64,
+    )
+    params = init_params(config, seed=1)
+    ids = rng.integers(0, 200, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    short = np.asarray(encode(params, ids, mask, config))
+    ids_pad = np.zeros((2, 32), np.int32)
+    ids_pad[:, :10] = ids
+    mask_pad = np.zeros((2, 32), np.int32)
+    mask_pad[:, :10] = 1
+    long = np.asarray(encode(params, ids_pad, mask_pad, config))
+    np.testing.assert_allclose(short, long, rtol=1e-5, atol=1e-5)
+
+
+def test_tokenizer_basics():
+    tok = WordPieceTokenizer.build_vocab(
+        ["the quick brown fox jumps over the lazy dog", "hello world, hello TPU!"]
+    )
+    ids = tok.encode("hello world")
+    assert ids[0] == tok.cls_id and ids[-1] == tok.sep_id
+    assert tok.decode(ids) == "hello world"
+    # unseen word falls back to pieces/UNK without crashing
+    ids2 = tok.encode("transmogrification")
+    assert len(ids2) >= 3
+
+
+def test_tokenizer_punctuation_and_case():
+    tok = WordPieceTokenizer.build_vocab(["a b c d e f, punct. test!"])
+    toks = tok.tokenize("Punct, test!")
+    assert "," in toks and "!" in toks
+    assert all(t == t.lower() for t in toks if t.isalpha())
