@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from archi_tpu.engine.topk import topk_scores
+from archi_tpu.engine.topk import alive_to_bias, topk_scores
 
 MIN_CAPACITY = 1024
 _WRITE_BUCKETS = (256, 1024, 4096, 16384, 65536)
@@ -88,13 +88,8 @@ class FlatIndex:
         self.tile_n = int(tile_n)
         self.normalize = bool(normalize) and metric == "cosine"
         self.metric = metric
-        self.capacity = _round_capacity(MIN_CAPACITY, tile_n)
-        self.n_rows = 0  # high-water mark (incl. tombstones)
-        self.emb = jnp.zeros((self.capacity, self.dim), self.dtype)
-        self.alive = jnp.zeros((self.capacity,), jnp.float32)
-        self._ids: list[Any] = []  # row -> chunk id
-        self._id_rows: dict[Any, list[int]] = {}
-        self._n_dead = 0
+        self._reset_buffers()  # sets capacity, n_rows (high-water mark,
+        # incl. tombstones), emb, alive, _ids, _id_rows, _n_dead
 
     # ------------------------------------------------------------------ size
     def __len__(self) -> int:
@@ -165,6 +160,19 @@ class FlatIndex:
         self._n_dead += len(rows)
         return len(rows)
 
+    def _reset_buffers(self) -> None:
+        """Fresh empty buffers at minimum capacity (subclasses re-shard)."""
+        self.capacity = _round_capacity(self._min_capacity(), self.tile_n)
+        self.n_rows = 0
+        self.emb = jnp.zeros((self.capacity, self.dim), self.dtype)
+        self.alive = jnp.zeros((self.capacity,), jnp.float32)
+        self._ids = []
+        self._id_rows = {}
+        self._n_dead = 0
+
+    def _min_capacity(self) -> int:
+        return MIN_CAPACITY
+
     def compact(self) -> None:
         """Physically drop tombstoned rows (host round-trip; call rarely)."""
         if self._n_dead == 0:
@@ -173,14 +181,7 @@ class FlatIndex:
         keep = [r for r in range(self.n_rows) if self._ids[r] is not None]
         ids = [self._ids[r] for r in keep]
         emb = emb[keep]
-        self.__init__(
-            self.dim,
-            dtype=self.dtype,
-            tile_n=self.tile_n,
-            normalize=False,  # already normalized at first insert
-            metric=self.metric,
-        )
-        self.normalize = self.metric == "cosine"
+        self._reset_buffers()
         if len(ids):
             # rows were normalized already; bypass re-normalization
             saved = self.normalize
@@ -189,7 +190,8 @@ class FlatIndex:
             self.normalize = saved
 
     # ---------------------------------------------------------------- search
-    def search(self, queries, k: int = 10, *, filter_mask=None, impl="auto"):
+    def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
+               impl="auto"):
         """Top-k search.
 
         Args:
@@ -198,6 +200,9 @@ class FlatIndex:
             metadata filtering / per-conversation doc enablement (analog of
             the JSONB filters + 3-tier selection in
             ``postgres_vectorstore.py:317-332``, ``init.sql:315-336``).
+          bias: optional [capacity] additive f32 per-row score bias (carries
+            ``bm25_weight * bm25`` in hybrid search; queries should then be
+            pre-scaled by semantic_weight by the caller).
         Returns:
           (ids: list[list[chunk_id]], scores [B, k] np.f32, rows [B, k]).
         """
@@ -213,9 +218,15 @@ class FlatIndex:
             if fm.shape[0] < self.capacity:
                 fm = jnp.pad(fm, (0, self.capacity - fm.shape[0]))
             alive = alive * fm
+        row_bias = alive_to_bias(alive)
+        if bias is not None:
+            bb = jnp.asarray(bias, jnp.float32)
+            if bb.shape[0] < self.capacity:
+                bb = jnp.pad(bb, (0, self.capacity - bb.shape[0]))
+            row_bias = row_bias + bb
         k_eff = min(k, max(len(self), 1))
         vals, rows = topk_scores(
-            queries, self.emb, alive, self.n_rows, k=k_eff, impl=impl,
+            queries, self.emb, row_bias, self.n_rows, k=k_eff, impl=impl,
             tile_n=self.tile_n,
         )
         vals = np.asarray(vals)

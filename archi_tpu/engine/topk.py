@@ -1,16 +1,19 @@
 """Top-k scoring dispatch: fused Pallas kernel on TPU, XLA elsewhere.
 
-Replaces the reference's SQL KNN scan
-(``src/data_manager/vectorstore/postgres_vectorstore.py:272-364``).  Two
-implementations with identical semantics:
+Replaces the reference's SQL KNN scan and hybrid CTE
+(``src/data_manager/vectorstore/postgres_vectorstore.py:272-364`` semantic,
+``:366-491`` hybrid).  The score of row i is ``q · E[i] + bias[i]``:
 
-- ``xla_topk``: plain ``Q @ E.T`` + mask + ``jax.lax.top_k``.  XLA fuses the
-  mask into the matmul epilogue; the [B, N] score matrix is materialized, so
-  this wins only for small corpora (or on CPU in tests).
+- pure semantic: bias = 0 (alive) / -inf (tombstoned / filtered out),
+- hybrid: bias additionally carries ``bm25_weight * bm25_score[i]`` while the
+  query is pre-scaled by ``semantic_weight`` — exactly the reference's
+  ``semantic*w_s + bm25*w_b`` full-corpus ranking in one fused pass.
+
+Two implementations with identical semantics:
+- ``xla_topk``: plain matmul + ``jax.lax.top_k`` (materializes [B, N];
+  wins for small corpora and is the CPU/test path).
 - ``fused_topk`` (``archi_tpu.ops.pallas_topk``): streaming kernel, one HBM
-  pass over the corpus, no score materialization.  The default on TPU.
-
-Selection is automatic by backend, overridable via ``impl=``.
+  pass over the corpus.  The default on TPU.
 """
 
 from __future__ import annotations
@@ -23,17 +26,22 @@ import jax.numpy as jnp
 from archi_tpu.ops.pallas_topk import NEG_INF, fused_topk
 
 
+def alive_to_bias(alive: jax.Array) -> jax.Array:
+    """0/1 liveness mask → additive bias (0 alive, NEG_INF dead)."""
+    return jnp.where(alive > 0.5, 0.0, NEG_INF).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
-def xla_topk(queries, corpus, alive, n_active, *, k=10):
-    """Reference/fallback implementation. Same signature as fused_topk."""
+def xla_topk(queries, corpus, bias, n_active, *, k=10):
+    """Reference/fallback implementation. Same semantics as fused_topk."""
     b, d = queries.shape
     n_pad = corpus.shape[0]
     scores = jnp.dot(
         queries.astype(corpus.dtype), corpus.T, preferred_element_type=jnp.float32
     )
+    scores = scores + bias[None, :].astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, n_pad), 1)
-    valid = (col < jnp.asarray(n_active, jnp.int32)) & (alive[None, :] > 0.5)
-    scores = jnp.where(valid, scores, NEG_INF)
+    scores = jnp.where(col < jnp.asarray(n_active, jnp.int32), scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
 
@@ -53,21 +61,26 @@ def _on_tpu() -> bool:
         return False
 
 
-def topk_scores(queries, corpus, alive, n_active, *, k=10, impl="auto", tile_n=2048):
-    """Top-k inner products of ``queries`` against the padded ``corpus``.
+def topk_scores(queries, corpus, bias, n_active, *, k=10, impl="auto",
+                tile_n=2048, interpret=None):
+    """Top-k of ``q · E[i] + bias[i]`` against the padded corpus.
 
     Args:
-      queries: [B, D] float array (need not be normalized; cosine semantics
-        come from the index storing normalized embeddings).
-      corpus: [N_pad, D] padded corpus, N_pad a multiple of ``tile_n``.
-      alive: [N_pad] float mask; tombstoned rows are 0.
+      queries: [B, D] float array (pre-scaled by semantic_weight for hybrid).
+      corpus: [N_pad, D] padded corpus, N_pad ideally a multiple of tile_n.
+      bias: [N_pad] f32 additive per-row bias; NEG_INF disables a row
+        (tombstone / metadata filter), finite values carry lexical scores.
       n_active: scalar int; rows >= n_active are padding.
       k: number of neighbors.
       impl: "auto" | "pallas" | "xla".
+      interpret: force Pallas interpreter mode (None = auto: off on TPU).
     Returns:
       (vals [B, k] f32, idx [B, k] i32) — idx are physical row positions.
     """
     k = min(int(k), int(corpus.shape[0]))
+    if k <= 0:
+        b = queries.shape[0]
+        return (jnp.zeros((b, 0), jnp.float32), jnp.zeros((b, 0), jnp.int32))
     if impl == "auto":
         impl = "pallas" if (_on_tpu() and corpus.shape[0] >= tile_n) else "xla"
     if impl == "pallas":
@@ -78,7 +91,7 @@ def topk_scores(queries, corpus, alive, n_active, *, k=10, impl="auto", tile_n=2
             impl = "xla"
         else:
             return fused_topk(
-                queries, corpus, alive, n_active, k=k, tile_n=tile_n,
-                interpret=not _on_tpu(),
+                queries, corpus, bias, n_active, k=k, tile_n=tile_n,
+                interpret=(not _on_tpu()) if interpret is None else interpret,
             )
-    return xla_topk(queries, corpus, alive, n_active, k=k)
+    return xla_topk(queries, corpus, bias, n_active, k=k)

@@ -1,0 +1,226 @@
+"""TpuVectorStore — the archi vector-store contract over the TPU engine.
+
+Drop-in analog of the reference's ``PostgresVectorStore``
+(``src/data_manager/vectorstore/postgres_vectorstore.py:25``): ``add_texts``,
+``similarity_search*``, ``hybrid_search``, ``delete``, ``count`` with the
+same result shapes ((Document, score) lists) and semantics — but the storage
+plane is a TPU-resident ``FlatIndex``/``ShardedFlatIndex`` plus a
+device-resident ``BM25Index`` instead of pgvector + pg_textsearch.
+
+Hybrid semantics mirror the reference CTE (``:435-461``): every chunk is
+scored ``semantic*w_sem + bm25*w_b`` and the global top-k is taken — here in
+ONE fused Pallas pass, with the bm25 dense vector as the kernel's additive
+row bias and the query pre-scaled by w_sem.  The reference's semantic
+fallback when BM25 matches nothing (``:469-471``) is preserved.
+
+Metadata filtering (JSONB ``->>`` equality in the reference, ``:317-332``)
+is a cached per-(key,value) row bitmask multiplied into the alive mask.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from typing import Any, Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from archi_tpu.engine.bm25 import BM25Index
+from archi_tpu.engine.flat_index import FlatIndex
+from archi_tpu.utils.documents import Document
+
+
+class TpuVectorStore:
+    def __init__(
+        self,
+        embedding_function,
+        *,
+        index: FlatIndex | None = None,
+        bm25: BM25Index | None = None,
+        dim: int | None = None,
+        collection_name: str = "default",
+        dtype=jnp.bfloat16,
+    ):
+        self._embedding_function = embedding_function
+        dim = dim or getattr(embedding_function, "dim", None)
+        if dim is None:
+            dim = len(embedding_function.embed_query("probe"))
+        self.index = index if index is not None else FlatIndex(dim, dtype=dtype)
+        self.bm25 = bm25 if bm25 is not None else BM25Index()
+        self.collection_name = collection_name
+        # metadata plane: physical row -> (chunk_id, text, metadata)
+        self._row_data: dict[int, tuple[str, str, dict]] = {}
+        self._filter_masks: dict[tuple, np.ndarray] = {}
+        self._id_counter = itertools.count()
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------------ write
+    def add_texts(
+        self,
+        texts: Iterable[str],
+        metadatas: Optional[Sequence[dict]] = None,
+        ids: Optional[Sequence[str]] = None,
+        embeddings: Optional[np.ndarray] = None,
+    ) -> list[str]:
+        """Embed + insert chunks; returns chunk ids.
+
+        Mirrors ``PostgresVectorStore.add_texts`` (``:105-186``) including
+        upsert-by-id: re-adding an existing id replaces the old row.
+        """
+        texts = list(texts)
+        if not texts:
+            return []
+        if ids is None:
+            ids = [f"{self.collection_name}:{next(self._id_counter)}"
+                   for _ in texts]
+        metadatas = list(metadatas) if metadatas else [{} for _ in texts]
+        with self._lock:
+            existing = [i for i in ids if i in self.index._id_rows]
+            if existing:
+                self.delete(existing)
+            if embeddings is None:
+                embeddings = np.asarray(
+                    self._embedding_function.embed_documents(texts), np.float32
+                )
+            rows = self.index.add(embeddings, ids)
+            self.bm25.add(rows, texts)
+            for row, cid, text, meta in zip(rows, ids, texts, metadatas):
+                self._row_data[row] = (cid, text, dict(meta))
+            self._filter_masks.clear()
+        return list(ids)
+
+    def delete(self, ids: Optional[Sequence[str]] = None, **kw) -> bool:
+        if not ids:
+            return False
+        with self._lock:
+            rows = []
+            for i in ids:
+                rows.extend(self.index._id_rows.get(i, []))
+            self.index.delete(ids)
+            for r in rows:
+                self._row_data.pop(r, None)
+            self._filter_masks.clear()
+        return True
+
+    def count(self) -> int:
+        return len(self.index)
+
+    # ----------------------------------------------------------------- filter
+    def _filter_mask(self, metadata_filter: dict | None,
+                     enabled_ids: Optional[set] = None):
+        if not metadata_filter and enabled_ids is None:
+            return None
+        mask = np.ones(self.index.capacity, np.float32)
+        if metadata_filter:
+            key = tuple(sorted((k, str(v)) for k, v in metadata_filter.items()))
+            cached = self._filter_masks.get(key)
+            if cached is None:
+                cached = np.zeros(self.index.capacity, np.float32)
+                for row, (_cid, _t, meta) in self._row_data.items():
+                    if all(str(meta.get(k)) == v for k, v in key):
+                        cached[row] = 1.0
+                self._filter_masks[key] = cached
+            mask = mask * cached
+        if enabled_ids is not None:
+            em = np.zeros(self.index.capacity, np.float32)
+            for cid in enabled_ids:
+                for row in self.index._id_rows.get(cid, []):
+                    em[row] = 1.0
+            mask = mask * em
+        return mask
+
+    def _rows_to_results(self, rows, vals) -> list[tuple[Document, float]]:
+        out = []
+        for r, v in zip(rows, vals):
+            if v <= -1e29:
+                continue
+            data = self._row_data.get(int(r))
+            if data is None:
+                continue
+            cid, text, meta = data
+            md = dict(meta)
+            md.setdefault("chunk_id", cid)
+            out.append((Document(page_content=text, metadata=md), float(v)))
+        return out
+
+    # ----------------------------------------------------------------- search
+    def similarity_search_by_vector_with_score(
+        self, embedding, k: int = 4, *, filter: dict | None = None,
+        enabled_ids: Optional[set] = None,
+    ) -> list[tuple[Document, float]]:
+        if len(self.index) == 0:
+            return []
+        fm = self._filter_mask(filter, enabled_ids)
+        ids, vals, rows = self.index.search(
+            np.asarray(embedding, np.float32), k=k, filter_mask=fm
+        )
+        return self._rows_to_results(rows[0], vals[0])
+
+    def similarity_search_with_score(
+        self, query: str, k: int = 4, **kw
+    ) -> list[tuple[Document, float]]:
+        emb = self._embedding_function.embed_query(query)
+        return self.similarity_search_by_vector_with_score(emb, k, **kw)
+
+    def similarity_search(self, query: str, k: int = 4, **kw) -> list[Document]:
+        return [d for d, _ in self.similarity_search_with_score(query, k, **kw)]
+
+    def hybrid_search(
+        self,
+        query: str,
+        k: int = 4,
+        *,
+        semantic_weight: float = 0.7,
+        bm25_weight: float = 0.3,
+        filter: dict | None = None,
+        enabled_ids: Optional[set] = None,
+    ) -> list[tuple[Document, float]]:
+        """Fused semantic+BM25 ranking (reference ``hybrid_search:366-491``)."""
+        if len(self.index) == 0:
+            return []
+        if semantic_weight <= 0.0:
+            # pure lexical ranking
+            fm = self._filter_mask(filter, enabled_ids)
+            from archi_tpu.engine.topk import alive_to_bias
+
+            alive = self.index.alive
+            if fm is not None:
+                alive = alive * jnp.asarray(fm)
+            vals, rows = self.bm25.topk(
+                query, self.index.capacity, k=k,
+                alive_bias=alive_to_bias(alive),
+            )
+            return self._rows_to_results(
+                np.asarray(rows), np.asarray(vals) * bm25_weight
+            )
+        bm = self.bm25.scores(query, self.index.capacity)
+        if float(jnp.max(bm)) <= 0.0:
+            # Reference behavior: BM25 found nothing → pure semantic scores.
+            return self.similarity_search_with_score(
+                query, k, filter=filter, enabled_ids=enabled_ids
+            )
+        emb = np.asarray(self._embedding_function.embed_query(query), np.float32)
+        fm = self._filter_mask(filter, enabled_ids)
+        # Query pre-scaled by w_sem; bias carries w_b * bm25 (see topk docs).
+        # The index L2-normalizes queries, so scale AFTER via a unit trick:
+        # pass the raw query but scale bias by w_b/w_sem, then rescale the
+        # returned combined scores by w_sem.
+        ids, vals, rows = self.index.search(
+            emb, k=k, filter_mask=fm,
+            bias=bm * (bm25_weight / max(semantic_weight, 1e-9)),
+        )
+        vals = vals * semantic_weight
+        return self._rows_to_results(rows[0], vals[0])
+
+    # -------------------------------------------------- catalog-style access
+    def get_by_ids(self, ids: Sequence[str]) -> list[Document]:
+        out = []
+        for cid in ids:
+            for row in self.index._id_rows.get(cid, []):
+                _c, text, meta = self._row_data[row]
+                out.append(Document(page_content=text, metadata=dict(meta)))
+        return out
+
+    def ids(self) -> list[str]:
+        return list(self.index._id_rows.keys())

@@ -22,8 +22,10 @@ Design notes
   and run ``k`` iterations of (max, argmax, mask) — an O(k * (LANES+TILE_N))
   VPU cost that is small next to the O(D * TILE_N) MXU cost per tile.
 - Rows past ``n_active`` (the corpus is a padded power-of-two capacity
-  buffer, see ``archi_tpu.engine.flat_index``) are masked to -inf, as are
-  tombstoned rows via the ``alive`` mask.
+  buffer, see ``archi_tpu.engine.flat_index``) are masked to -inf.  A per-row
+  additive ``bias`` stream folds in tombstones (NEG_INF), metadata filters,
+  and hybrid lexical scores (``bm25_weight * bm25``) — the same kernel serves
+  semantic and hybrid search.
 - Grid steps on TPU run sequentially on a core, so scratch carries state
   across tiles; outputs are written on the last step only.
 """
@@ -66,7 +68,7 @@ def _fused_topk_kernel(
     n_active_ref,  # SMEM (1,) i32
     q_ref,         # VMEM [B, D]
     e_ref,         # VMEM [TILE_N, D] (current tile)
-    alive_ref,     # VMEM [1, TILE_N] f32 (1.0 alive / 0.0 tombstone)
+    bias_ref,      # VMEM [1, TILE_N] f32 additive row bias (NEG_INF = dead)
     out_vals_ref,  # VMEM [B, LANES]
     out_idx_ref,   # VMEM [B, LANES]
     run_vals,      # scratch VMEM [B, LANES] f32
@@ -97,8 +99,10 @@ def _fused_topk_kernel(
     base = step * tile_n
     col_global = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     n_active = n_active_ref[0]
-    valid = (col_global < n_active) & (alive_ref[0, :][None, :] > 0.5)
-    scores = jnp.where(valid, scores, NEG_INF)
+    # Additive bias folds in tombstones (NEG_INF) and hybrid lexical scores
+    # (w_bm25 * bm25 per row) in one stream; padding masked via n_active.
+    scores = scores + bias_ref[0, :][None, :]
+    scores = jnp.where(col_global < n_active, scores, NEG_INF)
 
     # Threshold skip: no candidate in this tile can enter any query's top-k
     # unless the tile's max score beats the weakest current k-th best.  With
@@ -128,14 +132,14 @@ def _fused_topk_kernel(
 def fused_topk(
     queries: jax.Array,   # [B, D] (any float dtype)
     corpus: jax.Array,    # [N_pad, D] (bf16/f32), N_pad % tile_n == 0
-    alive: jax.Array,     # [N_pad] f32 mask (1 alive, 0 dead)
+    bias: jax.Array,      # [N_pad] f32 additive per-row bias (NEG_INF = dead)
     n_active: jax.Array,  # scalar i32: rows < n_active are populated
     *,
     k: int = 10,
     tile_n: int = 2048,
     interpret: bool = False,
 ):
-    """Returns (vals [B, k] f32, idx [B, k] i32) of the top-k inner products."""
+    """Returns (vals [B, k] f32, idx [B, k] i32) of top-k of (q·e_row + bias_row)."""
     b, d = queries.shape
     n_pad = corpus.shape[0]
     assert n_pad % tile_n == 0, (n_pad, tile_n)
@@ -143,7 +147,7 @@ def fused_topk(
     num_tiles = n_pad // tile_n
 
     queries = queries.astype(corpus.dtype)
-    alive2d = alive.reshape(1, n_pad).astype(jnp.float32)
+    bias2d = bias.reshape(1, n_pad).astype(jnp.float32)
     n_active_arr = jnp.asarray(n_active, jnp.int32).reshape(1)
 
     kernel = functools.partial(_fused_topk_kernel, k=k, tile_n=tile_n)
@@ -178,5 +182,5 @@ def fused_topk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_active_arr, queries, corpus, alive2d)
+    )(n_active_arr, queries, corpus, bias2d)
     return out_vals[:, :k], out_idx[:, :k]

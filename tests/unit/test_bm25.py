@@ -1,0 +1,120 @@
+"""BM25 engine vs a NumPy reference implementation (Okapi, Lucene idf)."""
+
+import math
+
+import numpy as np
+
+from archi_tpu.engine.bm25 import BM25Index, analyze
+from archi_tpu.utils.stemmer import stem
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast brown fox leaps over sleeping dogs",
+    "postgres stores vectors with the pgvector extension",
+    "tpu matrix units multiply large matrices quickly",
+    "the dog sleeps while the fox runs through the forest",
+    "vector search with embeddings finds similar documents",
+]
+
+
+def _ref_bm25(docs_terms, query_terms, k1=1.2, b=0.75):
+    n = len(docs_terms)
+    avgdl = sum(len(d) for d in docs_terms) / n
+    scores = np.zeros(n)
+    for t in set(query_terms):
+        df = sum(1 for d in docs_terms if t in d)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, d in enumerate(docs_terms):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            denom = tf + k1 * (1 - b + b * len(d) / avgdl)
+            scores[i] += idf * tf * (k1 + 1) / denom
+    return scores
+
+
+def test_scores_match_reference():
+    idx = BM25Index()
+    idx.add(list(range(len(DOCS))), DOCS)
+    n_pad = 8
+    docs_terms = [analyze(d) for d in DOCS]
+    for q in ["brown fox", "vector search postgres", "dog", "tpu matrix"]:
+        got = np.asarray(idx.scores(q, n_pad))[: len(DOCS)]
+        ref = _ref_bm25(docs_terms, analyze(q))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_topk_ranking():
+    idx = BM25Index()
+    idx.add(list(range(len(DOCS))), DOCS)
+    vals, rows = idx.topk("brown fox jumps", 8, k=3)
+    assert int(rows[0]) == 0  # exact-phrase doc wins
+    assert float(vals[0]) > float(vals[1])
+
+
+def test_no_matching_terms():
+    idx = BM25Index()
+    idx.add(list(range(len(DOCS))), DOCS)
+    s = np.asarray(idx.scores("zzzunknownzzz", 8))
+    assert (s == 0).all()
+
+
+def test_stopwords_ignored():
+    idx = BM25Index()
+    idx.add(list(range(len(DOCS))), DOCS)
+    assert idx.query_terms("the and of") == []
+
+
+def test_incremental_add_rebuilds():
+    idx = BM25Index()
+    idx.add([0, 1], DOCS[:2])
+    s1 = np.asarray(idx.scores("fox", 8))
+    idx.add([2], ["another fox document about a fox den"])
+    s2 = np.asarray(idx.scores("fox", 8))
+    assert s2[2] > 0
+    assert s1[2] == 0
+    # idf changed because df/N changed — exact rebuild, not stale
+    docs_terms = [analyze(d) for d in DOCS[:2] + ["another fox document about a fox den"]]
+    ref = _ref_bm25(docs_terms, ["fox"])
+    np.testing.assert_allclose(s2[:3], ref, rtol=1e-5)
+
+
+def test_save_load_roundtrip(tmp_path):
+    idx = BM25Index(stemming=True)
+    idx.add(list(range(len(DOCS))), DOCS)
+    p = str(tmp_path / "bm25.json")
+    idx.save(p)
+    idx2 = BM25Index.load(p)
+    a = np.asarray(idx.scores("jumping foxes", 8))
+    b = np.asarray(idx2.scores("jumping foxes", 8))
+    np.testing.assert_allclose(a, b)
+
+
+def test_porter_stemmer_known_pairs():
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubling": "troubl", "sized": "size", "hopping": "hop",
+        "happy": "happi", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "digitizer": "digit", "operator": "oper",
+        "triplicate": "triplic", "formative": "form", "electrical": "electr",
+        "hopefulness": "hope", "goodness": "good", "revival": "reviv",
+        "adjustment": "adjust", "effective": "effect", "probate": "probat",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for w, expect in pairs.items():
+        assert stem(w) == expect, (w, stem(w), expect)
+
+
+def test_large_postings_chunking():
+    """A term with postings spanning multiple CHUNK windows must sum fully."""
+    idx = BM25Index()
+    n = 5000
+    idx.add(list(range(n)), ["common term here"] * n)
+    s = np.asarray(idx.scores("common", 8192))
+    assert (s[:n] > 0).all()
+    np.testing.assert_allclose(s[:n], s[0], rtol=1e-6)
+    assert (s[n:] == 0).all()

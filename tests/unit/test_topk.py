@@ -5,13 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from archi_tpu.engine.topk import topk_scores, xla_topk
+from archi_tpu.engine.topk import alive_to_bias, topk_scores, xla_topk
 from archi_tpu.ops.pallas_topk import fused_topk
 
 
-def _brute(q, e, alive, n_active, k):
-    scores = q.astype(np.float32) @ e.astype(np.float32).T
-    scores[:, ~(alive > 0.5)] = -np.inf
+def _brute(q, e, bias, n_active, k):
+    scores = q.astype(np.float32) @ e.astype(np.float32).T + bias[None, :]
     scores[:, n_active:] = -np.inf
     idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     vals = np.take_along_axis(scores, idx, axis=1)
@@ -27,19 +26,17 @@ def test_topk_matches_brute_force(rng, impl, n_active, n_pad):
     e[:n_active] = rng.standard_normal((n_active, d), dtype=np.float32)
     alive = np.zeros(n_pad, np.float32)
     alive[:n_active] = 1.0
-    # tombstone a few rows
     dead = rng.choice(n_active, size=17, replace=False)
     alive[dead] = 0.0
+    bias = np.where(alive > 0.5, 0.0, -1.0e30).astype(np.float32)
 
     vals, idx = topk_scores(
-        jnp.asarray(q), jnp.asarray(e), jnp.asarray(alive), n_active, k=k, impl=impl
+        jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), n_active, k=k,
+        impl=impl, tile_n=512,
     )
-    bv, bi = _brute(q, e, alive, n_active, k)
+    bv, bi = _brute(q, e, bias, n_active, k)
     np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
-    # indices may differ on exact ties; compare via scores
-    got_scores = np.take_along_axis(
-        (q @ e.T), np.asarray(idx), axis=1
-    )
+    got_scores = np.take_along_axis((q @ e.T), np.asarray(idx), axis=1)
     np.testing.assert_allclose(got_scores, bv, rtol=1e-4, atol=1e-4)
 
 
@@ -47,14 +44,32 @@ def test_fused_topk_interpret_small(rng):
     b, d, n, k = 2, 64, 1024, 5
     q = rng.standard_normal((b, d), dtype=np.float32)
     e = rng.standard_normal((n, d), dtype=np.float32)
-    alive = np.ones(n, np.float32)
+    bias = np.zeros(n, np.float32)
     vals, idx = fused_topk(
-        jnp.asarray(q), jnp.asarray(e), jnp.asarray(alive), n, k=k, tile_n=256,
+        jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), n, k=k, tile_n=256,
         interpret=True,
     )
-    bv, bi = _brute(q, e, alive, n, k)
+    bv, bi = _brute(q, e, bias, n, k)
     np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
+def test_additive_bias_changes_ranking(rng):
+    """Hybrid path: a large positive bias must promote a row to the top."""
+    b, d, n, k = 1, 32, 512, 3
+    q = rng.standard_normal((b, d), dtype=np.float32)
+    e = rng.standard_normal((n, d), dtype=np.float32)
+    bias = np.zeros(n, np.float32)
+    loser = 77
+    bias[loser] = 100.0  # lexical boost
+    for impl in ("xla", "pallas"):
+        vals, idx = topk_scores(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), n, k=k,
+            impl=impl, tile_n=256,
+        )
+        assert int(np.asarray(idx)[0, 0]) == loser
+        bv, _ = _brute(q, e, bias, n, k)
+        np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
 
 
 def test_topk_k_larger_than_alive(rng):
@@ -64,7 +79,8 @@ def test_topk_k_larger_than_alive(rng):
     e[:n_active] = rng.standard_normal((n_active, d))
     alive = np.zeros(n_pad, np.float32)
     alive[:n_active] = 1.0
-    vals, idx = xla_topk(jnp.asarray(q), jnp.asarray(e), jnp.asarray(alive), n_active, k=k)
+    bias = np.asarray(alive_to_bias(jnp.asarray(alive)))
+    vals, idx = xla_topk(jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), n_active, k=k)
     vals = np.asarray(vals)
     assert (vals[0, :n_active] > -1e29).all()
     assert (vals[0, n_active:] <= -1e29).all()
@@ -76,12 +92,12 @@ def test_topk_k_larger_than_lanes_falls_back(rng):
     b, d, n = 2, 32, 4096
     q = rng.standard_normal((b, d), dtype=np.float32)
     e = rng.standard_normal((n, d), dtype=np.float32)
-    alive = np.ones(n, np.float32)
+    bias = np.zeros(n, np.float32)
     vals, idx = topk_scores(
-        jnp.asarray(q), jnp.asarray(e), jnp.asarray(alive), n, k=300, impl="pallas"
+        jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), n, k=300, impl="pallas"
     )
     assert vals.shape == (b, 300)
-    bv, _ = _brute(q, e, alive, n, 300)
+    bv, _ = _brute(q, e, bias, n, 300)
     np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
 
 
@@ -89,8 +105,21 @@ def test_topk_k_clamped_to_corpus(rng):
     b, d, n = 1, 16, 512
     q = rng.standard_normal((b, d), dtype=np.float32)
     e = rng.standard_normal((n, d), dtype=np.float32)
-    alive = np.ones(n, np.float32)
+    bias = np.zeros(n, np.float32)
     vals, idx = topk_scores(
-        jnp.asarray(q), jnp.asarray(e), jnp.asarray(alive), n, k=10_000
+        jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), n, k=10_000
     )
     assert vals.shape == (b, n)
+
+
+def test_topk_k_zero(rng):
+    """k=0 must return empty results, not crash the fused kernel
+    (found by probing hybrid_search(k=0))."""
+    q = rng.standard_normal((2, 16), dtype=np.float32)
+    e = rng.standard_normal((512, 16), dtype=np.float32)
+    bias = np.zeros(512, np.float32)
+    for impl in ("xla", "pallas"):
+        vals, idx = topk_scores(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), 512, k=0, impl=impl
+        )
+        assert vals.shape == (2, 0) and idx.shape == (2, 0)
