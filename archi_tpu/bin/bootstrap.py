@@ -1,0 +1,106 @@
+"""Service bootstrap: build the full stack from a config dict.
+
+The analog of the reference's per-service entrypoints' shared setup
+(``src/bin/service_*.py`` + ``src/utils/postgres_service_factory.py:17``
+singleton): read secrets, open the app database, seed config, construct the
+engine/data-manager/orchestrator, and return a context the service wires to
+its HTTP app.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+from archi_tpu.config.manager import ConfigurationManager
+from archi_tpu.config.service import ConfigService
+from archi_tpu.data.catalog import CatalogService
+from archi_tpu.data.data_manager import DataManager
+from archi_tpu.data.scheduler import CronScheduler
+from archi_tpu.engine.vectorstore import TpuVectorStore
+from archi_tpu.models.registry import resolve_embedder
+from archi_tpu.providers.byok import BYOKResolver, BYOKStore
+from archi_tpu.providers.registry import configure_providers
+from archi_tpu.utils.app_db import AppDatabase
+from archi_tpu.utils.conversation_service import ConversationService
+from archi_tpu.utils.logging_utils import setup_logging
+from archi_tpu.utils.prompt_service import PromptService
+from archi_tpu.utils.trace_service import TraceService
+from archi_tpu.utils.user_service import UserService
+
+
+@dataclasses.dataclass
+class ServiceContext:
+    config: dict
+    app_db: AppDatabase
+    config_service: ConfigService
+    users: UserService
+    conversations: ConversationService
+    traces: TraceService
+    prompts: PromptService
+    catalog: CatalogService
+    vectorstore: TpuVectorStore
+    data_manager: DataManager
+    scheduler: CronScheduler
+    byok_store: Optional[BYOKStore]
+    byok_resolver: Optional[BYOKResolver]
+
+
+def build_context(config_paths=(), overrides: Optional[dict] = None,
+                  *, vectorstore: Optional[TpuVectorStore] = None
+                  ) -> ServiceContext:
+    cm = ConfigurationManager(config_paths, overrides)
+    cm.validate()
+    config = cm.config
+    setup_logging(config.get("verbosity"))
+    configure_providers(config.get("providers", {}))
+
+    dm_cfg = config["data_manager"]
+    data_path = dm_cfg["data_path"]
+    os.makedirs(data_path, exist_ok=True)
+
+    app_db = AppDatabase(os.path.join(data_path, "app.db"))
+    config_service = ConfigService(app_db)
+    config_service.seed(config)
+
+    catalog = CatalogService(dm_cfg["db_path"])
+    if vectorstore is None:
+        embedder = resolve_embedder(dm_cfg)
+        vectorstore = TpuVectorStore(embedder)
+    data_manager = DataManager(
+        data_path=data_path,
+        catalog=catalog,
+        vectorstore=vectorstore,
+        sources_config=dm_cfg.get("sources", {}),
+        chunk_size=dm_cfg.get("chunk_size", 1000),
+        chunk_overlap=dm_cfg.get("chunk_overlap", 0),
+    )
+
+    scheduler = CronScheduler()
+    schedules = dm_cfg.get("schedules") or {}
+    if schedules:
+        scheduler.set_config_loader(
+            lambda: config_service.get(
+                "data_manager.schedules", schedules) or schedules,
+            lambda name, spec: (lambda **kw: data_manager.run_ingestion()),
+        )
+
+    secret = os.environ.get("ARCHI_SECRET", "archi-tpu-dev-secret")
+    byok_store = BYOKStore(os.path.join(data_path, "byok.db"), secret=secret)
+
+    return ServiceContext(
+        config=config,
+        app_db=app_db,
+        config_service=config_service,
+        users=UserService(app_db),
+        conversations=ConversationService(app_db),
+        traces=TraceService(app_db),
+        prompts=PromptService(app_db),
+        catalog=catalog,
+        vectorstore=vectorstore,
+        data_manager=data_manager,
+        scheduler=scheduler,
+        byok_store=byok_store,
+        byok_resolver=BYOKResolver(byok_store),
+    )

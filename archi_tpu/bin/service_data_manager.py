@@ -1,0 +1,43 @@
+"""Data-manager service entrypoint (reference
+``src/bin/service_data_manager.py:23``): start the scheduler, kick an
+initial async ingestion, serve the uploader/catalog API.
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+
+from archi_tpu.bin.bootstrap import build_context
+from archi_tpu.data.persistence import PersistenceService  # noqa: F401
+from archi_tpu.pipelines.agents.tools.catalog_tools import CatalogClient
+from archi_tpu.web.data_app import create_data_app
+
+
+def build_app(config_paths=(), overrides=None, ctx=None,
+              *, initial_ingestion: bool = True):
+    ctx = ctx or build_context(config_paths, overrides)
+    dm = ctx.data_manager
+    client = CatalogClient(ctx.catalog, dm.persistence)
+    app = create_data_app(
+        data_manager=dm,
+        scheduler=ctx.scheduler,
+        catalog_client=client,
+        config_service=ctx.config_service,
+    )
+    ctx.scheduler.start()
+    if initial_ingestion:
+        threading.Thread(target=dm.run_ingestion, daemon=True,
+                         name="initial-ingestion").start()
+    return app, ctx
+
+
+def main() -> None:
+    app, ctx = build_app(sys.argv[1:])
+    svc = ctx.config["services"]["data_manager"]
+    print(f"data-manager service on {svc['host']}:{svc['port']}")
+    app.serve(svc["host"], svc["port"])
+
+
+if __name__ == "__main__":
+    main()

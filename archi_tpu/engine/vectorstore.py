@@ -213,6 +213,18 @@ class TpuVectorStore:
         vals = vals * semantic_weight
         return self._rows_to_results(rows[0], vals[0])
 
+    def warmup(self) -> None:
+        """Pre-trigger the jit compiles on the query path (embed + search +
+        hybrid) so the first user request doesn't pay them while holding the
+        chat lock.  Call from a background thread at service startup."""
+        try:
+            if len(self.index) == 0:
+                return
+            self.hybrid_search("warmup probe query", k=1)
+            self.similarity_search_with_score("warmup probe query", k=1)
+        except Exception:
+            pass
+
     # -------------------------------------------------- catalog-style access
     def get_by_ids(self, ids: Sequence[str]) -> list[Document]:
         out = []

@@ -1,0 +1,296 @@
+"""Chat service: the reference chat_app's HTTP surface over the TPU stack.
+
+Mirrors the route families of the reference's ``FlaskAppWrapper``
+(``src/interfaces/chat_app/app.py:2097``, ~70 routes) and REST v2 blueprint
+(``chat_app/api.py``): chat + streaming (``:2172-2174``), conversations
+(``:2185-2190``), A/B (``:2193-2196``), traces + cancel (``:2199-2202``),
+providers/BYOK (``:2205-2211,3113-3416``), config + audit
+(``api.py:323-506``), analytics (``api.py:713,760``), users/preferences
+(``api.py:157,192``), and auth (JWT header / dev identity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from archi_tpu.utils.rbac.jwt_parser import extract_identity
+from archi_tpu.utils.rbac.permissions import Permission, has_permission
+from archi_tpu.web.framework import (
+    App, Request, Response, error_response, json_response, sse_response,
+)
+
+
+def create_chat_app(
+    *,
+    chat_wrapper,
+    conversations,
+    traces,
+    config_service=None,
+    user_service=None,
+    byok_store=None,
+    jwt_secret: Optional[str] = None,
+    require_auth: bool = False,
+    frontend_html: Optional[str] = None,
+) -> App:
+    app = App("chat")
+
+    # ------------------------------------------------------------------ auth
+    def auth_middleware(req: Request) -> Optional[Response]:
+        token = req.headers.get("x-auth-token") or (
+            req.headers.get("authorization", "").removeprefix("Bearer ").strip()
+            or None
+        )
+        identity = None
+        if token:
+            try:
+                identity = extract_identity(token, jwt_secret)
+            except ValueError as e:
+                return error_response(f"invalid token: {e}", 401)
+        elif req.headers.get("x-user-email"):
+            identity = {"email": req.headers["x-user-email"],
+                        "name": "", "roles": ["user"]}
+        if identity is None:
+            if require_auth and req.path.startswith("/api/"):
+                return error_response("authentication required", 401)
+            identity = {"email": None, "name": "", "roles": ["user"]}
+        if user_service is not None and identity.get("email"):
+            uid = user_service.create_user(identity["email"],
+                                           name=identity.get("name", ""))
+            identity["user_id"] = uid
+            stored = user_service.get_user(identity["email"]) or {}
+            identity["roles"] = sorted(
+                set(identity["roles"]) | set(stored.get("roles", []))
+            )
+        req.context["identity"] = identity
+        return None
+
+    app.use(auth_middleware)
+
+    def _require(req: Request, perm: Permission):
+        roles = req.context["identity"]["roles"]
+        if not has_permission(roles, perm):
+            raise PermissionError(f"requires {perm.value}")
+
+    def _uid(req: Request) -> Optional[int]:
+        return req.context["identity"].get("user_id")
+
+    # ------------------------------------------------------------------ chat
+    @app.post("/api/get_chat_response")
+    def chat(req: Request):
+        _require(req, Permission.CHAT_USE)
+        body = req.json()
+        if not body.get("message"):
+            raise ValueError("missing 'message'")
+        return chat_wrapper(
+            body["message"],
+            conversation_id=body.get("conversation_id"),
+            user_id=_uid(req),
+            user_email=req.context["identity"].get("email"),
+            model_override=body.get("model"),
+            client_sent=body.get("client_sent"),
+        )
+
+    @app.post("/api/get_chat_response_stream")
+    def chat_stream(req: Request):
+        _require(req, Permission.CHAT_STREAM)
+        body = req.json()
+        if not body.get("message"):
+            raise ValueError("missing 'message'")
+        return sse_response(chat_wrapper.stream(
+            body["message"],
+            conversation_id=body.get("conversation_id"),
+            user_id=_uid(req),
+            user_email=req.context["identity"].get("email"),
+            model_override=body.get("model"),
+            client_sent=body.get("client_sent"),
+        ))
+
+    # --------------------------------------------------------- conversations
+    @app.get("/api/conversations")
+    def list_convos(req: Request):
+        _require(req, Permission.CHAT_HISTORY_READ)
+        return conversations.list_conversations(_uid(req))
+
+    @app.get("/api/conversations/<cid>")
+    def get_convo(req: Request):
+        _require(req, Permission.CHAT_HISTORY_READ)
+        cid = int(req.path_params["cid"])
+        if _uid(req) is not None and not conversations.user_owns(cid, _uid(req)):
+            conv = conversations.get_conversation(cid)
+            if conv and conv.get("user_id") is not None:
+                raise PermissionError("not your conversation")
+        return conversations.get_messages(cid)
+
+    @app.delete("/api/conversations/<cid>")
+    def delete_convo(req: Request):
+        _require(req, Permission.CHAT_HISTORY_DELETE)
+        conversations.delete_conversation(int(req.path_params["cid"]))
+        return {"ok": True}
+
+    @app.put("/api/conversations/<cid>")
+    def rename_convo(req: Request):
+        _require(req, Permission.CHAT_HISTORY_READ)
+        conversations.rename_conversation(
+            int(req.path_params["cid"]), req.json().get("title", "")
+        )
+        return {"ok": True}
+
+    @app.post("/api/feedback")
+    def feedback(req: Request):
+        body = req.json()
+        fid = conversations.add_feedback(
+            int(body["message_id"]), body.get("rating", "like"),
+            body.get("comment", ""),
+        )
+        return {"feedback_id": fid}
+
+    # ---------------------------------------------------------------- traces
+    @app.get("/api/trace/<tid>")
+    def get_trace(req: Request):
+        tr = traces.get_trace(int(req.path_params["tid"]))
+        if tr is None:
+            return error_response("trace not found", 404)
+        return tr
+
+    @app.post("/api/cancel_stream")
+    def cancel_stream(req: Request):
+        tid = int(req.json()["trace_id"])
+        return {"cancelled": traces.cancel(tid)}
+
+    @app.get("/api/tool_calls/<mid>")
+    def tool_calls(req: Request):
+        return traces.get_tool_calls(int(req.path_params["mid"]))
+
+    # --------------------------------------------------------------------- AB
+    @app.post("/api/ab_compare")
+    def ab_compare(req: Request):
+        _require(req, Permission.CHAT_USE)
+        body = req.json()
+        return chat_wrapper.ab_compare(
+            body["message"], body["model_a"], body["model_b"],
+            conversation_id=body.get("conversation_id"), user_id=_uid(req),
+        )
+
+    @app.post("/api/ab_preference")
+    def ab_preference(req: Request):
+        body = req.json()
+        conversations.record_ab_preference(
+            int(body["comparison_id"]), body["preference"]
+        )
+        return {"ok": True}
+
+    # ------------------------------------------------------------- providers
+    @app.get("/api/providers")
+    def providers(req: Request):
+        _require(req, Permission.PROVIDERS_READ)
+        from archi_tpu.providers.registry import list_all_providers
+
+        return list_all_providers()
+
+    @app.post("/api/user/api_key")
+    def set_api_key(req: Request):
+        _require(req, Permission.BYOK_MANAGE)
+        if byok_store is None:
+            return error_response("BYOK not configured", 501)
+        body = req.json()
+        email = req.context["identity"].get("email") or "anonymous"
+        byok_store.set_key(email, body["provider"], body["api_key"])
+        return {"ok": True}
+
+    @app.delete("/api/user/api_key/<provider>")
+    def delete_api_key(req: Request):
+        _require(req, Permission.BYOK_MANAGE)
+        if byok_store is None:
+            return error_response("BYOK not configured", 501)
+        email = req.context["identity"].get("email") or "anonymous"
+        return {"deleted": byok_store.delete_key(
+            email, req.path_params["provider"])}
+
+    @app.get("/api/user/api_keys")
+    def list_api_keys(req: Request):
+        _require(req, Permission.BYOK_MANAGE)
+        if byok_store is None:
+            return []
+        email = req.context["identity"].get("email") or "anonymous"
+        return byok_store.list_providers(email)
+
+    # ------------------------------------------------------------- config v2
+    @app.get("/api/v2/config")
+    def get_config(req: Request):
+        _require(req, Permission.CONFIG_READ)
+        if config_service is None:
+            return {}
+        return config_service.get_full_config()
+
+    @app.put("/api/v2/config")
+    def update_config(req: Request):
+        _require(req, Permission.CONFIG_WRITE)
+        if config_service is None:
+            return error_response("config service not configured", 501)
+        email = req.context["identity"].get("email") or "anonymous"
+        return config_service.update_dynamic(req.json(), changed_by=email)
+
+    @app.get("/api/v2/config/audit")
+    def config_audit(req: Request):
+        _require(req, Permission.CONFIG_READ)
+        return config_service.audit_log() if config_service else []
+
+    @app.get("/api/v2/config/effective")
+    def effective_config(req: Request):
+        _require(req, Permission.CONFIG_READ)
+        if config_service is None:
+            return {}
+        prefs = {}
+        if user_service and req.context["identity"].get("email"):
+            prefs = user_service.get_preferences(
+                req.context["identity"]["email"])
+        return config_service.effective_config(prefs)
+
+    # ------------------------------------------------------------------ users
+    @app.get("/api/v2/users/me")
+    def me(req: Request):
+        return req.context["identity"]
+
+    @app.put("/api/v2/users/preferences")
+    def set_prefs(req: Request):
+        email = req.context["identity"].get("email")
+        if not email or user_service is None:
+            return error_response("no identity", 401)
+        for k, v in req.json().items():
+            user_service.set_preference(email, k, v)
+        return user_service.get_preferences(email)
+
+    # -------------------------------------------------------------- analytics
+    @app.get("/api/v2/analytics/models")
+    def analytics_models(req: Request):
+        _require(req, Permission.ANALYTICS_READ)
+        return conversations.model_usage_stats()
+
+    @app.get("/api/v2/analytics/ab")
+    def analytics_ab(req: Request):
+        _require(req, Permission.ANALYTICS_READ)
+        return conversations.ab_stats()
+
+    @app.get("/api/v2/analytics/feedback")
+    def analytics_feedback(req: Request):
+        _require(req, Permission.ANALYTICS_READ)
+        return conversations.feedback_stats()
+
+    @app.get("/api/v2/analytics/timing")
+    def analytics_timing(req: Request):
+        _require(req, Permission.ANALYTICS_READ)
+        return conversations.timing_stats()
+
+    # --------------------------------------------------------------- frontend
+    @app.get("/")
+    def index(req: Request):
+        if frontend_html:
+            return Response(frontend_html, 200, "text/html; charset=utf-8")
+        return Response("<h1>archi-tpu chat service</h1>", 200,
+                        "text/html; charset=utf-8")
+
+    @app.get("/healthz")
+    def health(req: Request):
+        return {"status": "ok", "service": "chat"}
+
+    return app

@@ -1,0 +1,161 @@
+"""Data-manager service: uploads, sources, ingestion control, catalog API.
+
+Mirrors the reference's uploader/data-manager HTTP surface
+(``src/interfaces/uploader_app/app.py:30``; endpoints ``:88-108``,
+``api_catalog_search:449``; ingestion status + schedules from
+``src/bin/service_data_manager.py:159-228``): upload/delete files, URL
+scrape, git repo add/refresh, schedule updates, catalog
+search/document/schema/grep (consumed by the agent's RemoteCatalogClient),
+ingestion status/trigger/retry, and stats.
+"""
+
+from __future__ import annotations
+
+import base64
+import threading
+from typing import Optional
+
+from archi_tpu.web.framework import (
+    App, Request, error_response, json_response,
+)
+
+
+def create_data_app(
+    *,
+    data_manager,
+    scheduler=None,
+    catalog_client=None,
+    config_service=None,
+) -> App:
+    app = App("data_manager")
+    dm = data_manager
+
+    def _run_ingestion_async():
+        threading.Thread(
+            target=dm.index_manager.update_vectorstore, daemon=True
+        ).start()
+
+    # -------------------------------------------------------------- ingestion
+    @app.get("/api/ingestion/status")
+    def status(req: Request):
+        return dm.status
+
+    @app.post("/api/ingestion/trigger")
+    def trigger(req: Request):
+        body = req.json()
+        if body.get("async"):
+            threading.Thread(target=dm.run_ingestion, daemon=True).start()
+            return {"started": True}
+        return dm.run_ingestion(reset=bool(body.get("reset")))
+
+    @app.post("/api/ingestion/retry")
+    def retry(req: Request):
+        body = req.json()
+        return dm.index_manager.retry_failed(body.get("resource_hash"))
+
+    @app.get("/api/ingestion/failed")
+    def failed(req: Request):
+        return dm.catalog.get_failed()
+
+    # ---------------------------------------------------------------- uploads
+    @app.post("/api/upload")
+    def upload(req: Request):
+        """Body: {"filename": ..., "content_b64": ...} (the reference uses
+        multipart; base64-JSON keeps the stdlib server simple)."""
+        body = req.json()
+        if "filename" not in body or "content_b64" not in body:
+            raise ValueError("need filename and content_b64")
+        content = base64.b64decode(body["content_b64"])
+        h = dm.local_files.ingest_uploaded_file(body["filename"], content)
+        if body.get("sync", True):
+            _run_ingestion_async()
+        return {"resource_hash": h}
+
+    @app.delete("/api/documents/<resource_hash>")
+    def delete_doc(req: Request):
+        ok = dm.persistence.delete_resource(req.path_params["resource_hash"])
+        _run_ingestion_async()
+        return {"deleted": ok}
+
+    # ---------------------------------------------------------------- sources
+    @app.post("/api/links")
+    def add_link(req: Request):
+        body = req.json()
+        hashes = dm.scrapers.collect_url(
+            body["url"], depth=body.get("depth"))
+        if body.get("sync", True):
+            _run_ingestion_async()
+        return {"collected": len(hashes), "hashes": hashes[:50]}
+
+    @app.post("/api/git")
+    def add_git(req: Request):
+        body = req.json()
+        hashes = dm.git.collect(body["url"], branch=body.get("branch"))
+        if body.get("sync", True):
+            _run_ingestion_async()
+        return {"collected": len(hashes)}
+
+    # -------------------------------------------------------------- schedules
+    @app.get("/api/schedules")
+    def get_schedules(req: Request):
+        if scheduler is None:
+            return {}
+        return {"jobs": scheduler.jobs()}
+
+    @app.put("/api/schedules")
+    def update_schedules(req: Request):
+        if config_service is None:
+            return error_response("config service not configured", 501)
+        changes = {f"data_manager.schedules.{k}": v
+                   for k, v in req.json().items()}
+        config_service.update_dynamic(changes, changed_by="data-api")
+        if scheduler is not None:
+            scheduler._reload_config()
+        return {"ok": True}
+
+    # ---------------------------------------------------------------- catalog
+    @app.get("/api/catalog/search")
+    def catalog_search(req: Request):
+        q = req.param("q", "")
+        return dm.catalog.search_documents(q, limit=int(req.param("limit", "50")))
+
+    @app.get("/api/catalog/grouped")
+    def catalog_grouped(req: Request):
+        return dm.catalog.list_documents_grouped()
+
+    @app.get("/api/catalog/document/<resource_hash>")
+    def catalog_document(req: Request):
+        h = req.path_params["resource_hash"]
+        doc = dm.catalog.get_document(h)
+        if doc is None:
+            return error_response("not found", 404)
+        doc["content"] = dm.persistence.read_content(h)
+        return doc
+
+    @app.get("/api/catalog/schema")
+    def catalog_schema(req: Request):
+        if catalog_client is not None:
+            return catalog_client.schema()
+        return {}
+
+    @app.get("/api/catalog/grep")
+    def catalog_grep(req: Request):
+        if catalog_client is None:
+            return []
+        pattern = req.param("pattern", "")
+        return catalog_client.grep(pattern)
+
+    # ------------------------------------------------------------------ stats
+    @app.get("/api/stats")
+    def stats(req: Request):
+        return {
+            **dm.catalog.stats(),
+            "chunks": dm.vectorstore.count(),
+            "bm25_terms": dm.vectorstore.bm25.n_terms,
+        }
+
+    @app.get("/healthz")
+    def health(req: Request):
+        return {"status": "ok", "service": "data_manager"}
+
+    return app

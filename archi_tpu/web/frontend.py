@@ -1,0 +1,188 @@
+"""Chat frontend: a single-file SPA served by the chat service.
+
+The reference ships a ~10.3k-line vanilla-JS SPA
+(``src/interfaces/chat_app/static/chat.js`` + modules).  This is a compact
+vanilla-JS equivalent covering the core workflows: streaming chat with live
+agent-step/tool events (SSE), conversation list + history, source chips,
+feedback, and a trace panel.
+"""
+
+FRONTEND_HTML = r"""<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>archi-tpu</title>
+<style>
+:root{--bg:#0f1115;--panel:#171a21;--border:#262b36;--text:#e6e9ef;
+--dim:#8b93a7;--accent:#4f8cff;--user:#1d2634;--bot:#171f2b}
+*{box-sizing:border-box;margin:0}
+body{background:var(--bg);color:var(--text);font:14px/1.5 system-ui,sans-serif;
+display:grid;grid-template-columns:260px 1fr 320px;height:100vh}
+aside,main,#tracePanel{overflow-y:auto}
+aside{background:var(--panel);border-right:1px solid var(--border);padding:12px}
+aside h1{font-size:15px;margin-bottom:12px;color:var(--accent)}
+#convList button{display:block;width:100%;text-align:left;background:none;
+border:none;color:var(--text);padding:8px;border-radius:6px;cursor:pointer;
+overflow:hidden;white-space:nowrap;text-overflow:ellipsis}
+#convList button:hover,#convList button.active{background:var(--user)}
+#newConv{width:100%;margin-bottom:8px;background:var(--accent);border:none;
+color:#fff;padding:8px;border-radius:6px;cursor:pointer}
+main{display:flex;flex-direction:column}
+#messages{flex:1;padding:20px;overflow-y:auto}
+.msg{max-width:80%;margin-bottom:12px;padding:10px 14px;border-radius:10px;
+white-space:pre-wrap;word-break:break-word}
+.msg.user{background:var(--user);margin-left:auto}
+.msg.bot{background:var(--bot);border:1px solid var(--border)}
+.sources{margin-top:6px}
+.chip{display:inline-block;background:#223049;border-radius:10px;
+padding:2px 8px;margin:2px;font-size:12px;color:var(--dim)}
+.fb button{background:none;border:none;cursor:pointer;color:var(--dim)}
+#composer{display:flex;gap:8px;padding:12px;border-top:1px solid var(--border)}
+#input{flex:1;background:var(--panel);border:1px solid var(--border);
+color:var(--text);border-radius:8px;padding:10px;resize:none}
+#send{background:var(--accent);border:none;color:#fff;padding:0 18px;
+border-radius:8px;cursor:pointer}
+#tracePanel{background:var(--panel);border-left:1px solid var(--border);
+padding:12px;font-size:12px}
+#tracePanel h2{font-size:13px;margin-bottom:8px;color:var(--dim)}
+.ev{border-left:2px solid var(--border);padding:4px 8px;margin-bottom:6px;
+color:var(--dim)}
+.ev.tool_start{border-color:#e3b341}.ev.tool_result{border-color:#3fb950}
+.ev.agent_step{border-color:var(--accent)}
+.ev b{color:var(--text)}
+#status{color:var(--dim);font-size:12px;padding:0 20px}
+</style>
+</head>
+<body>
+<aside>
+  <h1>archi-tpu</h1>
+  <button id="newConv">+ New conversation</button>
+  <div id="convList"></div>
+</aside>
+<main>
+  <div id="messages"></div>
+  <div id="status"></div>
+  <div id="composer">
+    <textarea id="input" rows="2" placeholder="Ask a question…"></textarea>
+    <button id="send">Send</button>
+  </div>
+</main>
+<div id="tracePanel"><h2>Agent trace</h2><div id="events"></div></div>
+<script>
+let conversationId=null,busy=false;
+const $=s=>document.querySelector(s);
+const esc=t=>{const d=document.createElement('div');d.textContent=t;return d.innerHTML};
+
+async function api(path,opts={}){
+  const r=await fetch(path,{headers:{'Content-Type':'application/json'},...opts});
+  if(!r.ok)throw new Error((await r.json()).error||r.status);
+  return r.json();
+}
+function addMsg(sender,text,extra){
+  const div=document.createElement('div');
+  div.className='msg '+(sender==='User'?'user':'bot');
+  div.innerHTML=esc(text);
+  if(extra&&extra.sources&&extra.sources.length){
+    const s=document.createElement('div');s.className='sources';
+    for(const src of extra.sources){
+      const c=document.createElement('span');c.className='chip';
+      c.textContent=(src.display_name||src.url||'source')+' ('+(src.score??0).toFixed(2)+')';
+      if(src.url){c.style.cursor='pointer';c.onclick=()=>window.open(src.url)}
+      s.appendChild(c);
+    }
+    div.appendChild(s);
+  }
+  if(extra&&extra.message_id){
+    const fb=document.createElement('div');fb.className='fb';
+    for(const r of['like','dislike']){
+      const b=document.createElement('button');b.textContent=r==='like'?'👍':'👎';
+      b.onclick=()=>api('/api/feedback',{method:'POST',body:JSON.stringify(
+        {message_id:extra.message_id,rating:r})}).then(()=>b.style.color='#4f8cff');
+      fb.appendChild(b);
+    }
+    div.appendChild(fb);
+  }
+  $('#messages').appendChild(div);
+  $('#messages').scrollTop=1e9;
+  return div;
+}
+function addEvent(ev){
+  const d=document.createElement('div');d.className='ev '+(ev.type||'');
+  let txt='<b>'+esc(ev.type||'event')+'</b> ';
+  if(ev.name)txt+=esc(ev.name)+' ';
+  if(ev.args)txt+=esc(JSON.stringify(ev.args).slice(0,120));
+  if(ev.result)txt+=esc(String(ev.result).slice(0,160));
+  if(ev.content)txt+=esc(String(ev.content).slice(0,160));
+  d.innerHTML=txt;
+  $('#events').appendChild(d);
+  $('#tracePanel').scrollTop=1e9;
+}
+async function loadConversations(){
+  try{
+    const convs=await api('/api/conversations');
+    const list=$('#convList');list.innerHTML='';
+    for(const c of convs){
+      const b=document.createElement('button');
+      b.textContent=c.title||('conversation '+c.id);
+      if(c.id===conversationId)b.className='active';
+      b.onclick=()=>openConversation(c.id);
+      list.appendChild(b);
+    }
+  }catch(e){}
+}
+async function openConversation(id){
+  conversationId=id;$('#messages').innerHTML='';$('#events').innerHTML='';
+  const msgs=await api('/api/conversations/'+id);
+  for(const m of msgs)addMsg(m.sender,m.content,
+    {sources:(m.metadata||{}).sources,message_id:m.sender!=='User'?m.id:null});
+  loadConversations();
+}
+async function send(){
+  if(busy)return;
+  const text=$('#input').value.trim();
+  if(!text)return;
+  $('#input').value='';busy=true;$('#status').textContent='thinking…';
+  addMsg('User',text);
+  $('#events').innerHTML='';
+  try{
+    const resp=await fetch('/api/get_chat_response_stream',{method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body:JSON.stringify({message:text,conversation_id:conversationId,
+                           client_sent:Date.now()/1000})});
+    const reader=resp.body.getReader();const dec=new TextDecoder();
+    let buf='';
+    for(;;){
+      const {done,value}=await reader.read();
+      if(done)break;
+      buf+=dec.decode(value,{stream:true});
+      let i;
+      while((i=buf.indexOf('\n\n'))>=0){
+        const frame=buf.slice(0,i);buf=buf.slice(i+2);
+        if(!frame.startsWith('data: '))continue;
+        const data=frame.slice(6);
+        if(data==='[DONE]')continue;
+        const ev=JSON.parse(data);
+        if(ev.type==='final'){
+          conversationId=ev.conversation_id;
+          addMsg('archi',ev.answer,{sources:ev.sources,message_id:ev.message_id});
+          $('#status').textContent='model: '+((ev.metadata||{}).model_used||'')+
+            '  ·  '+(ev.timing&&ev.timing.msg_duration?ev.timing.msg_duration.toFixed(2)+'s':'');
+        }else if(ev.type==='trace_start'){conversationId=ev.conversation_id;}
+        else addEvent(ev);
+      }
+    }
+  }catch(e){addMsg('archi','Error: '+e.message)}
+  busy=false;if($('#status').textContent==='thinking…')$('#status').textContent='';
+  loadConversations();
+}
+$('#send').onclick=send;
+$('#input').addEventListener('keydown',e=>{
+  if(e.key==='Enter'&&!e.shiftKey){e.preventDefault();send()}});
+$('#newConv').onclick=()=>{conversationId=null;$('#messages').innerHTML='';
+  $('#events').innerHTML='';loadConversations()};
+loadConversations();
+</script>
+</body>
+</html>
+"""
