@@ -121,7 +121,13 @@ class FlatIndex:
             return []
         if self.normalize:
             embeddings = _l2_normalize(embeddings)
-        embeddings = embeddings.astype(self.dtype)
+        if self.dtype == jnp.int8:
+            # symmetric quantization of unit-norm rows: round(127 * x)
+            embeddings = jnp.clip(
+                jnp.round(embeddings.astype(jnp.float32) * 127.0), -127, 127
+            ).astype(jnp.int8)
+        else:
+            embeddings = embeddings.astype(self.dtype)
 
         offset = self.n_rows
         self._grow_to(offset + n)
@@ -178,6 +184,8 @@ class FlatIndex:
         if self._n_dead == 0:
             return
         emb = np.asarray(self.emb[: self.n_rows].astype(jnp.float32))
+        if self.dtype == jnp.int8:
+            emb = emb / 127.0  # dequantize; re-add re-quantizes
         keep = [r for r in range(self.n_rows) if self._ids[r] is not None]
         ids = [self._ids[r] for r in keep]
         emb = emb[keep]
@@ -241,9 +249,12 @@ class FlatIndex:
     # ------------------------------------------------------------- serialize
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        emb_f32 = np.asarray(self.emb[: self.n_rows].astype(jnp.float32))
+        if self.dtype == jnp.int8:
+            emb_f32 = emb_f32 / 127.0
         np.savez_compressed(
             path,
-            emb=np.asarray(self.emb[: self.n_rows].astype(jnp.float32)),
+            emb=emb_f32,
             alive=np.asarray(self.alive[: self.n_rows]),
             meta=json.dumps(
                 {

@@ -1,0 +1,174 @@
+"""IVF (inverted-file) approximate index on TPU.
+
+The TPU-native equivalent of pgvector's IVFFlat index
+(``src/cli/templates/init.sql:287-289``): chunks are k-means-clustered into
+``nlist`` cells (``archi_tpu.engine.kmeans``, trained on the MXU) and a
+query scans only the ``nprobe`` nearest cells.
+
+TPU layout (static shapes — SURVEY.md §7 "hard parts"):
+- Rows are re-ordered cell-contiguously into fixed-size **blocks**
+  ``[n_blocks, block, D]``; a cell owns ``ceil(n_c / block)`` blocks.
+- ``cell_blocks [nlist, max_bpc]`` maps each cell to its block ids (-1 pad),
+  so a query's candidate set is a *gather of whole blocks* — MXU/HBM
+  friendly, no ragged shapes.
+- Per query: centroid matmul → top-nprobe cells → gather their blocks →
+  one fused score+top-k over the gathered candidates.  Queries in a batch
+  run under ``lax.map`` (each probes different cells).
+
+Exactness: ``nprobe = nlist`` degenerates to exact search (used in tests);
+recall/QPS trade-off is swept by the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from archi_tpu.engine.kmeans import kmeans
+from archi_tpu.ops.pallas_topk import NEG_INF
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
+                *, k, nprobe):
+    """queries [B, D]; blocks [n_blocks, blk, D]; block_rows_valid
+    [n_blocks, blk] (1 valid / 0 pad); cell_blocks [nlist, max_bpc] i32.
+    → (vals [B, k], flat candidate positions [B, k] into (block, slot))."""
+    blk = blocks.shape[1]
+
+    def one(q):
+        cscores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+        _cv, cells = jax.lax.top_k(cscores, nprobe)          # [nprobe]
+        bids = cell_blocks[cells].reshape(-1)                # [nprobe*max_bpc]
+        valid_block = bids >= 0
+        safe = jnp.where(valid_block, bids, 0)
+        cand = blocks[safe]                                  # [P, blk, D]
+        cand_valid = block_rows_valid[safe] * valid_block[:, None]
+        scores = jnp.einsum("d,pbd->pb", q, cand,
+                            preferred_element_type=jnp.float32)
+        scores = jnp.where(cand_valid > 0.5, scores, NEG_INF).reshape(-1)
+        kk = min(k, scores.shape[0])
+        vals, pos = jax.lax.top_k(scores, kk)
+        # map flat pos -> global (block, slot) -> block id * blk + slot
+        g = safe[pos // blk] * blk + pos % blk
+        return vals, g.astype(jnp.int32)
+
+    return jax.lax.map(one, queries)
+
+
+class IVFIndex:
+    """Built from a snapshot of (normalized) embeddings + ids."""
+
+    def __init__(self, centroids, blocks, block_rows, cell_blocks, ids,
+                 *, dtype=jnp.bfloat16):
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.blocks = jnp.asarray(blocks).astype(dtype)
+        self.block_rows = np.asarray(block_rows)       # [n_blocks, blk] -> original row (-1 pad)
+        self.block_rows_valid = jnp.asarray(
+            (self.block_rows >= 0).astype(np.float32))
+        self.cell_blocks = jnp.asarray(cell_blocks, jnp.int32)
+        self._ids = list(ids)
+        self.nlist = self.centroids.shape[0]
+        self.block = self.blocks.shape[1]
+        self.dim = self.blocks.shape[2]
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(cls, embeddings, ids, *, nlist: int = 1024, block: int = 512,
+              iters: int = 10, seed: int = 0, dtype=jnp.bfloat16):
+        x = np.asarray(embeddings, np.float32)
+        n, d = x.shape
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.maximum(norms, 1e-12)
+        nlist = max(1, min(nlist, n))
+        centroids, assign = kmeans(x, nlist, iters=iters, seed=seed)
+        assign = np.asarray(assign)
+
+        blocks_list, rows_list, cell_blocks = [], [], []
+        for c in range(nlist):
+            rows = np.nonzero(assign == c)[0]
+            my_blocks = []
+            for s in range(0, max(len(rows), 1), block):
+                chunk_rows = rows[s: s + block]
+                buf = np.zeros((block, d), np.float32)
+                rbuf = np.full((block,), -1, np.int64)
+                if len(chunk_rows):
+                    buf[: len(chunk_rows)] = x[chunk_rows]
+                    rbuf[: len(chunk_rows)] = chunk_rows
+                my_blocks.append(len(blocks_list))
+                blocks_list.append(buf)
+                rows_list.append(rbuf)
+                if len(chunk_rows) == 0:
+                    break
+            cell_blocks.append(my_blocks)
+        max_bpc = max(len(b) for b in cell_blocks)
+        cb = np.full((nlist, max_bpc), -1, np.int32)
+        for c, bl in enumerate(cell_blocks):
+            cb[c, : len(bl)] = bl
+        return cls(
+            np.asarray(centroids), np.stack(blocks_list),
+            np.stack(rows_list), cb, ids, dtype=dtype,
+        )
+
+    @classmethod
+    def from_flat(cls, flat_index, **kw):
+        """Snapshot a FlatIndex's live rows into an IVF index."""
+        n = flat_index.n_rows
+        emb = np.asarray(flat_index.emb[:n].astype(jnp.float32))
+        alive = np.asarray(flat_index.alive[:n]) > 0.5
+        ids = [flat_index._ids[r] for r in range(n) if alive[r]]
+        return cls.build(emb[alive], ids, **kw)
+
+    # ----------------------------------------------------------------- search
+    def search(self, queries, k: int = 10, *, nprobe: int = 64):
+        queries = jnp.asarray(queries, jnp.float32)
+        squeeze = queries.ndim == 1
+        if squeeze:
+            queries = queries[None, :]
+        qn = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        nprobe = min(nprobe, self.nlist)
+        vals, gpos = _ivf_search(
+            qn, self.centroids, self.blocks, self.block_rows_valid,
+            self.cell_blocks, k=k, nprobe=nprobe,
+        )
+        vals = np.asarray(vals)
+        gpos = np.asarray(gpos)
+        flat_rows = self.block_rows.reshape(-1)
+        ids_out = []
+        rows_out = np.full_like(gpos, -1)
+        for b in range(gpos.shape[0]):
+            row_ids = []
+            for j, g in enumerate(gpos[b]):
+                orig = int(flat_rows[g]) if vals[b, j] > -1e29 else -1
+                rows_out[b, j] = orig
+                row_ids.append(self._ids[orig] if orig >= 0 else None)
+            ids_out.append(row_ids)
+        return ids_out, vals, rows_out
+
+    # -------------------------------------------------------------- serialize
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(
+            path,
+            centroids=np.asarray(self.centroids),
+            blocks=np.asarray(self.blocks.astype(jnp.float32)),
+            block_rows=self.block_rows,
+            cell_blocks=np.asarray(self.cell_blocks),
+            meta=json.dumps({"ids": [str(i) for i in self._ids]}),
+        )
+
+    @classmethod
+    def load(cls, path: str, *, dtype=jnp.bfloat16) -> "IVFIndex":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        return cls(z["centroids"], z["blocks"], z["block_rows"],
+                   z["cell_blocks"], meta["ids"], dtype=dtype)

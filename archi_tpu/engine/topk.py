@@ -36,9 +36,21 @@ def xla_topk(queries, corpus, bias, n_active, *, k=10):
     """Reference/fallback implementation. Same semantics as fused_topk."""
     b, d = queries.shape
     n_pad = corpus.shape[0]
-    scores = jnp.dot(
-        queries.astype(corpus.dtype), corpus.T, preferred_element_type=jnp.float32
-    )
+    if corpus.dtype == jnp.int8:
+        q8 = jnp.clip(
+            jnp.round(queries.astype(jnp.float32) * 127.0), -127, 127
+        ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q8, corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    else:
+        scores = jnp.dot(
+            queries.astype(corpus.dtype), corpus.T,
+            preferred_element_type=jnp.float32,
+        )
     scores = scores + bias[None, :].astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, n_pad), 1)
     scores = jnp.where(col < jnp.asarray(n_active, jnp.int32), scores, NEG_INF)

@@ -88,13 +88,24 @@ def _fused_topk_kernel(
         thresh_ref[0] = NEG_INF
 
     b = q_ref.shape[0]
-    # [B, TILE_N] scores on the MXU, f32 accumulation.
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        e_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if e_ref.dtype == jnp.int8:
+        # int8 path: int8 x int8 MACs accumulate in int32 on the MXU, then
+        # rescale to cosine floats (rows stored as round(127 * x_normalized)).
+        acc = jax.lax.dot_general(
+            q_ref[:],
+            e_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    else:
+        # [B, TILE_N] scores on the MXU, f32 accumulation.
+        scores = jax.lax.dot_general(
+            q_ref[:],
+            e_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     base = step * tile_n
     col_global = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
@@ -146,7 +157,13 @@ def fused_topk(
     assert k <= LANES
     num_tiles = n_pad // tile_n
 
-    queries = queries.astype(corpus.dtype)
+    if corpus.dtype == jnp.int8:
+        # quantize the queries the same way rows were stored
+        queries = jnp.clip(
+            jnp.round(queries.astype(jnp.float32) * 127.0), -127, 127
+        ).astype(jnp.int8)
+    else:
+        queries = queries.astype(corpus.dtype)
     bias2d = bias.reshape(1, n_pad).astype(jnp.float32)
     n_active_arr = jnp.asarray(n_active, jnp.int32).reshape(1)
 

@@ -93,3 +93,39 @@ def test_duplicate_ids_multiple_rows(rng):
     idx.add(emb, ["a", "a", "b", "b"])
     idx.delete(["a"])
     assert len(idx) == 2
+
+
+def test_int8_quantized_index_recall(rng):
+    """int8 storage: scores within quantization tolerance of f32 and
+    top-10 recall >= 0.9 on random data."""
+    d, n = 64, 2000
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    idx8 = FlatIndex(d, dtype="int8")
+    idx32 = FlatIndex(d, dtype=np.float32)
+    ids = [f"c{i}" for i in range(n)]
+    idx8.add(emb, ids)
+    idx32.add(emb, ids)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    ids8, v8, r8 = idx8.search(q, k=10)
+    ids32, v32, r32 = idx32.search(q, k=10)
+    recall = np.mean([
+        len(set(r8[b]) & set(r32[b])) / 10 for b in range(8)
+    ])
+    assert recall >= 0.9, recall
+    np.testing.assert_allclose(v8[:, 0], v32[:, 0], atol=0.03)
+
+
+def test_int8_compact_and_save_load(tmp_path, rng):
+    d = 32
+    idx = FlatIndex(d, dtype="int8")
+    emb = rng.standard_normal((50, d)).astype(np.float32)
+    idx.add(emb, [f"c{i}" for i in range(50)])
+    idx.delete(["c5"])
+    idx.compact()
+    got, vals, _ = idx.search(emb[7], k=1)
+    assert got[0][0] == "c7" and vals[0][0] > 0.95
+    p = str(tmp_path / "i8.npz")
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    got2, vals2, _ = idx2.search(emb[7], k=1)
+    assert got2[0][0] == "c7" and vals2[0][0] > 0.95
