@@ -15,7 +15,33 @@ from archi_tpu.web.chat_wrapper import ChatWrapper
 from archi_tpu.web.frontend import FRONTEND_HTML
 
 
-def build_app(config_paths=(), overrides=None, ctx=None):
+def resolve_engine_url(config: dict) -> str | None:
+    """Standalone chat processes query the data-manager's TPU index over
+    HTTP (the engine's serving surface) instead of holding their own copy.
+    Explicit ``services.chat.engine_url`` wins; else derive it from the
+    enabled data_manager service."""
+    chat_cfg = config.get("services", {}).get("chat", {})
+    if chat_cfg.get("engine_url"):
+        return chat_cfg["engine_url"]
+    dm = config.get("services", {}).get("data_manager", {})
+    if dm.get("enabled") and dm.get("port"):
+        host = dm.get("host", "127.0.0.1")
+        if host in ("0.0.0.0", ""):
+            host = "127.0.0.1"
+        return f"http://{host}:{dm['port']}"
+    return None
+
+
+def build_app(config_paths=(), overrides=None, ctx=None, *,
+              remote_engine: bool = False):
+    if ctx is None and remote_engine:
+        from archi_tpu.config.manager import ConfigurationManager
+        from archi_tpu.engine.remote_vectorstore import RemoteVectorStore
+
+        cm = ConfigurationManager(config_paths, overrides)
+        url = resolve_engine_url(cm.config)
+        vs = RemoteVectorStore(url) if url else None
+        ctx = build_context(config_paths, overrides, vectorstore=vs)
     ctx = ctx or build_context(config_paths, overrides)
     pipeline = ctx.config.get("active_pipeline", "QAPipeline")
     archi = Archi(pipeline, config=ctx.config, vectorstore=ctx.vectorstore)
@@ -42,7 +68,7 @@ def build_app(config_paths=(), overrides=None, ctx=None):
 def main() -> None:
     import threading
 
-    app, ctx = build_app(sys.argv[1:])
+    app, ctx = build_app(sys.argv[1:], remote_engine=True)
     svc = ctx.config["services"]["chat"]
     # pre-compile the query path off the request path (first jit through a
     # remote-compile tunnel can take minutes and would hold the chat lock)

@@ -27,7 +27,13 @@ def build_app(config_paths=(), overrides=None, ctx=None,
     )
     ctx.scheduler.start()
     if initial_ingestion:
-        threading.Thread(target=dm.run_ingestion, daemon=True,
+        def ingest_then_warm():
+            dm.run_ingestion()
+            # pre-compile the query path (first jit through a remote-compile
+            # tunnel can take minutes; don't make the first user pay it)
+            ctx.vectorstore.warmup()
+
+        threading.Thread(target=ingest_then_warm, daemon=True,
                          name="initial-ingestion").start()
     return app, ctx
 

@@ -145,6 +145,38 @@ def create_data_app(
         pattern = req.param("pattern", "")
         return catalog_client.grep(pattern)
 
+    # ------------------------------------------------------------ query API
+    # The engine's serving surface: other processes (chat/grader/bots) query
+    # the TPU index owned by this process via RemoteVectorStore.
+    @app.post("/api/query/hybrid")
+    def query_hybrid(req: Request):
+        body = req.json()
+        enabled = set(body["enabled_ids"]) if body.get("enabled_ids") else None
+        results = dm.vectorstore.hybrid_search(
+            body["query"], k=int(body.get("k", 5)),
+            semantic_weight=float(body.get("semantic_weight", 0.7)),
+            bm25_weight=float(body.get("bm25_weight", 0.3)),
+            filter=body.get("filter"),
+            enabled_ids=enabled,
+        )
+        return [{"page_content": d.page_content, "metadata": d.metadata,
+                 "score": s} for d, s in results]
+
+    @app.post("/api/query/semantic")
+    def query_semantic(req: Request):
+        body = req.json()
+        enabled = set(body["enabled_ids"]) if body.get("enabled_ids") else None
+        results = dm.vectorstore.similarity_search_with_score(
+            body["query"], k=int(body.get("k", 5)),
+            filter=body.get("filter"), enabled_ids=enabled,
+        )
+        return [{"page_content": d.page_content, "metadata": d.metadata,
+                 "score": s} for d, s in results]
+
+    @app.get("/api/query/count")
+    def query_count(req: Request):
+        return {"count": dm.vectorstore.count()}
+
     # ------------------------------------------------------------------ stats
     @app.get("/api/stats")
     def stats(req: Request):
