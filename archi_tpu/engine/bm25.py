@@ -61,7 +61,17 @@ def _bucket_up(x, buckets):
 
 def analyze(text: str, *, stemming: bool = False,
             stopwords: frozenset = STOPWORDS) -> list[str]:
-    """Text → lexical terms (lowercase, stopword-filtered, optional Porter)."""
+    """Text → lexical terms (lowercase, stopword-filtered, optional Porter).
+
+    ASCII texts run through the C++ analyzer
+    (``archi_tpu/native/text_analyzer.cc``) when it's available — same
+    output, ~an order of magnitude faster on the ingest hot loop."""
+    if stopwords is STOPWORDS:
+        from archi_tpu.native import native_analyze
+
+        native = native_analyze(text, stemming=stemming)
+        if native is not None:
+            return native
     toks = [t for t in basic_tokenize(text)
             if len(t) > 1 and not t.isdigit() and t not in stopwords
             and t.isalnum()]

@@ -23,7 +23,9 @@ def _is_punctuation(ch: str) -> bool:
     cp = ord(ch)
     if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
         return True
-    return unicodedata.category(ch).startswith("P")
+    # P* (punctuation) and S* (symbols: €, box-drawing, arrows, math) both
+    # split words; keeps the native ASCII analyzer's transliteration exact.
+    return unicodedata.category(ch).startswith(("P", "S"))
 
 
 def _is_cjk(cp: int) -> bool:
@@ -159,10 +161,31 @@ class WordPieceTokenizer:
         return out
 
     def encode(self, text: str, max_length: int = 512) -> list[int]:
-        """→ [CLS] piece-ids [SEP], truncated to max_length."""
+        """→ [CLS] piece-ids [SEP], truncated to max_length.
+
+        ASCII texts use the C++ WordPiece encoder when available (same ids,
+        much faster — the per-document ingest hot loop)."""
+        native = self._native_encoder()
+        if native is not None:
+            ids = native.encode(text, max_length, cls_id=self.cls_id,
+                                sep_id=self.sep_id, unk_id=self.unk_id)
+            if ids is not None:
+                return ids
         ids = [self.vocab.get(p, self.unk_id) for p in self.tokenize(text)]
         ids = ids[: max_length - 2]
         return [self.cls_id] + ids + [self.sep_id]
+
+    def _native_encoder(self):
+        if not hasattr(self, "_native"):
+            self._native = None
+            try:
+                from archi_tpu.native import NativeWordPiece, load_library
+
+                if load_library() is not None:
+                    self._native = NativeWordPiece(self.vocab)
+            except Exception:
+                self._native = None
+        return self._native
 
     def encode_batch(self, texts: list[str], max_length: int = 512):
         return [self.encode(t, max_length) for t in texts]
