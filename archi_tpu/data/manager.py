@@ -129,10 +129,15 @@ class IndexManager:
                 texts.append(c)
                 ids.append(chunk_id(h, i))
                 metas.append(meta)
+        from archi_tpu.utils.metrics import METRICS
+
         try:
             self.vectorstore.add_texts(texts, metas, ids=ids)
             for h, _c, _m in batch:
                 self.catalog.update_ingestion_status(h, "embedded")
+            METRICS.inc("archi_ingest_documents", len(batch),
+                        {"status": "embedded"})
+            METRICS.inc("archi_ingest_chunks", len(texts))
             return len(batch)
         except Exception as e:
             logger.warning("merged embed failed (%s); isolating per file", e)
@@ -149,6 +154,8 @@ class IndexManager:
                     self.catalog.update_ingestion_status(
                         h, "failed", f"embed: {e2}"
                     )
+                    METRICS.inc("archi_ingest_documents",
+                                labels={"status": "failed"})
             return ok
 
     def _doc_meta(self, resource_hash: str) -> dict:

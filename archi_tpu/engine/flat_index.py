@@ -14,8 +14,10 @@ XLA-friendly incremental ingest (SURVEY.md §7 "hard parts"):
 - **Deletes are tombstones** (an ``alive`` mask multiplied into scores), not
   array surgery; ``compact()`` reclaims space.  The reference instead issues
   hard SQL DELETEs (``manager.py:234``).
-- **Buffer donation**: append/delete donate the old buffer, so growth is
-  alloc+copy, steady-state append is in-place.
+- **Snapshot isolation**: writes are functional updates (no donation) and
+  buffer swaps happen under a small lock, so searches running concurrently
+  with ingest always read a consistent (emb, alive, n_rows) snapshot
+  (BASELINE config 5: streaming ingest under query load).
 
 Chunk identity: each row has an int64-able position; the caller (the
 vectorstore manager / catalog) maps rows to chunk ids + metadata.  This class
@@ -27,6 +29,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import threading
 from typing import Any, Sequence
 
 import jax
@@ -53,14 +56,19 @@ def _bucket(n: int) -> int:
     return int(2 ** np.ceil(np.log2(n)))
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
+# NOTE: no buffer donation here.  Donating the old buffer invalidates it for
+# queries already in flight (XLA raises "Buffer has been deleted or donated"
+# under concurrent ingest + search — BASELINE config 5).  Functional updates
+# give readers snapshot isolation: the old buffer stays alive until its last
+# reader drops it.  Cost: one extra device copy per append batch.
+@jax.jit
 def _write_block(emb, alive, block, alive_block, offset):
     emb = jax.lax.dynamic_update_slice(emb, block, (offset, 0))
     alive = jax.lax.dynamic_update_slice(alive, alive_block, (offset,))
     return emb, alive
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _mask_rows(alive, rows_onehot):
     return alive * (1.0 - rows_onehot)
 
@@ -88,6 +96,9 @@ class FlatIndex:
         self.tile_n = int(tile_n)
         self.normalize = bool(normalize) and metric == "cosine"
         self.metric = metric
+        # guards (emb, alive, n_rows) swaps so searches read a consistent
+        # snapshot while ingest runs concurrently
+        self._buf_lock = threading.Lock()
         self._reset_buffers()  # sets capacity, n_rows (high-water mark,
         # incl. tombstones), emb, alive, _ids, _id_rows, _n_dead
 
@@ -105,11 +116,15 @@ class FlatIndex:
         if new_cap <= self.capacity:
             return
         pad = new_cap - self.capacity
-        self.emb = jnp.concatenate(
+        new_emb = jnp.concatenate(
             [self.emb, jnp.zeros((pad, self.dim), self.dtype)], axis=0
         )
-        self.alive = jnp.concatenate([self.alive, jnp.zeros((pad,), jnp.float32)])
-        self.capacity = new_cap
+        new_alive = jnp.concatenate(
+            [self.alive, jnp.zeros((pad,), jnp.float32)]
+        )
+        with self._buf_lock:
+            self.emb, self.alive = new_emb, new_alive
+            self.capacity = new_cap
 
     def add(self, embeddings, ids: Sequence[Any]) -> list[int]:
         """Append embeddings; returns assigned physical rows."""
@@ -141,9 +156,11 @@ class FlatIndex:
         # Clamp so the bucketed write never runs past capacity.
         if offset + bucket > self.capacity:
             self._grow_to(offset + bucket)
-        self.emb, self.alive = _write_block(
+        new_emb, new_alive = _write_block(
             self.emb, self.alive, block, alive_block, offset
         )
+        with self._buf_lock:
+            self.emb, self.alive = new_emb, new_alive
         rows = list(range(offset, offset + n))
         self._ids.extend(ids)
         for r, i in zip(rows, ids):
@@ -160,7 +177,9 @@ class FlatIndex:
             return 0
         onehot = np.zeros((self.capacity,), np.float32)
         onehot[np.asarray(rows, np.int64)] = 1.0
-        self.alive = _mask_rows(self.alive, jnp.asarray(onehot))
+        new_alive = _mask_rows(self.alive, jnp.asarray(onehot))
+        with self._buf_lock:
+            self.alive = new_alive
         for r in rows:
             self._ids[r] = None
         self._n_dead += len(rows)
@@ -220,7 +239,10 @@ class FlatIndex:
             queries = queries[None, :]
         if self.normalize:
             queries = _l2_normalize(queries)
-        alive = self.alive
+        with self._buf_lock:  # consistent (emb, alive, n_rows) snapshot
+            emb_snap, alive_snap, n_rows_snap = \
+                self.emb, self.alive, self.n_rows
+        alive = alive_snap
         if filter_mask is not None:
             fm = jnp.asarray(filter_mask, jnp.float32)
             if fm.shape[0] < self.capacity:
@@ -234,7 +256,7 @@ class FlatIndex:
             row_bias = row_bias + bb
         k_eff = min(k, max(len(self), 1))
         vals, rows = topk_scores(
-            queries, self.emb, row_bias, self.n_rows, k=k_eff, impl=impl,
+            queries, emb_snap, row_bias, n_rows_snap, k=k_eff, impl=impl,
             tile_n=self.tile_n,
         )
         vals = np.asarray(vals)

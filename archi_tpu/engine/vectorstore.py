@@ -149,6 +149,9 @@ class TpuVectorStore:
         self, embedding, k: int = 4, *, filter: dict | None = None,
         enabled_ids: Optional[set] = None,
     ) -> list[tuple[Document, float]]:
+        from archi_tpu.utils.metrics import METRICS
+
+        METRICS.inc("archi_engine_queries", labels={"kind": "semantic"})
         if len(self.index) == 0:
             return []
         fm = self._filter_mask(filter, enabled_ids)
@@ -177,6 +180,9 @@ class TpuVectorStore:
         enabled_ids: Optional[set] = None,
     ) -> list[tuple[Document, float]]:
         """Fused semantic+BM25 ranking (reference ``hybrid_search:366-491``)."""
+        from archi_tpu.utils.metrics import METRICS
+
+        METRICS.inc("archi_engine_queries", labels={"kind": "hybrid"})
         if len(self.index) == 0:
             return []
         if semantic_weight <= 0.0:

@@ -205,6 +205,7 @@ class BaseReActAgent(BasePipeline):
                 metadata={"event": {"type": kind, **payload}},
             )
 
+        stream_tokens = kwargs.get("stream_tokens", True)
         answer = ""
         hit_limit = False
         for step in range(self.recursion_limit):
@@ -216,6 +217,11 @@ class BaseReActAgent(BasePipeline):
             if not reply.tool_calls:
                 answer = visible
                 transcript.append(reply)
+                if stream_tokens and visible:
+                    # token-delta events for the final answer (reference
+                    # streams model deltas over SSE, app.py:1385,3554)
+                    for i in range(0, len(visible), 24):
+                        yield event("token", delta=visible[i:i + 24])
                 break
             transcript.append(reply)
             yield event("agent_step", step=step, content=visible,

@@ -75,3 +75,65 @@ class QAPipeline(BasePipeline):
                 "pipeline_used": self.__class__.__name__,
             },
         )
+
+    def stream(self, **kwargs):
+        """True token streaming: condense + retrieve, then stream the chat
+        model's deltas (reference token-delta SSE events,
+        ``chat_app/app.py:1385,3554``)."""
+        from archi_tpu.utils.messages import user
+
+        vectorstore = kwargs.get("vectorstore")
+        if vectorstore is not None:
+            self.update_retriever(vectorstore)
+        inputs = self._prepare_inputs(kwargs.get("history"))
+        if inputs["history"]:
+            condensed = self._call_llm(
+                "condense_model", "condense_prompt",
+                history=inputs["history"], question=inputs["question"],
+            )
+        else:
+            condensed = inputs["question"]
+        documents, scores = [], []
+        if self.retriever is not None:
+            retrieved = self.retriever.invoke(condensed)
+            if retrieved:
+                documents = [d for d, _s in retrieved]
+                scores = [s for _d, s in retrieved]
+        yield PipelineOutput(
+            answer="", final=False,
+            metadata={"event": {
+                "type": "retrieval", "condensed": condensed,
+                "n_documents": len(documents)}},
+        )
+
+        pruned = self.token_limiter.prune_inputs_to_token_limit({
+            "question": inputs["question"],
+            "retriever_output": documents if documents else "",
+        })
+        prompt = self.prompts["chat_prompt"].format(
+            question=pruned["question"],
+            retriever_output=self._render_value(pruned["retriever_output"]),
+        )
+        parts: list[str] = []
+        for chunk in self.llms["chat_model"].stream([user(prompt)]):
+            if chunk.content:
+                parts.append(chunk.content)
+                if chunk.metadata.get("delta"):
+                    yield PipelineOutput(
+                        answer="", final=False,
+                        metadata={"event": {"type": "token",
+                                            "delta": chunk.content}},
+                    )
+        answer = "".join(parts)
+        chat_model = self.llms.get("chat_model")
+        yield PipelineOutput(
+            answer=answer,
+            source_documents=documents,
+            metadata={
+                "retriever_scores": scores,
+                "condensed_output": condensed,
+                "question": inputs["question"],
+                "model_used": getattr(chat_model, "model_name", "unknown"),
+                "pipeline_used": self.__class__.__name__,
+            },
+        )

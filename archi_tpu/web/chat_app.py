@@ -289,6 +289,12 @@ def create_chat_app(
         return Response("<h1>archi-tpu chat service</h1>", 200,
                         "text/html; charset=utf-8")
 
+    @app.get("/metrics")
+    def metrics(req: Request):
+        from archi_tpu.utils.metrics import METRICS
+
+        return Response(METRICS.render(), 200, "text/plain; version=0.0.4")
+
     @app.get("/healthz")
     def health(req: Request):
         return {"status": "ok", "service": "chat"}

@@ -141,6 +141,8 @@ class ChatWrapper:
                  user_email: Optional[str] = None,
                  model_override: Optional[str] = None,
                  client_sent: Optional[float] = None) -> dict:
+        from archi_tpu.utils.metrics import METRICS
+
         timing = TimingRecorder(client_sent)
         timing.stamp("server_received")
         with self.lock:
@@ -150,8 +152,10 @@ class ChatWrapper:
             )
             self._resolve_model_override(user_email, model_override)
             timing.stamp("chain_started")
-            output = self.archi.invoke(history=history)
+            with METRICS.timer("archi_chat_duration_seconds"):
+                output = self.archi.invoke(history=history)
             timing.stamp("chain_finished")
+            METRICS.inc("archi_chat_messages")
             return self._finalize(conversation_id, message, output, timing)
 
     def stream(self, message: str, *, conversation_id: Optional[int] = None,

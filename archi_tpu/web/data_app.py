@@ -186,6 +186,36 @@ def create_data_app(
             "bm25_terms": dm.vectorstore.bm25.n_terms,
         }
 
+    # -------------------------------------------------------------- data UI
+    from archi_tpu.data.data_viewer import DataViewerService
+
+    viewer = DataViewerService(dm.catalog, dm.persistence, dm.vectorstore)
+
+    @app.get("/api/data/grouped")
+    def data_grouped(req: Request):
+        return viewer.grouped_documents()
+
+    @app.get("/api/data/document/<resource_hash>")
+    def data_document(req: Request):
+        d = viewer.document_detail(req.path_params["resource_hash"])
+        if d is None:
+            return error_response("not found", 404)
+        return d
+
+    @app.get("/api/data/chunks/<resource_hash>")
+    def data_chunks(req: Request):
+        return viewer.document_chunks(req.path_params["resource_hash"])
+
+    @app.get("/metrics")
+    def metrics(req: Request):
+        from archi_tpu.utils.metrics import METRICS
+        from archi_tpu.web.framework import Response
+
+        METRICS.set_gauge("archi_index_chunks", dm.vectorstore.count())
+        METRICS.set_gauge("archi_catalog_documents",
+                          dm.catalog.stats()["total"])
+        return Response(METRICS.render(), 200, "text/plain; version=0.0.4")
+
     @app.get("/healthz")
     def health(req: Request):
         return {"status": "ok", "service": "data_manager"}

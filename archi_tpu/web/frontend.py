@@ -163,8 +163,13 @@ async function send(){
         const data=frame.slice(6);
         if(data==='[DONE]')continue;
         const ev=JSON.parse(data);
-        if(ev.type==='final'){
+        if(ev.type==='token'){
+          if(!window._pending){window._pending=addMsg('archi','')}
+          window._pending.innerHTML+=esc(ev.delta||'');
+          $('#messages').scrollTop=1e9;
+        }else if(ev.type==='final'){
           conversationId=ev.conversation_id;
+          if(window._pending){window._pending.remove();window._pending=null}
           addMsg('archi',ev.answer,{sources:ev.sources,message_id:ev.message_id});
           $('#status').textContent='model: '+((ev.metadata||{}).model_used||'')+
             '  ·  '+(ev.timing&&ev.timing.msg_duration?ev.timing.msg_duration.toFixed(2)+'s':'');
