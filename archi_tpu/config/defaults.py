@@ -39,7 +39,7 @@ DEFAULT_CONFIG: dict = {
         "index": {
             "type": "flat",          # flat | ivf
             "dtype": "bfloat16",
-            "tile_n": 2048,
+            "tile_n": 4096,
             "nlist": 1024,           # ivf cells
             "nprobe": 64,
         },

@@ -87,7 +87,7 @@ class FlatIndex:
         dim: int,
         *,
         dtype=jnp.bfloat16,
-        tile_n: int = 2048,
+        tile_n: int = 4096,
         normalize: bool = True,
         metric: str = "cosine",
     ):

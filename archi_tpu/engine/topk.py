@@ -74,7 +74,7 @@ def _on_tpu() -> bool:
 
 
 def topk_scores(queries, corpus, bias, n_active, *, k=10, impl="auto",
-                tile_n=2048, interpret=None):
+                tile_n=4096, interpret=None):
     """Top-k of ``q · E[i] + bias[i]`` against the padded corpus.
 
     Args:

@@ -147,7 +147,7 @@ def fused_topk(
     n_active: jax.Array,  # scalar i32: rows < n_active are populated
     *,
     k: int = 10,
-    tile_n: int = 2048,
+    tile_n: int = 4096,
     interpret: bool = False,
 ):
     """Returns (vals [B, k] f32, idx [B, k] i32) of top-k of (q·e_row + bias_row)."""

@@ -6,13 +6,14 @@ Prints ONE JSON line:
 The reference (archi) publishes no absolute numbers (BASELINE.md) — its
 retrieval plane is pgvector SQL.  The measured stand-in baseline here is the
 same exact top-k scan done the reference's pre-TPU way (host CPU, fp32
-brute force over the identical corpus), so vs_baseline = TPU QPS / host QPS
-on identical work.  BASELINE.md's north-star target is >=10x per chip.
+brute force over identical work), so vs_baseline = TPU QPS / host QPS.
+BASELINE.md's north-star target is >=10x per chip.
 
-Timing notes: this box reaches the TPU through an HTTP relay with ~30ms RTT
-and lazy block_until_ready, so the benchmark chains each batch's query on
-the previous batch's output and forces a single device->host transfer at the
-end (see .claude/skills/verify/SKILL.md).  One tunnel RTT is subtracted.
+Timing notes (see .claude/skills/verify/SKILL.md): this box reaches the TPU
+through an HTTP relay, so (a) the corpus is generated ON DEVICE (uploading
+1.5GB through the relay takes minutes), (b) syncs download a single scalar
+(`float(jnp.sum(v))`) — pulling large arrays through the relay corrupts
+timing, (c) one relay RTT is subtracted.
 """
 
 from __future__ import annotations
@@ -31,47 +32,41 @@ def main() -> None:
 
     N, D, B, K = 1 << 20, 384, 32, 10
     NQ = 50
-    rng = np.random.default_rng(0)
-    corpus_np = rng.standard_normal((N, D), dtype=np.float32)
-    corpus = jnp.asarray(corpus_np).astype(jnp.bfloat16)
+    corpus = jax.random.normal(
+        jax.random.PRNGKey(0), (N, D), jnp.float32
+    ).astype(jnp.bfloat16)
     bias = jnp.zeros((N,), jnp.float32)
     queries = [
-        jnp.asarray(rng.standard_normal((B, D), dtype=np.float32))
-        for _ in range(NQ)
+        jax.random.normal(jax.random.PRNGKey(i + 1), (B, D), jnp.float32)
+        for i in range(NQ)
     ]
     impl = "pallas" if _on_tpu() else "xla"
 
-    # warmup: compile AND force every query array device-resident (transfers
-    # through the relay are lazy; the first pass would otherwise measure 50
-    # host->device uploads, not the kernel).
+    # compile + stage all inputs on device
     v, i = topk_scores(queries[0], corpus, bias, N, k=K, impl=impl)
-    np.asarray(v)
-    carry = jnp.zeros((), jnp.float32)
+    float(jnp.sum(v))
     for q in queries:
-        v, i = topk_scores(q + carry, corpus, bias, N, k=K, impl=impl)
-        carry = v[0, 0] * 0.0
-    np.asarray(v)
+        v, i = topk_scores(q, corpus, bias, N, k=K, impl=impl)
+    float(jnp.sum(v))
 
-    # best of 3 trials (the relay adds noisy multi-ms stalls)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        carry = jnp.zeros((), jnp.float32)
         for q in queries:
-            v, i = topk_scores(q + carry, corpus, bias, N, k=K, impl=impl)
-            carry = v[0, 0] * 0.0
-        np.asarray(v)
+            v, i = topk_scores(q, corpus, bias, N, k=K, impl=impl)
+        float(jnp.sum(v))
         best = min(best, max(time.time() - t0 - 0.030, 1e-9))  # - 1 RTT
     tpu_qps = NQ * B / best
 
     # Host-CPU fp32 brute force on a slice, scaled (full 1M scan on one core
-    # is minutes; 1/32 slice keeps the bench fast and the scaling is linear).
+    # is minutes; a 1/32 slice keeps the bench fast, scaling is linear).
     M = N // 32
-    sub = corpus_np[:M]
-    q0 = np.asarray(queries[0])
+    rng = np.random.default_rng(0)
+    sub = rng.standard_normal((M, D), dtype=np.float32)
+    q0 = rng.standard_normal((B, D), dtype=np.float32)
     t0 = time.time()
     scores = q0 @ sub.T
-    idx = np.argpartition(-scores, K, axis=1)[:, :K]
+    _idx = np.argpartition(-scores, K, axis=1)[:, :K]
     host_elapsed = (time.time() - t0) * (N / M)
     host_qps = B / host_elapsed
 
