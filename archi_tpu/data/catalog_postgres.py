@@ -1,0 +1,167 @@
+"""Postgres backend for the document catalog.
+
+The reference's primary catalog is Postgres
+(``src/data_manager/collectors/utils/catalog_postgres.py:53``) with SQLite
+as the legacy fallback (``index_utils.py:55``); archi-tpu inverts the
+default (SQLite ships everywhere; the TPU engine owns the vector plane) but
+keeps a Postgres backend for deployments that already run one for the
+conversation/metadata plane.
+
+Implementation: ``CatalogService``'s SQL is deliberately vanilla; this
+subclass swaps the connection for a psycopg2 one behind a DBAPI adapter
+that translates the ``?`` paramstyle to ``%s``, maps the DDL to Postgres
+types, and keeps the same retry-with-backoff connection behavior as the
+reference (``catalog_postgres.py:74-89``).  The adapter is injectable so
+the translation layer is unit-tested without a server (the reference tests
+its catalog the same way — mocked cursors).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+from archi_tpu.data.catalog import CatalogService
+
+_PG_SCHEMA = """
+CREATE TABLE IF NOT EXISTS documents (
+    id BIGSERIAL PRIMARY KEY,
+    resource_hash TEXT UNIQUE NOT NULL,
+    display_name TEXT DEFAULT '',
+    source_type TEXT DEFAULT 'local_files',
+    url TEXT,
+    file_path TEXT,
+    metadata TEXT DEFAULT '{}',
+    size_bytes BIGINT DEFAULT 0,
+    ingestion_status TEXT DEFAULT 'pending',
+    ingestion_error TEXT,
+    is_deleted INTEGER DEFAULT 0,
+    created_at DOUBLE PRECISION,
+    updated_at DOUBLE PRECISION
+);
+CREATE INDEX IF NOT EXISTS idx_documents_status
+    ON documents(ingestion_status);
+CREATE INDEX IF NOT EXISTS idx_documents_source
+    ON documents(source_type);
+CREATE TABLE IF NOT EXISTS document_selections (
+    conversation_id TEXT NOT NULL,
+    resource_hash TEXT NOT NULL,
+    enabled INTEGER NOT NULL DEFAULT 1,
+    PRIMARY KEY (conversation_id, resource_hash)
+);
+CREATE TABLE IF NOT EXISTS migration_state (
+    key TEXT PRIMARY KEY,
+    state TEXT NOT NULL,
+    updated_at DOUBLE PRECISION
+);
+"""
+
+
+class _ParamStyleCursor:
+    """Wraps a %s-paramstyle DBAPI cursor behind sqlite's ? paramstyle."""
+
+    def __init__(self, cursor):
+        self._c = cursor
+
+    @staticmethod
+    def _translate(sql: str) -> str:
+        # catalog SQL never contains literal '?', so plain replace is safe
+        return sql.replace("?", "%s")
+
+    def execute(self, sql: str, params=()):
+        self._c.execute(self._translate(sql), tuple(params))
+        return self
+
+    def fetchone(self):
+        return self._c.fetchone()
+
+    def fetchall(self):
+        return self._c.fetchall()
+
+    def __iter__(self):
+        return iter(self._c.fetchall())
+
+    @property
+    def rowcount(self):
+        return self._c.rowcount
+
+    @property
+    def lastrowid(self):  # pragma: no cover - catalog doesn't use it on PG
+        return None
+
+
+class _ParamStyleConnection:
+    """DBAPI connection adapter presenting the sqlite3 surface the base
+    CatalogService uses (execute/commit/executescript/close, dict rows)."""
+
+    def __init__(self, conn):
+        self._conn = conn
+
+    def execute(self, sql: str, params=()):
+        cur = self._conn.cursor()
+        try:
+            from psycopg2.extras import RealDictCursor  # noqa: F401
+        except ImportError:
+            pass
+        wrapped = _ParamStyleCursor(cur)
+        wrapped.execute(sql, params)
+        return wrapped
+
+    def executescript(self, script: str):
+        cur = self._conn.cursor()
+        for stmt in script.split(";"):
+            if stmt.strip():
+                cur.execute(stmt)
+        return cur
+
+    def commit(self):
+        self._conn.commit()
+
+    def close(self):
+        self._conn.close()
+
+    @property
+    def row_factory(self):  # compat no-op; dict rows come from the driver
+        return None
+
+    @row_factory.setter
+    def row_factory(self, _v):
+        pass
+
+
+def connect_with_retry(dsn: str, *, attempts: int = 5,
+                       backoff: float = 1.0,
+                       connect: Optional[Callable] = None):
+    """Connection retry with exponential backoff (reference
+    catalog_postgres.py:74-89)."""
+    last: Optional[Exception] = None
+    for i in range(attempts):
+        try:
+            if connect is None:
+                import psycopg2
+                from psycopg2.extras import RealDictConnection
+
+                return psycopg2.connect(dsn,
+                                        connection_factory=RealDictConnection)
+            return connect(dsn)
+        except Exception as e:  # pragma: no cover - needs a server
+            last = e
+            time.sleep(backoff * (2 ** i))
+    raise ConnectionError(f"postgres unreachable after {attempts} tries: {last}")
+
+
+class PostgresCatalogService(CatalogService):
+    """CatalogService over Postgres.  Requires psycopg2 (gated — not in the
+    base image); pass ``connection`` to supply any dict-row DBAPI connection
+    (used by tests with a sqlite shim)."""
+
+    def __init__(self, dsn: str = "", *, connection=None):
+        import threading
+
+        if connection is None:
+            connection = connect_with_retry(dsn)
+        self._conn = _ParamStyleConnection(connection)
+        self._lock = threading.RLock()
+        with self._lock:
+            self._conn.executescript(_PG_SCHEMA)
+            self._conn.commit()
