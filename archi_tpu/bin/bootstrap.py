@@ -65,9 +65,18 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
     config_service.seed(config)
 
     catalog = CatalogService(dm_cfg["db_path"])
+    checkpoint_dir = os.path.join(data_path, "engine_checkpoint")
     if vectorstore is None:
         embedder = resolve_embedder(dm_cfg)
-        vectorstore = TpuVectorStore(embedder)
+        if os.path.isdir(checkpoint_dir):
+            # restart-resume: reload embeddings instead of re-embedding the
+            # corpus (the catalog diff-sync reconciles any drift after load)
+            try:
+                vectorstore = TpuVectorStore.load(checkpoint_dir, embedder)
+            except Exception:
+                vectorstore = TpuVectorStore(embedder)
+        else:
+            vectorstore = TpuVectorStore(embedder)
     data_manager = DataManager(
         data_path=data_path,
         catalog=catalog,

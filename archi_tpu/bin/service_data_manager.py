@@ -27,8 +27,21 @@ def build_app(config_paths=(), overrides=None, ctx=None,
     )
     ctx.scheduler.start()
     if initial_ingestion:
+        import os
+
+        checkpoint_dir = os.path.join(
+            ctx.config["data_manager"]["data_path"], "engine_checkpoint"
+        )
+
         def ingest_then_warm():
-            dm.run_ingestion()
+            result = dm.run_ingestion()
+            if result.get("added") or result.get("removed") or \
+                    not os.path.isdir(checkpoint_dir):
+                # checkpoint so a restart resumes without re-embedding
+                try:
+                    ctx.vectorstore.save(checkpoint_dir)
+                except Exception:
+                    pass
             # pre-compile the query path (first jit through a remote-compile
             # tunnel can take minutes; don't make the first user pay it)
             ctx.vectorstore.warmup()

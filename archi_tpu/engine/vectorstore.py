@@ -98,6 +98,8 @@ class TpuVectorStore:
             for i in ids:
                 rows.extend(self.index._id_rows.get(i, []))
             self.index.delete(ids)
+            # keep BM25 df/avgdl exact: deleted rows leave the stats too
+            self.bm25.remove(rows)
             for r in rows:
                 self._row_data.pop(r, None)
             self._filter_masks.clear()
@@ -230,6 +232,60 @@ class TpuVectorStore:
             self.similarity_search_with_score("warmup probe query", k=1)
         except Exception:
             pass
+
+    # -------------------------------------------------------------- persist
+    def save(self, directory: str) -> None:
+        """Persist the full store (embeddings + BM25 + chunk metadata) so a
+        restarted service resumes without re-embedding — the role Postgres
+        plays for the reference (embeddings live in ``document_chunks``;
+        here they checkpoint to disk).  See SURVEY.md §5.4."""
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        with self._lock:
+            self.index.save(os.path.join(directory, "index.npz"))
+            self.bm25.save(os.path.join(directory, "bm25.json"))
+            rows = {
+                str(row): {"chunk_id": cid, "text": text, "metadata": meta}
+                for row, (cid, text, meta) in self._row_data.items()
+            }
+            with open(os.path.join(directory, "rows.json"), "w") as f:
+                json.dump({"collection": self.collection_name,
+                           "rows": rows}, f)
+
+    @classmethod
+    def load(cls, directory: str, embedding_function,
+             **kw) -> "TpuVectorStore":
+        import json
+        import os
+
+        from archi_tpu.engine.bm25 import BM25Index
+        from archi_tpu.engine.flat_index import FlatIndex
+
+        index = FlatIndex.load(os.path.join(directory, "index.npz"))
+        bm25 = BM25Index.load(os.path.join(directory, "bm25.json"))
+        with open(os.path.join(directory, "rows.json")) as f:
+            state = json.load(f)
+        store = cls(embedding_function, index=index, bm25=bm25,
+                    collection_name=state.get("collection", "default"), **kw)
+        # FlatIndex.load compacts tombstones, so physical rows changed;
+        # remap via chunk_id -> new rows.
+        new_rows = {}
+        for row_str, data in state["rows"].items():
+            cid = data["chunk_id"]
+            for new_row in index._id_rows.get(cid, []):
+                new_rows[new_row] = (cid, data["text"],
+                                     data.get("metadata") or {})
+        store._row_data = new_rows
+        # bm25 postings reference OLD physical rows; rebuild from row data
+        # when compaction changed them.
+        if set(new_rows) != set(int(r) for r in state["rows"]):
+            store.bm25 = BM25Index(k1=bm25.k1, b=bm25.b,
+                                   stemming=bm25.stemming)
+            store.bm25.add(list(new_rows),
+                           [t for _c, t, _m in new_rows.values()])
+        return store
 
     # -------------------------------------------------- catalog-style access
     def get_by_ids(self, ids: Sequence[str]) -> list[Document]:

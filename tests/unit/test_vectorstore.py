@@ -136,3 +136,57 @@ def test_empty_store():
     assert s.similarity_search_with_score("anything", k=3) == []
     assert s.hybrid_search("anything", k=3) == []
     assert s.count() == 0
+
+
+def test_save_load_roundtrip(tmp_path, store):
+    store.delete(["id2"])  # exercise tombstone-compaction remap
+    p = str(tmp_path / "ckpt")
+    store.save(p)
+    loaded = TpuVectorStore.load(p, FakeEmbeddings())
+    assert loaded.count() == store.count()
+    for q in ("brown fox", "pgvector extension"):
+        a = [(d.metadata["source"], round(s, 3))
+             for d, s in store.hybrid_search(q, k=3)]
+        b = [(d.metadata["source"], round(s, 3))
+             for d, s in loaded.hybrid_search(q, k=3)]
+        assert a == b, (q, a, b)
+    # loaded store stays writable
+    loaded.add_texts(["fresh document about quasars"], [{"source": "new"}])
+    res = loaded.similarity_search_with_score("quasars", k=1)
+    assert res[0][0].metadata["source"] == "new"
+
+
+def test_restart_resume_via_bootstrap(tmp_path):
+    """Service restart: checkpoint loads and diff-sync is a no-op (no
+    re-embedding)."""
+    from archi_tpu.bin.bootstrap import build_context
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.md").write_text("alpha content " * 30)
+    overrides = {
+        "data_manager": {
+            "embedding_name": "hash",
+            "data_path": str(tmp_path / "data"),
+            "db_path": str(tmp_path / "cat.db"),
+            "sources": {"local_files": {"paths": [str(corpus)]}},
+        },
+    }
+    ctx1 = build_context(overrides=overrides)
+    ctx1.data_manager.run_ingestion()
+    n = ctx1.vectorstore.count()
+    assert n > 0
+    ctx1.vectorstore.save(str(tmp_path / "data" / "engine_checkpoint"))
+
+    calls = {"n": 0}
+    ctx2 = build_context(overrides=overrides)
+    real = ctx2.vectorstore._embedding_function.embed_documents
+
+    def counting(texts):
+        calls["n"] += 1
+        return real(texts)
+
+    ctx2.vectorstore._embedding_function.embed_documents = counting
+    assert ctx2.vectorstore.count() == n  # checkpoint loaded
+    r = ctx2.data_manager.run_ingestion()
+    assert r["added"] == 0 and calls["n"] == 0  # nothing re-embedded
