@@ -6,19 +6,55 @@ fused matmul+top-k Pallas kernel, device-resident BM25, and archi-compatible
 retriever/pipeline/provider/orchestration layers above it.
 
 Public facade mirrors the reference's ``archi`` class
-(``src/archi/archi.py:9``).
+(``src/archi/archi.py:9``).  Imports are lazy so kernel-only users don't pay
+for the service stack.
 """
 
 from archi_tpu.version import __version__
 
-__all__ = ["__version__", "Archi"]
+__all__ = [
+    "__version__",
+    # orchestration
+    "Archi", "PipelineOutput",
+    # engine
+    "FlatIndex", "ShardedFlatIndex", "IVFIndex", "TpuVectorStore",
+    "BM25Index", "MaxSimReranker",
+    # models
+    "JaxEmbedder", "BertConfig",
+    # retrievers
+    "SemanticRetriever", "HybridRetriever", "GradingRetriever",
+    "RerankingRetriever",
+    # data
+    "DataManager", "CatalogService",
+    # services
+    "build_context",
+]
+
+_LAZY = {
+    "Archi": "archi_tpu.orchestrator.archi",
+    "PipelineOutput": "archi_tpu.orchestrator.output",
+    "FlatIndex": "archi_tpu.engine.flat_index",
+    "ShardedFlatIndex": "archi_tpu.engine.sharded_index",
+    "IVFIndex": "archi_tpu.engine.ivf_index",
+    "TpuVectorStore": "archi_tpu.engine.vectorstore",
+    "BM25Index": "archi_tpu.engine.bm25",
+    "MaxSimReranker": "archi_tpu.engine.reranker",
+    "RerankingRetriever": "archi_tpu.engine.reranker",
+    "JaxEmbedder": "archi_tpu.models.embedder",
+    "BertConfig": "archi_tpu.models.bert",
+    "SemanticRetriever": "archi_tpu.retrievers.semantic",
+    "HybridRetriever": "archi_tpu.retrievers.hybrid",
+    "GradingRetriever": "archi_tpu.retrievers.grading",
+    "DataManager": "archi_tpu.data.data_manager",
+    "CatalogService": "archi_tpu.data.catalog",
+    "build_context": "archi_tpu.bin.bootstrap",
+}
 
 
 def __getattr__(name):
-    # Lazy: importing the facade pulls in pipelines/providers; keep
-    # `import archi_tpu` light for kernel-only users.
-    if name == "Archi":
-        from archi_tpu.orchestrator.archi import Archi
+    module = _LAZY.get(name)
+    if module is None:
+        raise AttributeError(name)
+    import importlib
 
-        return Archi
-    raise AttributeError(name)
+    return getattr(importlib.import_module(module), name)
