@@ -50,6 +50,7 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
         source_score_threshold=ctx.config.get("chat", {}).get(
             "source_score_threshold", 0.0),
         byok_resolver=ctx.byok_resolver,
+        catalog=ctx.catalog,
     )
     app = create_chat_app(
         chat_wrapper=wrapper,
@@ -58,6 +59,8 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
         config_service=ctx.config_service,
         user_service=ctx.users,
         byok_store=ctx.byok_store,
+        catalog=ctx.catalog,
+        app_db=ctx.app_db,
         jwt_secret=os.environ.get("JWT_SECRET"),
         require_auth=bool(os.environ.get("REQUIRE_AUTH")),
         frontend_html=FRONTEND_HTML,

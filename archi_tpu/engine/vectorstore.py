@@ -111,6 +111,13 @@ class TpuVectorStore:
     # ----------------------------------------------------------------- filter
     def _filter_mask(self, metadata_filter: dict | None,
                      enabled_ids: Optional[set] = None):
+        """Row bitmask for metadata filters + doc enablement.
+
+        ``enabled_ids`` may contain chunk ids OR resource hashes (the
+        3-tier per-conversation selection operates on whole documents,
+        reference ``init.sql:315-336``): a resource hash enables every
+        chunk whose metadata carries it.
+        """
         if not metadata_filter and enabled_ids is None:
             return None
         mask = np.ones(self.index.capacity, np.float32)
@@ -128,6 +135,9 @@ class TpuVectorStore:
             em = np.zeros(self.index.capacity, np.float32)
             for cid in enabled_ids:
                 for row in self.index._id_rows.get(cid, []):
+                    em[row] = 1.0
+            for row, (_cid, _t, meta) in self._row_data.items():
+                if meta.get("resource_hash") in enabled_ids:
                     em[row] = 1.0
             mask = mask * em
         return mask

@@ -85,6 +85,7 @@ class BaseReActAgent(BasePipeline):
                                              recursion_limit)
         self.session_permissions = session_permissions
         self._extra_tools = tools or []
+        self._enabled_ids = None
         self.run_memory = RunMemory()
         self.tools: list[Tool] = []
         self.refresh_agent()
@@ -95,16 +96,17 @@ class BaseReActAgent(BasePipeline):
         CMSCompOpsAgent._tool_definitions:85-150)."""
         tools = list(self._extra_tools)
         if vectorstore is not None:
-            self.update_retriever(vectorstore)
+            self.update_retriever(vectorstore, self._enabled_ids)
             tools.append(create_retriever_tool(
                 self.retriever, run_memory=self.run_memory,
             ))
         return tools
 
-    def refresh_agent(self, vectorstore=None) -> None:
+    def refresh_agent(self, vectorstore=None, enabled_ids=None) -> None:
         """Rebuild the tool set / system prompt (reference
         refresh_agent:994 — called per request with a fresh vectorstore)."""
         self.run_memory = RunMemory()
+        self._enabled_ids = enabled_ids
         self.tools = self._tool_definitions(vectorstore)
         self._tools_by_name = {t.name: t for t in self.tools}
 
@@ -195,7 +197,7 @@ class BaseReActAgent(BasePipeline):
         """Structured step events then the final output (reference
         stream:282 emits agent_step/tool_start/tool_result events)."""
         vectorstore = kwargs.get("vectorstore")
-        self.refresh_agent(vectorstore)
+        self.refresh_agent(vectorstore, kwargs.get("enabled_ids"))
         messages = self._build_messages(kwargs.get("history"))
         transcript: list[Message] = []
 

@@ -45,7 +45,7 @@ class CMSCompOpsAgent(BaseReActAgent):
     def _tool_definitions(self, vectorstore=None):
         tools = list(self._extra_tools)
         if vectorstore is not None:
-            self.update_retriever(vectorstore)
+            self.update_retriever(vectorstore, self._enabled_ids)
             tools.append(create_retriever_tool(
                 self.retriever, run_memory=self.run_memory,
             ))

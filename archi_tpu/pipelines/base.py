@@ -88,9 +88,10 @@ class BasePipeline(ABC):
             return "\n".join(f"{r}: {c}" for r, c in v)
         return v
 
-    def update_retriever(self, vectorstore) -> None:
+    def update_retriever(self, vectorstore, enabled_ids=None) -> None:
         """Default: hybrid retriever from data_manager config (reference
-        qa.py:68-80)."""
+        qa.py:68-80); enabled_ids carries the per-conversation document
+        selection (3-tier analog)."""
         from archi_tpu.retrievers import HybridRetriever
 
         hybrid_cfg = (self.dm_config.get("retrievers", {})
@@ -100,6 +101,7 @@ class BasePipeline(ABC):
             k=hybrid_cfg.get("num_documents_to_retrieve", 5),
             bm25_weight=hybrid_cfg.get("bm25_weight", 0.6),
             semantic_weight=hybrid_cfg.get("semantic_weight", 0.4),
+            enabled_ids=enabled_ids,
         )
 
     @abstractmethod

@@ -36,7 +36,7 @@ class QAPipeline(BasePipeline):
     def invoke(self, **kwargs) -> PipelineOutput:
         vectorstore = kwargs.get("vectorstore")
         if vectorstore is not None:
-            self.update_retriever(vectorstore)
+            self.update_retriever(vectorstore, kwargs.get("enabled_ids"))
 
         inputs = self._prepare_inputs(kwargs.get("history"))
 
@@ -84,7 +84,7 @@ class QAPipeline(BasePipeline):
 
         vectorstore = kwargs.get("vectorstore")
         if vectorstore is not None:
-            self.update_retriever(vectorstore)
+            self.update_retriever(vectorstore, kwargs.get("enabled_ids"))
         inputs = self._prepare_inputs(kwargs.get("history"))
         if inputs["history"]:
             condensed = self._call_llm(

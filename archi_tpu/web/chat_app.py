@@ -28,6 +28,8 @@ def create_chat_app(
     config_service=None,
     user_service=None,
     byok_store=None,
+    catalog=None,
+    app_db=None,
     jwt_secret: Optional[str] = None,
     require_auth: bool = False,
     frontend_html: Optional[str] = None,
@@ -134,6 +136,54 @@ def create_chat_app(
             int(req.path_params["cid"]), req.json().get("title", "")
         )
         return {"ok": True}
+
+    # ----------------------------------------------- document selection
+    # 3-tier per-conversation document enablement (reference
+    # api.py:548-711, init.sql:315-336).
+    @app.get("/api/conversations/<cid>/documents")
+    def conv_documents(req: Request):
+        _require(req, Permission.CHAT_HISTORY_READ)
+        if catalog is None:
+            return []
+        cid = req.path_params["cid"]
+        enabled = catalog.enabled_hashes(cid)
+        docs = catalog.list_documents()
+        return [
+            {"resource_hash": d["resource_hash"],
+             "display_name": d["display_name"],
+             "source_type": d["source_type"],
+             "enabled": enabled is None or d["resource_hash"] in enabled}
+            for d in docs
+        ]
+
+    @app.put("/api/conversations/<cid>/documents")
+    def set_conv_documents(req: Request):
+        _require(req, Permission.CHAT_HISTORY_READ)
+        if catalog is None:
+            return error_response("catalog not configured", 501)
+        cid = req.path_params["cid"]
+        for h, enabled in req.json().items():
+            catalog.set_document_enabled(cid, h, bool(enabled))
+        return {"ok": True}
+
+    # -------------------------------------------------- admin DB console
+    @app.post("/api/admin/db")
+    def admin_db(req: Request):
+        """Read-only SQL console (reference admin DB viewer,
+        app.py:2254-2256); admin-gated, SELECT-only."""
+        _require(req, Permission.ADMIN_DB)
+        if app_db is None:
+            return error_response("app db not configured", 501)
+        sql = (req.json().get("sql") or "").strip()
+        if not sql.lower().startswith("select"):
+            return error_response("SELECT statements only", 400)
+        import sqlite3
+
+        try:
+            rows = app_db.query(sql)
+        except sqlite3.Error as e:
+            return error_response(f"query error: {e}", 400)
+        return [dict(r) for r in rows[:500]]
 
     @app.post("/api/feedback")
     def feedback(req: Request):

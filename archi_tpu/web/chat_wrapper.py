@@ -39,12 +39,14 @@ class ChatWrapper:
         *,
         source_score_threshold: float = 0.0,
         byok_resolver=None,
+        catalog=None,
     ):
         self.archi = archi
         self.conversations = conversations
         self.traces = traces
         self.source_score_threshold = source_score_threshold
         self.byok_resolver = byok_resolver
+        self.catalog = catalog  # for per-conversation doc selection
         self.lock = threading.Lock()
 
     # ------------------------------------------------------------- internals
@@ -65,7 +67,11 @@ class ChatWrapper:
         history = self.conversations.get_history(conversation_id)
         timing.stamp("query_convo_history")
         history = history + [("User", message)]
-        return conversation_id, history
+        # per-conversation document selection (3-tier analog; None = all)
+        enabled = None
+        if self.catalog is not None:
+            enabled = self.catalog.enabled_hashes(str(conversation_id))
+        return conversation_id, history, enabled
 
     def _format_sources(self, output: PipelineOutput) -> list[dict]:
         """Sources above threshold, deduped by resource (reference source
@@ -147,13 +153,14 @@ class ChatWrapper:
         timing.stamp("server_received")
         with self.lock:
             timing.stamp("lock_acquisition")
-            conversation_id, history = self._prepare(
+            conversation_id, history, enabled = self._prepare(
                 conversation_id, user_id, message, timing
             )
             self._resolve_model_override(user_email, model_override)
             timing.stamp("chain_started")
             with METRICS.timer("archi_chat_duration_seconds"):
-                output = self.archi.invoke(history=history)
+                output = self.archi.invoke(history=history,
+                                           enabled_ids=enabled)
             timing.stamp("chain_finished")
             METRICS.inc("archi_chat_messages")
             return self._finalize(conversation_id, message, output, timing)
@@ -168,7 +175,7 @@ class ChatWrapper:
         timing.stamp("server_received")
         with self.lock:
             timing.stamp("lock_acquisition")
-            conversation_id, history = self._prepare(
+            conversation_id, history, enabled = self._prepare(
                 conversation_id, user_id, message, timing
             )
             self._resolve_model_override(user_email, model_override)
@@ -178,7 +185,8 @@ class ChatWrapper:
             timing.stamp("chain_started")
             final: Optional[PipelineOutput] = None
             cancelled = False
-            for out in self.archi.stream(history=history):
+            for out in self.archi.stream(history=history,
+                                         enabled_ids=enabled):
                 if self.traces.is_cancelled(trace_id):
                     cancelled = True
                     break
@@ -212,7 +220,7 @@ class ChatWrapper:
         app.py:672-853)."""
         with self.lock:
             timing = TimingRecorder()
-            conversation_id, history = self._prepare(
+            conversation_id, history, _enabled = self._prepare(
                 conversation_id, user_id, message, timing
             )
             answers = {}

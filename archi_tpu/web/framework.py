@@ -11,6 +11,7 @@ middleware hooks, and a threaded server — all stdlib
 from __future__ import annotations
 
 import json
+import logging
 import re
 import threading
 import traceback
@@ -126,8 +127,13 @@ class Router:
                 return error_response(str(e), 403)
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 return error_response(f"{type(e).__name__}: {e}", 400)
-            except Exception:
-                return error_response(traceback.format_exc(), 500)
+            except Exception as e:
+                # full traceback to the server log, type+message to clients
+                logging.getLogger("archi_tpu.web").error(
+                    "unhandled error on %s %s:\n%s", request.method,
+                    request.path, traceback.format_exc(),
+                )
+                return error_response(f"{type(e).__name__}: {e}", 500)
             if isinstance(result, Response):
                 return result
             return json_response(result)

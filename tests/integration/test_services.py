@@ -215,3 +215,52 @@ def test_stream_cancellation(stack):
                       json={"trace_id": tid})
     assert r.json()["cancelled"]
     assert ts.get_trace(tid)["status"] == "cancelled"
+
+
+def test_per_conversation_document_selection(stack):
+    """3-tier doc selection: disabling a document excludes it from that
+    conversation's retrieval only."""
+    h = {"X-User-Email": "sel@test"}
+    r = requests.post(stack["chat"] + "/api/get_chat_response",
+                      json={"message": "how do I submit jobs?"}, headers=h).json()
+    cid = r["conversation_id"]
+    assert any(s["display_name"] == "guide.md" for s in r["sources"])
+
+    docs = requests.get(stack["chat"] + f"/api/conversations/{cid}/documents",
+                        headers=h).json()
+    guide = next(d for d in docs if d["display_name"] == "guide.md")
+    assert guide["enabled"]
+    requests.put(stack["chat"] + f"/api/conversations/{cid}/documents",
+                 json={guide["resource_hash"]: False}, headers=h)
+    docs2 = requests.get(stack["chat"] + f"/api/conversations/{cid}/documents",
+                         headers=h).json()
+    assert not next(d for d in docs2
+                    if d["display_name"] == "guide.md")["enabled"]
+
+    r2 = requests.post(stack["chat"] + "/api/get_chat_response",
+                       json={"message": "how do I submit jobs?",
+                             "conversation_id": cid}, headers=h).json()
+    assert all(s["display_name"] != "guide.md" for s in r2["sources"])
+    # other conversations unaffected
+    r3 = requests.post(stack["chat"] + "/api/get_chat_response",
+                       json={"message": "how do I submit jobs?"},
+                       headers=h).json()
+    assert any(s["display_name"] == "guide.md" for s in r3["sources"])
+
+
+def test_admin_db_console(stack):
+    stack["ctx"].users.create_user("dba@test", roles=["admin"])
+    h = {"X-User-Email": "dba@test"}
+    r = requests.post(stack["chat"] + "/api/admin/db",
+                      json={"sql": "SELECT COUNT(*) AS n FROM messages"},
+                      headers=h)
+    assert r.status_code == 200 and r.json()[0]["n"] >= 0
+    # write statements rejected
+    r2 = requests.post(stack["chat"] + "/api/admin/db",
+                       json={"sql": "DELETE FROM messages"}, headers=h)
+    assert r2.status_code == 400
+    # non-admin rejected
+    r3 = requests.post(stack["chat"] + "/api/admin/db",
+                       json={"sql": "SELECT 1"},
+                       headers={"X-User-Email": "pleb@test"})
+    assert r3.status_code == 403
