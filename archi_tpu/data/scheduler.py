@@ -53,21 +53,26 @@ class CronExpr:
         parts = expr.split()
         if len(parts) != 5:
             raise ValueError(f"bad cron expression: {expr!r}")
+        dow = _parse_field(parts[4], 0, 7)
+        if 7 in dow:  # cron allows 0 or 7 for Sunday
+            dow = (dow - {7}) | {0}
         return cls(
             _parse_field(parts[0], 0, 59),
             _parse_field(parts[1], 0, 23),
             _parse_field(parts[2], 1, 31),
             _parse_field(parts[3], 1, 12),
-            _parse_field(parts[4], 0, 6),
+            dow,
         )
 
     def matches(self, t: time.struct_time) -> bool:
+        # cron dow: Sunday=0; struct_time tm_wday: Monday=0
+        cron_dow = (t.tm_wday + 1) % 7
         return (
             t.tm_min in self.minute
             and t.tm_hour in self.hour
             and t.tm_mday in self.dom
             and t.tm_mon in self.month
-            and t.tm_wday in self.dow  # tm_wday: Monday=0
+            and cron_dow in self.dow
         )
 
 
@@ -157,13 +162,23 @@ class CronScheduler:
             if job.expr.matches(t):
                 job.last_run = now
                 ran.append(job.name)
+                # decide by signature, not by catching TypeError — a job
+                # body raising TypeError must not trigger a second run
+                import inspect
+
                 try:
-                    job.fn(last_run=job.last_run)
-                except TypeError:
-                    try:
+                    params = inspect.signature(job.fn).parameters
+                    accepts_last_run = "last_run" in params or any(
+                        p.kind == inspect.Parameter.VAR_KEYWORD
+                        for p in params.values()
+                    )
+                except (TypeError, ValueError):
+                    accepts_last_run = False
+                try:
+                    if accepts_last_run:
+                        job.fn(last_run=job.last_run)
+                    else:
                         job.fn()
-                    except Exception as e:
-                        logger.exception("job %s failed: %s", job.name, e)
                 except Exception as e:
                     logger.exception("job %s failed: %s", job.name, e)
         return ran

@@ -114,15 +114,18 @@ class ShardedFlatIndex(FlatIndex):
         if cap <= self.capacity:
             return
         pad = cap - self.capacity
-        self.emb = jnp.concatenate(
+        new_emb = jnp.concatenate(
             [jax.device_get(self.emb),
              np.zeros((pad, self.dim), self.emb.dtype)], axis=0
         )
-        self.alive = jnp.concatenate(
+        new_alive = jnp.concatenate(
             [jax.device_get(self.alive), np.zeros((pad,), np.float32)]
         )
-        self.capacity = cap
-        self._reshard()
+        new_emb = jax.device_put(new_emb, self._row_sharding)
+        new_alive = jax.device_put(new_alive, self._vec_sharding)
+        with self._buf_lock:
+            self.emb, self.alive = new_emb, new_alive
+            self.capacity = cap
 
     def add(self, embeddings, ids) -> list[int]:
         rows = super().add(embeddings, ids)
@@ -143,29 +146,32 @@ class ShardedFlatIndex(FlatIndex):
             queries = queries[None, :]
         if self.normalize:
             queries = _l2_normalize(queries)
-        alive = self.alive
+        with self._buf_lock:  # consistent snapshot vs concurrent ingest
+            emb_snap, alive_snap = self.emb, self.alive
+            capacity_snap, n_rows_snap = self.capacity, self.n_rows
+        alive = alive_snap
         if filter_mask is not None:
             fm = jnp.asarray(filter_mask, jnp.float32)
-            if fm.shape[0] < self.capacity:
-                fm = jnp.pad(fm, (0, self.capacity - fm.shape[0]))
-            alive = alive * fm
+            if fm.shape[0] < capacity_snap:
+                fm = jnp.pad(fm, (0, capacity_snap - fm.shape[0]))
+            alive = alive * fm[:capacity_snap]
         row_bias = alive_to_bias(alive)
         if bias is not None:
             bb = jnp.asarray(bias, jnp.float32)
-            if bb.shape[0] < self.capacity:
-                bb = jnp.pad(bb, (0, self.capacity - bb.shape[0]))
-            row_bias = row_bias + bb
+            if bb.shape[0] < capacity_snap:
+                bb = jnp.pad(bb, (0, capacity_snap - bb.shape[0]))
+            row_bias = row_bias + bb[:capacity_snap]
         row_bias = jax.device_put(row_bias, self._vec_sharding)
 
         k_eff = min(k, max(len(self), 1))
         impl_eff = impl
         if impl == "auto":
             impl_eff = "pallas" if (
-                _on_tpu() and self.capacity // self.n_shards >= self.tile_n
+                _on_tpu() and capacity_snap // self.n_shards >= self.tile_n
             ) else "xla"
         vals, rows = _sharded_search(
-            queries, self.emb, row_bias,
-            jnp.asarray(self.n_rows, jnp.int32),
+            queries, emb_snap, row_bias,
+            jnp.asarray(n_rows_snap, jnp.int32),
             mesh=self.mesh, axis=self.axis, k=k_eff, tile_n=self.tile_n,
             impl=impl_eff,
         )

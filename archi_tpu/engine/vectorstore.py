@@ -121,25 +121,27 @@ class TpuVectorStore:
         if not metadata_filter and enabled_ids is None:
             return None
         mask = np.ones(self.index.capacity, np.float32)
-        if metadata_filter:
-            key = tuple(sorted((k, str(v)) for k, v in metadata_filter.items()))
-            cached = self._filter_masks.get(key)
-            if cached is None:
-                cached = np.zeros(self.index.capacity, np.float32)
+        with self._lock:  # _row_data mutates under concurrent ingest
+            if metadata_filter:
+                key = tuple(sorted((k, str(v))
+                            for k, v in metadata_filter.items()))
+                cached = self._filter_masks.get(key)
+                if cached is None:
+                    cached = np.zeros(self.index.capacity, np.float32)
+                    for row, (_cid, _t, meta) in self._row_data.items():
+                        if all(str(meta.get(k)) == v for k, v in key):
+                            cached[row] = 1.0
+                    self._filter_masks[key] = cached
+                mask = mask * cached
+            if enabled_ids is not None:
+                em = np.zeros(self.index.capacity, np.float32)
+                for cid in enabled_ids:
+                    for row in self.index._id_rows.get(cid, []):
+                        em[row] = 1.0
                 for row, (_cid, _t, meta) in self._row_data.items():
-                    if all(str(meta.get(k)) == v for k, v in key):
-                        cached[row] = 1.0
-                self._filter_masks[key] = cached
-            mask = mask * cached
-        if enabled_ids is not None:
-            em = np.zeros(self.index.capacity, np.float32)
-            for cid in enabled_ids:
-                for row in self.index._id_rows.get(cid, []):
-                    em[row] = 1.0
-            for row, (_cid, _t, meta) in self._row_data.items():
-                if meta.get("resource_hash") in enabled_ids:
-                    em[row] = 1.0
-            mask = mask * em
+                    if meta.get("resource_hash") in enabled_ids:
+                        em[row] = 1.0
+                mask = mask * em
         return mask
 
     def _rows_to_results(self, rows, vals) -> list[tuple[Document, float]]:
@@ -209,9 +211,11 @@ class TpuVectorStore:
                 query, self.index.capacity, k=k,
                 alive_bias=alive_to_bias(alive),
             )
-            return self._rows_to_results(
-                np.asarray(rows), np.asarray(vals) * bm25_weight
-            )
+            # filter masked rows BEFORE scaling: a small weight would shrink
+            # the NEG_INF sentinel past the -1e29 cutoff and leak disabled
+            # documents into results
+            results = self._rows_to_results(np.asarray(rows), np.asarray(vals))
+            return [(d, s * bm25_weight) for d, s in results]
         bm = self.bm25.scores(query, self.index.capacity)
         if float(jnp.max(bm)) <= 0.0:
             # Reference behavior: BM25 found nothing → pure semantic scores.
@@ -228,8 +232,9 @@ class TpuVectorStore:
             emb, k=k, filter_mask=fm,
             bias=bm * (bm25_weight / max(semantic_weight, 1e-9)),
         )
-        vals = vals * semantic_weight
-        return self._rows_to_results(rows[0], vals[0])
+        # filter on UNSCALED scores (NEG_INF sentinel intact), then scale
+        results = self._rows_to_results(rows[0], vals[0])
+        return [(d, s * semantic_weight) for d, s in results]
 
     def warmup(self) -> None:
         """Pre-trigger the jit compiles on the query path (embed + search +
@@ -295,6 +300,16 @@ class TpuVectorStore:
                                    stemming=bm25.stemming)
             store.bm25.add(list(new_rows),
                            [t for _c, t, _m in new_rows.values()])
+        # resume the auto-id counter past restored ids so fresh add_texts
+        # calls don't upsert-overwrite checkpointed chunks
+        prefix = f"{store.collection_name}:"
+        max_auto = -1
+        for cid, _t, _m in new_rows.values():
+            if cid.startswith(prefix):
+                suffix = cid[len(prefix):]
+                if suffix.isdigit():
+                    max_auto = max(max_auto, int(suffix))
+        store._id_counter = itertools.count(max_auto + 1)
         return store
 
     # -------------------------------------------------- catalog-style access

@@ -57,10 +57,16 @@ class JaxEmbedder:
         compute_dtype=jnp.bfloat16,
         max_length: int = 256,
         instruction_prefix: str = "",
+        pooling: str | None = None,
         mesh: jax.sharding.Mesh | None = None,
         batch_axis: str = "data",
     ):
-        self.config, self.params, vocab_path = load_or_init(model_dir, config)
+        if pooling is None:
+            # bge-family checkpoints use CLS pooling; MiniLM et al. mean-pool
+            name = (model_dir or "").lower()
+            pooling = "cls" if "bge" in name else "mean"
+        self.config, self.params, vocab_path = load_or_init(
+            model_dir, config, pooling=pooling)
         if tokenizer is not None:
             self.tokenizer = tokenizer
         elif vocab_path:

@@ -87,6 +87,7 @@ def resolve_embedder(dm_config: dict[str, Any]):
             model_dir=kw.get("model_dir") or dm_config.get("model_dir"),
             max_length=kw.get("max_length", 256),
             instruction_prefix=kw.get("instruction_prefix", ""),
+            pooling=kw.get("pooling"),
         )
     if name in ("openai", "openaiembeddings"):
         from archi_tpu.providers.base import read_secret

@@ -48,7 +48,11 @@ def create_chat_app(
                 identity = extract_identity(token, jwt_secret)
             except ValueError as e:
                 return error_response(f"invalid token: {e}", 401)
-        elif req.headers.get("x-user-email"):
+        elif req.headers.get("x-user-email") and not require_auth \
+                and jwt_secret is None:
+            # dev-mode identity header; NEVER trusted once real auth (JWT
+            # secret or require_auth) is configured — it would be a trivial
+            # impersonation vector otherwise.
             identity = {"email": req.headers["x-user-email"],
                         "name": "", "roles": ["user"]}
         if identity is None:
@@ -123,18 +127,28 @@ def create_chat_app(
                 raise PermissionError("not your conversation")
         return conversations.get_messages(cid)
 
+    def _check_ownership(req: Request, cid: int) -> None:
+        if _uid(req) is None:
+            return
+        conv = conversations.get_conversation(cid)
+        if conv and conv.get("user_id") is not None and \
+                conv["user_id"] != _uid(req):
+            raise PermissionError("not your conversation")
+
     @app.delete("/api/conversations/<cid>")
     def delete_convo(req: Request):
         _require(req, Permission.CHAT_HISTORY_DELETE)
-        conversations.delete_conversation(int(req.path_params["cid"]))
+        cid = int(req.path_params["cid"])
+        _check_ownership(req, cid)
+        conversations.delete_conversation(cid)
         return {"ok": True}
 
     @app.put("/api/conversations/<cid>")
     def rename_convo(req: Request):
         _require(req, Permission.CHAT_HISTORY_READ)
-        conversations.rename_conversation(
-            int(req.path_params["cid"]), req.json().get("title", "")
-        )
+        cid = int(req.path_params["cid"])
+        _check_ownership(req, cid)
+        conversations.rename_conversation(cid, req.json().get("title", ""))
         return {"ok": True}
 
     # ----------------------------------------------- document selection

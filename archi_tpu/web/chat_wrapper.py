@@ -97,12 +97,15 @@ class ChatWrapper:
         return out
 
     def _resolve_model_override(self, user_email: Optional[str],
-                                model_ref: Optional[str]) -> None:
+                                model_ref: Optional[str]):
         """Per-request model override, preferring the user's BYOK key
-        (reference app.py:1680-1686)."""
-        if not model_ref:
-            return
+        (reference app.py:1680-1686).  Returns the original llms dict so the
+        caller can restore it — a leaked override would run later users'
+        requests on this user's (possibly BYOK-billed) model."""
         pipeline = self.archi.pipeline
+        saved = dict(pipeline.llms)
+        if not model_ref:
+            return saved
         model = None
         if self.byok_resolver is not None and user_email:
             model = self.byok_resolver.get_model(user_email, model_ref)
@@ -113,6 +116,7 @@ class ChatWrapper:
         for key in pipeline.llms:
             if key in ("chat_model", "agent_model"):
                 pipeline.llms[key] = model
+        return saved
 
     def _finalize(self, conversation_id: int, message: str,
                   output: PipelineOutput, timing: TimingRecorder) -> dict:
@@ -156,12 +160,16 @@ class ChatWrapper:
             conversation_id, history, enabled = self._prepare(
                 conversation_id, user_id, message, timing
             )
-            self._resolve_model_override(user_email, model_override)
-            timing.stamp("chain_started")
-            with METRICS.timer("archi_chat_duration_seconds"):
-                output = self.archi.invoke(history=history,
-                                           enabled_ids=enabled)
-            timing.stamp("chain_finished")
+            saved_llms = self._resolve_model_override(
+                user_email, model_override)
+            try:
+                timing.stamp("chain_started")
+                with METRICS.timer("archi_chat_duration_seconds"):
+                    output = self.archi.invoke(history=history,
+                                               enabled_ids=enabled)
+                timing.stamp("chain_finished")
+            finally:
+                self.archi.pipeline.llms = saved_llms
             METRICS.inc("archi_chat_messages")
             return self._finalize(conversation_id, message, output, timing)
 
@@ -178,24 +186,28 @@ class ChatWrapper:
             conversation_id, history, enabled = self._prepare(
                 conversation_id, user_id, message, timing
             )
-            self._resolve_model_override(user_email, model_override)
+            saved_llms = self._resolve_model_override(
+                user_email, model_override)
             trace_id = self.traces.create_trace(conversation_id)
             yield {"type": "trace_start", "trace_id": trace_id,
                    "conversation_id": conversation_id}
             timing.stamp("chain_started")
             final: Optional[PipelineOutput] = None
             cancelled = False
-            for out in self.archi.stream(history=history,
-                                         enabled_ids=enabled):
-                if self.traces.is_cancelled(trace_id):
-                    cancelled = True
-                    break
-                if out.final:
-                    final = out
-                    continue
-                event = (out.metadata or {}).get("event", {})
-                self.traces.append_event(trace_id, event)
-                yield event
+            try:
+                for out in self.archi.stream(history=history,
+                                             enabled_ids=enabled):
+                    if self.traces.is_cancelled(trace_id):
+                        cancelled = True
+                        break
+                    if out.final:
+                        final = out
+                        continue
+                    event = (out.metadata or {}).get("event", {})
+                    self.traces.append_event(trace_id, event)
+                    yield event
+            finally:
+                self.archi.pipeline.llms = saved_llms
             timing.stamp("chain_finished")
             if cancelled or final is None:
                 self.traces.finish_trace(trace_id, status="cancelled")
@@ -224,10 +236,14 @@ class ChatWrapper:
                 conversation_id, user_id, message, timing
             )
             answers = {}
-            for label, ref in (("a", model_a), ("b", model_b)):
-                self._resolve_model_override(None, ref)
-                out = self.archi.invoke(history=history)
-                answers[label] = out.answer
+            saved_llms = dict(self.archi.pipeline.llms)
+            try:
+                for label, ref in (("a", model_a), ("b", model_b)):
+                    self._resolve_model_override(None, ref)
+                    out = self.archi.invoke(history=history)
+                    answers[label] = out.answer
+            finally:
+                self.archi.pipeline.llms = saved_llms
             ab_id = self.conversations.create_ab_comparison(
                 conversation_id, message, answers["a"], answers["b"],
                 model_a, model_b,

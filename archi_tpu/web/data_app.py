@@ -43,10 +43,13 @@ def create_data_app(
     @app.post("/api/ingestion/trigger")
     def trigger(req: Request):
         body = req.json()
+        reset = bool(body.get("reset"))
         if body.get("async"):
-            threading.Thread(target=dm.run_ingestion, daemon=True).start()
+            threading.Thread(
+                target=lambda: dm.run_ingestion(reset=reset), daemon=True
+            ).start()
             return {"started": True}
-        return dm.run_ingestion(reset=bool(body.get("reset")))
+        return dm.run_ingestion(reset=reset)
 
     @app.post("/api/ingestion/retry")
     def retry(req: Request):

@@ -66,9 +66,17 @@ def sse_response(events: Iterable[dict | str]) -> Response:
     """Server-sent-events stream: each item becomes a ``data:`` frame
     (reference streaming endpoints, ``chat_app/app.py:3525``)."""
     def gen():
-        for ev in events:
-            data = ev if isinstance(ev, str) else json.dumps(ev, default=str)
-            yield f"data: {data}\n\n".encode()
+        try:
+            for ev in events:
+                data = ev if isinstance(ev, str) \
+                    else json.dumps(ev, default=str)
+                yield f"data: {data}\n\n".encode()
+        except Exception as e:  # surface mid-stream failures to the client
+            logging.getLogger("archi_tpu.web").error(
+                "stream error:\n%s", traceback.format_exc())
+            err = json.dumps({"type": "error",
+                              "error": f"{type(e).__name__}: {e}"})
+            yield f"data: {err}\n\n".encode()
         yield b"data: [DONE]\n\n"
 
     resp = Response(status=200, content_type="text/event-stream",
