@@ -1,0 +1,99 @@
+"""IVF nprobe sweep: the recall/QPS trade-off chart (BASELINE config 4).
+
+Usage:
+  python -m archi_tpu.benchmarking.ivf_sweep --n 262144 --d 384 \
+      --nlist 512 --nprobe 4,16,64,256 [--clustered]
+
+Builds a synthetic corpus (clustered by default — the realistic case; pass
+--uniform for the worst case), trains IVF on device, and prints recall@k vs
+the exact flat scan plus per-config QPS, as JSON lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def synthetic_corpus(n: int, d: int, *, clustered: bool = True,
+                     n_clusters: int = 1024, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if clustered:
+        centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+        assign = rng.integers(0, n_clusters, n)
+        x = centers[assign] + 0.3 * rng.standard_normal((n, d)).astype(
+            np.float32)
+    else:
+        x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def run_sweep(n: int = 1 << 18, d: int = 384, *, nlist: int = 512,
+              block: int = 512, nprobes=(4, 16, 64, 256), n_queries: int = 64,
+              k: int = 10, clustered: bool = True, iters: int = 10,
+              seed: int = 0) -> list[dict]:
+    from archi_tpu.engine.ivf_index import IVFIndex
+
+    x = synthetic_corpus(n, d, clustered=clustered, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    q_idx = rng.choice(n, n_queries, replace=False)
+    queries = x[q_idx] + 0.05 * rng.standard_normal(
+        (n_queries, d)).astype(np.float32)
+
+    # exact ground truth (host brute force)
+    ref = queries @ x.T
+    ref_top = np.argsort(-ref, axis=1)[:, :k]
+
+    t0 = time.time()
+    ivf = IVFIndex.build(x, list(range(n)), nlist=nlist, block=block,
+                         iters=iters, seed=seed)
+    build_s = time.time() - t0
+
+    results = []
+    for nprobe in nprobes:
+        nprobe = min(nprobe, nlist)
+        _ids, _vals, rows = ivf.search(queries[:4], k=k, nprobe=nprobe)  # warm
+        t0 = time.time()
+        _ids, _vals, rows = ivf.search(queries, k=k, nprobe=nprobe)
+        elapsed = max(time.time() - t0, 1e-9)
+        recall = float(np.mean([
+            len(set(rows[b]) & set(ref_top[b])) / k
+            for b in range(n_queries)
+        ]))
+        entry = {
+            "n": n, "d": d, "nlist": nlist, "nprobe": nprobe, "k": k,
+            "recall": round(recall, 4),
+            "qps": round(n_queries / elapsed, 1),
+            "build_s": round(build_s, 1),
+            "clustered": clustered,
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 18)
+    ap.add_argument("--d", type=int, default=384)
+    ap.add_argument("--nlist", type=int, default=512)
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--nprobe", default="4,16,64,256")
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--uniform", action="store_true",
+                    help="worst-case uniform random corpus")
+    args = ap.parse_args()
+    run_sweep(
+        args.n, args.d, nlist=args.nlist, block=args.block,
+        nprobes=[int(p) for p in args.nprobe.split(",")],
+        n_queries=args.queries, k=args.k, clustered=not args.uniform,
+    )
+
+
+if __name__ == "__main__":
+    main()

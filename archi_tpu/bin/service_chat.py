@@ -61,6 +61,7 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
         byok_store=ctx.byok_store,
         catalog=ctx.catalog,
         app_db=ctx.app_db,
+        data_manager_url=resolve_engine_url(ctx.config),
         jwt_secret=os.environ.get("JWT_SECRET"),
         require_auth=bool(os.environ.get("REQUIRE_AUTH")),
         frontend_html=FRONTEND_HTML,

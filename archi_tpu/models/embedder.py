@@ -127,11 +127,10 @@ class JaxEmbedder:
         out = np.zeros((len(id_lists), self.dim), np.float32)
         # Group by sequence bucket so each shape compiles once.
         order = np.argsort([len(i) for i in id_lists], kind="stable")
+        groups: list[list[int]] = []
         pos = 0
         while pos < len(order):
-            seq_b = _bucket_up(
-                len(id_lists[order[pos]]), SEQ_BUCKETS
-            )
+            seq_b = _bucket_up(len(id_lists[order[pos]]), SEQ_BUCKETS)
             group = [order[pos]]
             pos += 1
             while (
@@ -141,10 +140,19 @@ class JaxEmbedder:
             ):
                 group.append(order[pos])
                 pos += 1
+            groups.append(group)
+        # Dispatch every group first (jit dispatch is async), THEN collect —
+        # device compute of group k overlaps host padding of group k+1 and
+        # the result downloads, instead of serializing on each np.asarray.
+        pending = []
+        for group in groups:
             ids, mask = self._pad_batch([id_lists[g] for g in group])
-            emb = np.asarray(
-                self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            pending.append(
+                (group, self._fwd(self.params, jnp.asarray(ids),
+                                  jnp.asarray(mask)))
             )
+        for group, emb_dev in pending:
+            emb = np.asarray(emb_dev)
             out[np.asarray(group)] = emb[: len(group)]
         return out
 

@@ -30,6 +30,7 @@ def create_chat_app(
     byok_store=None,
     catalog=None,
     app_db=None,
+    data_manager_url: Optional[str] = None,
     jwt_secret: Optional[str] = None,
     require_auth: bool = False,
     frontend_html: Optional[str] = None,
@@ -179,6 +180,40 @@ def create_chat_app(
         for h, enabled in req.json().items():
             catalog.set_document_enabled(cid, h, bool(enabled))
         return {"ok": True}
+
+    # ------------------------------------------------ data-manager proxy
+    # The chat UI talks to one origin; data operations proxy to the
+    # data-manager service (reference chat->data-manager proxy,
+    # app.py:2139-2146).
+    def _dm(req: Request, method: str, path: str, json_body=None):
+        if data_manager_url is None:
+            return error_response("data manager not configured", 501)
+        import requests as _rq
+
+        r = _rq.request(method, data_manager_url.rstrip("/") + path,
+                        json=json_body, timeout=300)
+        return json_response(r.json(), r.status_code)
+
+    @app.get("/api/dm/grouped")
+    def dm_grouped(req: Request):
+        _require(req, Permission.DATA_READ)
+        return _dm(req, "GET", "/api/data/grouped")
+
+    @app.get("/api/dm/status")
+    def dm_status(req: Request):
+        _require(req, Permission.DATA_READ)
+        return _dm(req, "GET", "/api/ingestion/status")
+
+    @app.post("/api/dm/upload")
+    def dm_upload(req: Request):
+        _require(req, Permission.DATA_UPLOAD)
+        return _dm(req, "POST", "/api/upload", req.json())
+
+    @app.delete("/api/dm/documents/<resource_hash>")
+    def dm_delete(req: Request):
+        _require(req, Permission.DATA_DELETE)
+        return _dm(req, "DELETE",
+                   f"/api/documents/{req.path_params['resource_hash']}")
 
     # -------------------------------------------------- admin DB console
     @app.post("/api/admin/db")

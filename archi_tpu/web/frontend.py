@@ -52,15 +52,38 @@ color:var(--dim)}
 .ev.agent_step{border-color:var(--accent)}
 .ev b{color:var(--text)}
 #status{color:var(--dim);font-size:12px;padding:0 20px}
+.tab{flex:1;background:var(--panel);border:1px solid var(--border);
+color:var(--dim);padding:6px;border-radius:6px;cursor:pointer}
+.tab.active{color:var(--text);border-color:var(--accent)}
+#dataView{display:none;flex:1;padding:20px;overflow-y:auto}
+#dataView h2{font-size:14px;margin:12px 0 6px;color:var(--dim)}
+.docrow{display:flex;align-items:center;gap:8px;padding:6px;
+border-bottom:1px solid var(--border);font-size:13px}
+.docrow .nm{flex:1;overflow:hidden;text-overflow:ellipsis;white-space:nowrap}
+.docrow .st{color:var(--dim);font-size:11px}
+#uploadBox{margin-top:14px;padding:12px;border:1px dashed var(--border);
+border-radius:8px;color:var(--dim)}
 </style>
 </head>
 <body>
 <aside>
   <h1>archi-tpu</h1>
+  <div style="display:flex;gap:6px;margin-bottom:10px">
+    <button class="tab active" data-tab="chat">Chat</button>
+    <button class="tab" data-tab="data">Data</button>
+  </div>
   <button id="newConv">+ New conversation</button>
   <div id="convList"></div>
 </aside>
 <main>
+  <div id="dataView">
+    <div id="ingestStatus" class="st"></div>
+    <div id="docGroups"></div>
+    <div id="uploadBox">
+      Upload a document: <input type="file" id="fileInput">
+      <span id="uploadMsg"></span>
+    </div>
+  </div>
   <div id="messages"></div>
   <div id="status"></div>
   <div id="composer">
@@ -186,6 +209,68 @@ $('#input').addEventListener('keydown',e=>{
   if(e.key==='Enter'&&!e.shiftKey){e.preventDefault();send()}});
 $('#newConv').onclick=()=>{conversationId=null;$('#messages').innerHTML='';
   $('#events').innerHTML='';loadConversations()};
+
+// ---------------------------------------------------------------- data tab
+async function loadData(){
+  try{
+    const st=await api('/api/dm/status');
+    $('#ingestStatus').textContent='ingestion: '+(st.status||'?')+
+      '  ·  '+JSON.stringify(st.by_status||{});
+  }catch(e){$('#ingestStatus').textContent='data manager unreachable'}
+  let enabled=null;
+  if(conversationId){
+    try{enabled=await api('/api/conversations/'+conversationId+'/documents')}
+    catch(e){}
+  }
+  const enabledMap={};
+  if(enabled)for(const d of enabled)enabledMap[d.resource_hash]=d.enabled;
+  try{
+    const groups=await api('/api/dm/grouped');
+    const el=$('#docGroups');el.innerHTML='';
+    for(const [src,docs] of Object.entries(groups)){
+      const h=document.createElement('h2');h.textContent=src;el.appendChild(h);
+      for(const d of docs){
+        const row=document.createElement('div');row.className='docrow';
+        if(conversationId){
+          const cb=document.createElement('input');cb.type='checkbox';
+          cb.checked=enabledMap[d.resource_hash]!==false;
+          cb.onchange=()=>api('/api/conversations/'+conversationId+
+            '/documents',{method:'PUT',body:JSON.stringify(
+            {[d.resource_hash]:cb.checked})});
+          row.appendChild(cb);
+        }
+        const nm=document.createElement('span');nm.className='nm';
+        nm.textContent=d.display_name;row.appendChild(nm);
+        const st=document.createElement('span');st.className='st';
+        st.textContent=d.ingestion_status||'';row.appendChild(st);
+        el.appendChild(row);
+      }
+    }
+  }catch(e){$('#docGroups').textContent='error: '+e.message}
+}
+$('#fileInput').onchange=async e=>{
+  const f=e.target.files[0];if(!f)return;
+  const buf=await f.arrayBuffer();
+  const b64=btoa(String.fromCharCode(...new Uint8Array(buf)));
+  $('#uploadMsg').textContent='uploading…';
+  try{
+    await api('/api/dm/upload',{method:'POST',body:JSON.stringify(
+      {filename:f.name,content_b64:b64})});
+    $('#uploadMsg').textContent='uploaded ✓ (ingestion triggered)';
+    setTimeout(loadData,1500);
+  }catch(err){$('#uploadMsg').textContent='failed: '+err.message}
+};
+for(const b of document.querySelectorAll('.tab')){
+  b.onclick=()=>{
+    for(const t of document.querySelectorAll('.tab'))t.classList.remove('active');
+    b.classList.add('active');
+    const data=b.dataset.tab==='data';
+    $('#dataView').style.display=data?'block':'none';
+    $('#messages').style.display=data?'none':'block';
+    $('#composer').style.display=data?'none':'flex';
+    if(data)loadData();
+  };
+}
 loadConversations();
 </script>
 </body>
