@@ -56,7 +56,7 @@ def run_sweep(n: int = 1 << 18, d: int = 384, *, nlist: int = 512,
     results = []
     for nprobe in nprobes:
         nprobe = min(nprobe, nlist)
-        _ids, _vals, rows = ivf.search(queries[:4], k=k, nprobe=nprobe)  # warm
+        _ids, _vals, rows = ivf.search(queries, k=k, nprobe=nprobe)  # warm+compile
         t0 = time.time()
         _ids, _vals, rows = ivf.search(queries, k=k, nprobe=nprobe)
         elapsed = max(time.time() - t0, 1e-9)

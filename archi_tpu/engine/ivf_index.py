@@ -33,32 +33,54 @@ from archi_tpu.engine.kmeans import kmeans
 from archi_tpu.ops.pallas_topk import NEG_INF
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "group"))
 def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
-                *, k, nprobe):
-    """queries [B, D]; blocks [n_blocks, blk, D]; block_rows_valid
-    [n_blocks, blk] (1 valid / 0 pad); cell_blocks [nlist, max_bpc] i32.
-    → (vals [B, k], flat candidate positions [B, k] into (block, slot))."""
-    blk = blocks.shape[1]
+                *, k, nprobe, group=8):
+    """queries [B, D] (B % group == 0); blocks [n_blocks, blk, D];
+    block_rows_valid [n_blocks, blk]; cell_blocks [nlist, max_bpc] i32.
+    → (vals [B, k], flat candidate positions [B, k] = block_id*blk + slot).
 
-    def one(q):
-        cscores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
-        _cv, cells = jax.lax.top_k(cscores, nprobe)          # [nprobe]
-        bids = cell_blocks[cells].reshape(-1)                # [nprobe*max_bpc]
+    Queries are processed in groups of ``group``: one [G, P*blk] matmul per
+    group against the concatenation of every group member's probed blocks
+    (a per-query ownership mask keeps results exact).  A per-query loop
+    would degrade each score to a vector-matrix product at ~0.1% MXU
+    utilization; grouping turns it into a real matmul.
+    """
+    blk = blocks.shape[1]
+    max_bpc = cell_blocks.shape[1]
+    d = queries.shape[1]
+    per_q = nprobe * max_bpc  # block slots owned by each query
+
+    def one_group(qg):  # [G, D]
+        g_sz = qg.shape[0]
+        cscores = jnp.dot(qg, centroids.T,
+                          preferred_element_type=jnp.float32)
+        _cv, cells = jax.lax.top_k(cscores, nprobe)          # [G, nprobe]
+        bids = cell_blocks[cells].reshape(-1)                # [G*per_q]
         valid_block = bids >= 0
         safe = jnp.where(valid_block, bids, 0)
-        cand = blocks[safe]                                  # [P, blk, D]
-        cand_valid = block_rows_valid[safe] * valid_block[:, None]
-        scores = jnp.einsum("d,pbd->pb", q, cand,
-                            preferred_element_type=jnp.float32)
-        scores = jnp.where(cand_valid > 0.5, scores, NEG_INF).reshape(-1)
-        kk = min(k, scores.shape[0])
+        cand = blocks[safe].reshape(-1, d)                   # [P*blk, D]
+        scores = jnp.dot(qg, cand.T,
+                         preferred_element_type=jnp.float32)  # [G, P*blk]
+        # ownership: block slot p was probed by query p // per_q; each query
+        # scores only its own slots (duplicates across queries are scored
+        # redundantly but masked per owner, so results stay exact)
+        p = safe.shape[0]
+        owner = jax.lax.broadcasted_iota(jnp.int32, (g_sz, p), 1) // per_q
+        mine = owner == jax.lax.broadcasted_iota(jnp.int32, (g_sz, p), 0)
+        slot_ok = mine & valid_block[None, :]
+        row_ok = block_rows_valid[safe].reshape(-1) > 0.5     # [P*blk]
+        mask = jnp.repeat(slot_ok, blk, axis=1) & row_ok[None, :]
+        scores = jnp.where(mask, scores, NEG_INF)
+        kk = min(k, scores.shape[1])
         vals, pos = jax.lax.top_k(scores, kk)
-        # map flat pos -> global (block, slot) -> block id * blk + slot
         g = safe[pos // blk] * blk + pos % blk
         return vals, g.astype(jnp.int32)
 
-    return jax.lax.map(one, queries)
+    b = queries.shape[0]
+    qs = queries.reshape(b // group, group, d)
+    vals, gpos = jax.lax.map(one_group, qs)
+    return vals.reshape(b, -1), gpos.reshape(b, -1)
 
 
 class IVFIndex:
@@ -128,18 +150,30 @@ class IVFIndex:
         return cls.build(emb[alive], ids, **kw)
 
     # ----------------------------------------------------------------- search
-    def search(self, queries, k: int = 10, *, nprobe: int = 64):
+    def search(self, queries, k: int = 10, *, nprobe: int = 64,
+               vmem_budget_rows: int = 1 << 21):
         queries = jnp.asarray(queries, jnp.float32)
         squeeze = queries.ndim == 1
         if squeeze:
             queries = queries[None, :]
+        b = queries.shape[0]
+        nprobe = min(nprobe, self.nlist)
+        # group size bounded so a group's gathered candidates stay within
+        # the HBM scratch budget: rows_per_group = G * nprobe * max_bpc * blk
+        max_bpc = int(self.cell_blocks.shape[1])
+        rows_per_q = max(nprobe * max_bpc * self.block, 1)
+        group = max(1, min(16, vmem_budget_rows // rows_per_q, b))
+        pad = (-b) % group
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.zeros((pad, self.dim), jnp.float32)], axis=0)
         qn = queries / jnp.maximum(
             jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-        nprobe = min(nprobe, self.nlist)
         vals, gpos = _ivf_search(
             qn, self.centroids, self.blocks, self.block_rows_valid,
-            self.cell_blocks, k=k, nprobe=nprobe,
+            self.cell_blocks, k=k, nprobe=nprobe, group=group,
         )
+        vals, gpos = vals[:b], gpos[:b]
         vals = np.asarray(vals)
         gpos = np.asarray(gpos)
         flat_rows = self.block_rows.reshape(-1)
