@@ -234,7 +234,18 @@ class BaseReActAgent(BasePipeline):
                     call.id = str(uuid.uuid4())
                 yield event("tool_start", name=call.name, args=call.args,
                             id=call.id)
-                result = self._run_tool(call)
+            # run the turn's tool calls concurrently (providers batch
+            # independent calls; serializing them wastes wall-clock)
+            if len(reply.tool_calls) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=min(8, len(reply.tool_calls))) as pool:
+                    results = list(pool.map(self._run_tool,
+                                            reply.tool_calls))
+            else:
+                results = [self._run_tool(c) for c in reply.tool_calls]
+            for call, result in zip(reply.tool_calls, results):
                 self.run_memory.record_tool_call(
                     call.id, call.name, call.args, result[:2000]
                 )

@@ -245,3 +245,38 @@ def test_agent_usage_aggregation(store):
     agent = _agent_with_script(script, store)
     out = agent.invoke(history=[("User", "q")], vectorstore=store)
     assert out.metadata["usage"] == {"input_tokens": 30, "output_tokens": 12}
+
+
+def test_agent_parallel_tool_calls(store):
+    """A turn with multiple tool calls runs them concurrently but reports
+    results in call order."""
+    import threading
+    import time as _time
+
+    barrier = threading.Barrier(2, timeout=5)
+
+    def slow_a():
+        barrier.wait()  # deadlocks unless b runs concurrently
+        return "result-a"
+
+    def slow_b():
+        barrier.wait()
+        return "result-b"
+
+    tools = [
+        Tool("tool_a", "a", slow_a, {"type": "object", "properties": {}}),
+        Tool("tool_b", "b", slow_b, {"type": "object", "properties": {}}),
+    ]
+    script = [
+        Message("assistant", "", tool_calls=[
+            ToolCall("tool_a", {}, "c1"), ToolCall("tool_b", {}, "c2")]),
+        Message("assistant", "done"),
+    ]
+    agent = _agent_with_script(script, store, tools=tools)
+    t0 = _time.time()
+    out = agent.invoke(history=[("User", "q")], vectorstore=store)
+    assert _time.time() - t0 < 5  # barrier met → concurrent
+    calls = out.metadata["tool_calls"]
+    assert [c["tool_name"] for c in calls] == ["tool_a", "tool_b"]
+    assert calls[0]["result"] == "result-a"
+    assert calls[1]["result"] == "result-b"
