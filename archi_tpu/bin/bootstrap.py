@@ -68,15 +68,30 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
     checkpoint_dir = os.path.join(data_path, "engine_checkpoint")
     if vectorstore is None:
         embedder = resolve_embedder(dm_cfg)
+        from archi_tpu.engine.bm25 import BM25Index
+        from archi_tpu.engine.flat_index import FlatIndex
+
+        stemming = bool((dm_cfg.get("stemming") or {}).get("enabled"))
+        index_cfg = dm_cfg.get("index") or {}
         if os.path.isdir(checkpoint_dir):
             # restart-resume: reload embeddings instead of re-embedding the
             # corpus (the catalog diff-sync reconciles any drift after load)
             try:
                 vectorstore = TpuVectorStore.load(checkpoint_dir, embedder)
             except Exception:
-                vectorstore = TpuVectorStore(embedder)
+                vectorstore = None
         else:
-            vectorstore = TpuVectorStore(embedder)
+            vectorstore = None
+        if vectorstore is None:
+            vectorstore = TpuVectorStore(
+                embedder,
+                index=FlatIndex(
+                    embedder.dim,
+                    dtype=index_cfg.get("dtype", "bfloat16"),
+                    tile_n=index_cfg.get("tile_n", 4096),
+                ),
+                bm25=BM25Index(stemming=stemming),
+            )
     data_manager = DataManager(
         data_path=data_path,
         catalog=catalog,
