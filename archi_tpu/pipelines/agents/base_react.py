@@ -212,18 +212,44 @@ class BaseReActAgent(BasePipeline):
         hit_limit = False
         for step in range(self.recursion_limit):
             self.run_memory.steps = step + 1
-            reply = self._model_step(messages + transcript)
+            if stream_tokens:
+                # true token streaming, including through tool-call turns
+                # (reference streams model deltas over SSE, app.py:1385,3554)
+                schemas = [t.schema() for t in self.tools] or None
+                parts: list[str] = []
+                calls: list = []
+                usage: dict = {}
+                reply = None
+                try:
+                    for chunk in self.llms["agent_model"].stream(
+                            messages + transcript, tools=schemas):
+                        if chunk.metadata.get("delta"):
+                            parts.append(chunk.content)
+                            yield event("token", delta=chunk.content,
+                                        step=step)
+                        else:
+                            if chunk.content:
+                                parts.append(chunk.content)
+                            if chunk.tool_calls:
+                                calls.extend(chunk.tool_calls)
+                            if chunk.usage:
+                                usage = chunk.usage
+                except Exception:
+                    if parts or calls:
+                        raise  # mid-stream failure is not retryable
+                    reply = self._model_step(messages + transcript)
+                if reply is None:
+                    reply = Message("assistant", "".join(parts),
+                                    tool_calls=calls, usage=usage)
+                    self.run_memory.add_usage(usage)
+            else:
+                reply = self._model_step(messages + transcript)
             visible, thinking = split_think(reply.content)
             if thinking:
                 yield event("thinking", content=thinking, step=step)
             if not reply.tool_calls:
                 answer = visible
                 transcript.append(reply)
-                if stream_tokens and visible:
-                    # token-delta events for the final answer (reference
-                    # streams model deltas over SSE, app.py:1385,3554)
-                    for i in range(0, len(visible), 24):
-                        yield event("token", delta=visible[i:i + 24])
                 break
             transcript.append(reply)
             yield event("agent_step", step=step, content=visible,

@@ -280,3 +280,38 @@ def test_agent_parallel_tool_calls(store):
     assert [c["tool_name"] for c in calls] == ["tool_a", "tool_b"]
     assert calls[0]["result"] == "result-a"
     assert calls[1]["result"] == "result-b"
+
+
+def test_agent_true_token_streaming(store):
+    """Agent streams real model deltas as 'token' events, including tool
+    turns, and the final answer is assembled from them."""
+
+    class StreamingModel(ScriptedChatModel):
+        def stream(self, messages, *, tools=None, **kw):
+            step = self._script[self._i]
+            self._i += 1
+            if step.tool_calls:
+                yield Message("assistant", "Searching ",
+                              metadata={"delta": True})
+                yield step
+            else:
+                for w in ("Use ", "the ", "scheduler."):
+                    yield Message("assistant", w, metadata={"delta": True})
+                yield Message("assistant", "", usage=step.usage)
+
+    script = [
+        Message("assistant", "",
+                tool_calls=[ToolCall("search_vectorstore_hybrid",
+                                     {"query": "jobs"}, "c1")]),
+        Message("assistant", "", usage={"input_tokens": 5,
+                                        "output_tokens": 3}),
+    ]
+    agent = _agent_with_script(script, store)
+    agent.llms["agent_model"] = StreamingModel(script)
+    events = list(agent.stream(history=[("User", "q")], vectorstore=store))
+    deltas = [e.metadata["event"]["delta"] for e in events
+              if not e.final and e.metadata["event"].get("type") == "token"]
+    assert "Use " in deltas and "scheduler." in deltas
+    final = events[-1]
+    assert final.answer == "Use the scheduler."
+    assert final.metadata["usage"]["output_tokens"] == 3
