@@ -17,7 +17,8 @@ __all__ = [
     # orchestration
     "Archi", "PipelineOutput",
     # engine
-    "FlatIndex", "ShardedFlatIndex", "IVFIndex", "TpuVectorStore",
+    "FlatIndex", "ShardedFlatIndex", "IVFIndex", "ShardedIVFIndex",
+    "TpuVectorStore",
     "BM25Index", "MaxSimReranker",
     # models
     "JaxEmbedder", "BertConfig",
@@ -36,6 +37,7 @@ _LAZY = {
     "FlatIndex": "archi_tpu.engine.flat_index",
     "ShardedFlatIndex": "archi_tpu.engine.sharded_index",
     "IVFIndex": "archi_tpu.engine.ivf_index",
+    "ShardedIVFIndex": "archi_tpu.engine.sharded_ivf",
     "TpuVectorStore": "archi_tpu.engine.vectorstore",
     "BM25Index": "archi_tpu.engine.bm25",
     "MaxSimReranker": "archi_tpu.engine.reranker",

@@ -60,7 +60,12 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
     data_path = dm_cfg["data_path"]
     os.makedirs(data_path, exist_ok=True)
 
-    app_db = AppDatabase(os.path.join(data_path, "app.db"))
+    from archi_tpu.utils.app_db_postgres import open_app_database
+
+    # 'app_db' may be a SQLite path or a postgresql:// DSN
+    app_db = open_app_database(
+        config.get("app_db") or os.path.join(data_path, "app.db")
+    )
     config_service = ConfigService(app_db)
     config_service.seed(config)
 

@@ -284,7 +284,13 @@ class FlatIndex:
                     "dtype": self.dtype.name,
                     "tile_n": self.tile_n,
                     "metric": self.metric,
-                    "ids": [i if i is None else str(i) for i in self._ids],
+                    # preserve id types (int/str) — stringifying broke
+                    # delete-by-id after reload for integer ids
+                    "ids": [
+                        i if (i is None or isinstance(i, (str, int)))
+                        else str(i)
+                        for i in self._ids
+                    ],
                 }
             ),
         )

@@ -1,0 +1,197 @@
+"""Postgres backend for the application database.
+
+Completes the relational-plane parity story: the reference keeps users/
+conversations/traces in Postgres (``src/cli/templates/init.sql``); archi-tpu
+defaults to SQLite but deployments that already run Postgres for the catalog
+can point the app DB there too.  Reuses the paramstyle adapter pattern from
+``data/catalog_postgres.py``; ``lastrowid`` (used by the services for
+freshly-inserted ids) is emulated with ``SELECT lastval()``.
+psycopg2-gated; the translation layer is unit-tested with a fake driver.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from archi_tpu.data.catalog_postgres import connect_with_retry
+from archi_tpu.utils.app_db import AppDatabase
+
+_PG_SCHEMA = """
+CREATE TABLE IF NOT EXISTS users (
+    id BIGSERIAL PRIMARY KEY,
+    email TEXT UNIQUE NOT NULL,
+    name TEXT DEFAULT '',
+    roles TEXT DEFAULT '[]',
+    preferences TEXT DEFAULT '{}',
+    created_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS conversations (
+    id BIGSERIAL PRIMARY KEY,
+    user_id BIGINT,
+    title TEXT DEFAULT '',
+    created_at DOUBLE PRECISION,
+    updated_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS messages (
+    id BIGSERIAL PRIMARY KEY,
+    conversation_id BIGINT NOT NULL,
+    sender TEXT NOT NULL,
+    content TEXT NOT NULL,
+    model_used TEXT,
+    metadata TEXT DEFAULT '{}',
+    created_at DOUBLE PRECISION
+);
+CREATE INDEX IF NOT EXISTS idx_messages_conv ON messages(conversation_id);
+CREATE TABLE IF NOT EXISTS feedback (
+    id BIGSERIAL PRIMARY KEY,
+    message_id BIGINT NOT NULL,
+    rating TEXT,
+    comment TEXT,
+    created_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS timing (
+    message_id BIGINT PRIMARY KEY,
+    stamps TEXT DEFAULT '{}',
+    msg_duration DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS agent_traces (
+    id BIGSERIAL PRIMARY KEY,
+    conversation_id BIGINT,
+    message_id BIGINT,
+    status TEXT DEFAULT 'running',
+    events TEXT DEFAULT '[]',
+    total_tokens BIGINT DEFAULT 0,
+    total_tool_calls BIGINT DEFAULT 0,
+    cancelled INTEGER DEFAULT 0,
+    created_at DOUBLE PRECISION,
+    updated_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS agent_tool_calls (
+    id BIGSERIAL PRIMARY KEY,
+    message_id BIGINT,
+    tool_name TEXT,
+    tool_input TEXT,
+    result TEXT,
+    created_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS ab_comparisons (
+    id BIGSERIAL PRIMARY KEY,
+    conversation_id BIGINT,
+    question TEXT,
+    answer_a TEXT, answer_b TEXT,
+    model_a TEXT, model_b TEXT,
+    preference TEXT,
+    created_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS static_config (
+    id INTEGER PRIMARY KEY CHECK (id = 1),
+    config TEXT NOT NULL DEFAULT '{}'
+);
+CREATE TABLE IF NOT EXISTS dynamic_config (
+    id INTEGER PRIMARY KEY CHECK (id = 1),
+    config TEXT NOT NULL DEFAULT '{}'
+);
+CREATE TABLE IF NOT EXISTS config_audit (
+    id BIGSERIAL PRIMARY KEY,
+    changed_by TEXT,
+    changes TEXT,
+    created_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS prompts (
+    name TEXT PRIMARY KEY,
+    content TEXT NOT NULL,
+    updated_at DOUBLE PRECISION
+);
+CREATE TABLE IF NOT EXISTS rbac_audit (
+    id BIGSERIAL PRIMARY KEY,
+    user_email TEXT,
+    action TEXT,
+    resource TEXT,
+    allowed INTEGER,
+    created_at DOUBLE PRECISION
+);
+"""
+
+
+class _PgCursor:
+    def __init__(self, conn):
+        self._conn = conn
+        self._cur = conn.cursor()
+
+    @staticmethod
+    def _translate(sql: str) -> str:
+        return sql.replace("?", "%s")
+
+    def execute(self, sql: str, params=()):
+        self._cur.execute(self._translate(sql), tuple(params))
+        return self
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    def __iter__(self):
+        return iter(self._cur.fetchall())
+
+    @property
+    def rowcount(self):
+        return self._cur.rowcount
+
+    @property
+    def lastrowid(self):
+        """SELECT lastval() — valid after any sequence-backed insert."""
+        cur = self._conn.cursor()
+        cur.execute("SELECT lastval()")
+        row = cur.fetchone()
+        if row is None:
+            return None
+        return row[0] if not isinstance(row, dict) else list(row.values())[0]
+
+
+class _PgConnection:
+    def __init__(self, conn):
+        self._conn = conn
+
+    def execute(self, sql: str, params=()):
+        return _PgCursor(self._conn).execute(sql, params)
+
+    def executescript(self, script: str):
+        cur = self._conn.cursor()
+        for stmt in script.split(";"):
+            if stmt.strip():
+                cur.execute(stmt)
+
+    def commit(self):
+        self._conn.commit()
+
+    def close(self):
+        self._conn.close()
+
+    @property
+    def row_factory(self):  # dict rows come from the driver
+        return None
+
+    @row_factory.setter
+    def row_factory(self, _v):
+        pass
+
+
+class PostgresAppDatabase(AppDatabase):
+    def __init__(self, dsn: str = "", *, connection=None):
+        if connection is None:
+            connection = connect_with_retry(dsn)
+        self.conn = _PgConnection(connection)
+        self.lock = threading.RLock()
+        with self.lock:
+            self.conn.executescript(_PG_SCHEMA)
+            self.conn.commit()
+
+
+def open_app_database(path_or_dsn: str) -> AppDatabase:
+    """Factory: 'postgresql://...' DSNs get the Postgres backend, anything
+    else is a SQLite path."""
+    if path_or_dsn.startswith(("postgres://", "postgresql://")):
+        return PostgresAppDatabase(path_or_dsn)
+    return AppDatabase(path_or_dsn)

@@ -194,3 +194,18 @@ def test_redmine_mailer_step(store):
     assert sent[0][0] == "user@x.y" and "#42" in sent[0][1]
     # idempotent
     assert mailer.step() == 0
+
+
+def test_piazza_bot_step(store):
+    from archi_tpu.web.bots import PiazzaBot
+
+    archi = Archi("QAPipeline", vectorstore=store)
+    drafts = []
+    bot = PiazzaBot(
+        archi, network_id="n1",
+        fetch_fn=lambda: [{"id": "p9", "question": "storage quotas?"}],
+        post_fn=lambda item, ans: drafts.append((item["id"], ans)),
+    )
+    assert bot.step() == 1
+    assert drafts[0][0] == "p9" and drafts[0][1].startswith("ECHO:")
+    assert bot.step() == 0  # no duplicate drafts

@@ -103,3 +103,64 @@ def test_connect_with_retry_backoff():
 
     assert isinstance(connect_with_retry("dsn", connect=ok_connect),
                       FakeConnection)
+
+
+# ---------------------------------------------------------- app db backend
+class FakeAppCursor:
+    def __init__(self, log):
+        self.log = log
+        self.rowcount = 1
+
+    def execute(self, sql, params=()):
+        assert "?" not in sql, f"untranslated placeholder: {sql}"
+        self.log.append((sql.strip(), tuple(params) if params else ()))
+        self._last = sql
+
+    def fetchone(self):
+        if "lastval" in getattr(self, "_last", ""):
+            return (77,)
+        return None
+
+    def fetchall(self):
+        return []
+
+
+class FakeAppConnection:
+    def __init__(self):
+        self.log = []
+        self.commits = 0
+
+    def cursor(self):
+        return FakeAppCursor(self.log)
+
+    def commit(self):
+        self.commits += 1
+
+    def close(self):
+        pass
+
+
+def test_pg_app_db_schema_and_services():
+    from archi_tpu.utils.app_db_postgres import PostgresAppDatabase
+    from archi_tpu.utils.conversation_service import ConversationService
+
+    conn = FakeAppConnection()
+    db = PostgresAppDatabase(connection=conn)
+    ddl = " ".join(sql for sql, _p in conn.log)
+    assert "BIGSERIAL" in ddl and "agent_traces" in ddl
+    conn.log.clear()
+
+    cs = ConversationService(db)
+    cid = cs.create_conversation(5, title="t")
+    assert cid == 77  # lastrowid emulated via lastval()
+    insert_sql = conn.log[0][0]
+    assert "%s" in insert_sql and "?" not in insert_sql
+
+
+def test_open_app_database_dispatch(tmp_path):
+    from archi_tpu.utils.app_db import AppDatabase
+    from archi_tpu.utils.app_db_postgres import open_app_database
+
+    db = open_app_database(str(tmp_path / "x.db"))
+    assert isinstance(db, AppDatabase)
+    db.close()

@@ -129,3 +129,16 @@ def test_int8_compact_and_save_load(tmp_path, rng):
     idx2 = FlatIndex.load(p)
     got2, vals2, _ = idx2.search(emb[7], k=1)
     assert got2[0][0] == "c7" and vals2[0][0] > 0.95
+
+
+def test_save_load_preserves_int_ids(tmp_path, rng):
+    d = 16
+    idx = FlatIndex(d, dtype=np.float32)
+    emb = rng.standard_normal((5, d)).astype(np.float32)
+    idx.add(emb, [10, 11, 12, 13, 14])  # integer ids
+    p = str(tmp_path / "ints.npz")
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    assert idx2.delete([12]) == 1  # delete-by-original-int-id works
+    got, _, _ = idx2.search(emb[0], k=1)
+    assert got[0][0] == 10
