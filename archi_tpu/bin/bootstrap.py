@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Optional
+from typing import Optional
 
 from archi_tpu.config.manager import ConfigurationManager
 from archi_tpu.config.service import ConfigService

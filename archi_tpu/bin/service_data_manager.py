@@ -9,7 +9,6 @@ import sys
 import threading
 
 from archi_tpu.bin.bootstrap import build_context
-from archi_tpu.data.persistence import PersistenceService  # noqa: F401
 from archi_tpu.pipelines.agents.tools.catalog_tools import CatalogClient
 from archi_tpu.web.data_app import create_data_app
 

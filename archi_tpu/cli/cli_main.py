@@ -11,7 +11,6 @@ Mirrors the reference's ``archi`` console command
 from __future__ import annotations
 
 import json
-import sys
 
 import click
 

@@ -23,7 +23,7 @@ import json
 import sqlite3
 import threading
 import time
-from typing import Any, Iterable, Optional
+from typing import Any, Optional
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS documents (

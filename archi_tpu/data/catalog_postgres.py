@@ -98,12 +98,7 @@ class _ParamStyleConnection:
         self._conn = conn
 
     def execute(self, sql: str, params=()):
-        cur = self._conn.cursor()
-        try:
-            from psycopg2.extras import RealDictCursor  # noqa: F401
-        except ImportError:
-            pass
-        wrapped = _ParamStyleCursor(cur)
+        wrapped = _ParamStyleCursor(self._conn.cursor())
         wrapped.execute(sql, params)
         return wrapped
 

@@ -11,7 +11,6 @@ text resources.  HTTP calls go through an injectable ``http_get`` so tests
 
 from __future__ import annotations
 
-import json
 import logging
 from typing import Callable, Optional
 

@@ -26,7 +26,6 @@ keeps only ``row -> chunk_id`` (opaque python objects) for convenience.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import threading

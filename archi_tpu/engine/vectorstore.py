@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import itertools
 import threading
-from typing import Any, Iterable, Optional, Sequence
+from typing import Iterable, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

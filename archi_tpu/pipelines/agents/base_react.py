@@ -23,7 +23,7 @@ from __future__ import annotations
 import logging
 import re
 import uuid
-from typing import Any, AsyncIterator, Iterator, Optional
+from typing import AsyncIterator, Iterator, Optional
 
 from archi_tpu.orchestrator.output import PipelineOutput
 from archi_tpu.pipelines.agents.run_memory import RunMemory

@@ -10,8 +10,6 @@ The Local provider supports the reference's two modes
 
 from __future__ import annotations
 
-from typing import Optional
-
 from archi_tpu.providers.base import (
     BaseProvider, ModelInfo, ProviderConfig, ProviderType,
 )

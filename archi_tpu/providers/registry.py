@@ -10,7 +10,7 @@ instance cache, "provider/model" reference parsing, and
 from __future__ import annotations
 
 import threading
-from typing import Any, Optional
+from typing import Any
 
 from archi_tpu.providers.base import (
     BaseProvider, ModelInfo, ProviderConfig, ProviderType,

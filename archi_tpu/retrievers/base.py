@@ -11,7 +11,6 @@ from abc import ABC, abstractmethod
 from typing import Optional
 
 from archi_tpu.engine.vectorstore import TpuVectorStore
-from archi_tpu.utils.documents import Document
 
 
 class BaseRetriever(ABC):

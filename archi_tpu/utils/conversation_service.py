@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import time
-from typing import Any, Optional
+from typing import Optional
 
 from archi_tpu.utils.app_db import AppDatabase
 from archi_tpu.utils.timing import TimingRecorder

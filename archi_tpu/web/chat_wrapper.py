@@ -16,8 +16,7 @@ Mirrors the reference's ``ChatWrapper`` (``src/interfaces/chat_app/app.py:218``)
 from __future__ import annotations
 
 import threading
-import time
-from typing import Any, Iterator, Optional
+from typing import Iterator, Optional
 
 from archi_tpu.orchestrator.archi import Archi
 from archi_tpu.orchestrator.output import PipelineOutput

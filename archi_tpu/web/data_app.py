@@ -13,11 +13,8 @@ from __future__ import annotations
 
 import base64
 import threading
-from typing import Optional
 
-from archi_tpu.web.framework import (
-    App, Request, error_response, json_response,
-)
+from archi_tpu.web.framework import App, Request, error_response
 
 
 def create_data_app(

@@ -12,7 +12,6 @@ from __future__ import annotations
 import base64
 import threading
 import time
-from typing import Optional
 
 from archi_tpu.web.framework import App, Request, error_response
 
