@@ -26,6 +26,14 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: repeat runs (e.g. the driver's) skip the
+    # 1-2 min first-compile through the remote-compile tunnel
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/archi_tpu_jax_cache")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from archi_tpu.engine.topk import _on_tpu, topk_scores
