@@ -56,6 +56,18 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
     setup_logging(config.get("verbosity"))
     configure_providers(config.get("providers", {}))
 
+    # persistent jit compilation cache: service restarts skip first-compile
+    # (minutes through a remote-compile tunnel, tens of seconds otherwise)
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/archi_tpu_jax_cache"),
+        )
+    except Exception:
+        pass
+
     dm_cfg = config["data_manager"]
     data_path = dm_cfg["data_path"]
     os.makedirs(data_path, exist_ok=True)
