@@ -40,7 +40,9 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
 
         cm = ConfigurationManager(config_paths, overrides)
         url = resolve_engine_url(cm.config)
-        vs = RemoteVectorStore(url) if url else None
+        vs = RemoteVectorStore(
+            url, auth_token=os.environ.get("DATA_MANAGER_TOKEN")
+        ) if url else None
         ctx = build_context(config_paths, overrides, vectorstore=vs)
     ctx = ctx or build_context(config_paths, overrides)
     pipeline = ctx.config.get("active_pipeline", "QAPipeline")
@@ -62,6 +64,7 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
         catalog=ctx.catalog,
         app_db=ctx.app_db,
         data_manager_url=resolve_engine_url(ctx.config),
+        data_manager_token=os.environ.get("DATA_MANAGER_TOKEN"),
         jwt_secret=os.environ.get("JWT_SECRET"),
         require_auth=bool(os.environ.get("REQUIRE_AUTH")),
         frontend_html=FRONTEND_HTML,

@@ -15,6 +15,8 @@ from archi_tpu.web.data_app import create_data_app
 
 def build_app(config_paths=(), overrides=None, ctx=None,
               *, initial_ingestion: bool = True):
+    import os
+
     ctx = ctx or build_context(config_paths, overrides)
     dm = ctx.data_manager
     client = CatalogClient(ctx.catalog, dm.persistence)
@@ -23,6 +25,7 @@ def build_app(config_paths=(), overrides=None, ctx=None,
         scheduler=ctx.scheduler,
         catalog_client=client,
         config_service=ctx.config_service,
+        auth_token=os.environ.get("DATA_MANAGER_TOKEN"),
     )
     ctx.scheduler.start()
     if initial_ingestion:

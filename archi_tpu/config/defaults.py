@@ -18,7 +18,11 @@ DEFAULT_CONFIG: dict = {
     "name": "archi-tpu",
     "services": {
         "chat": {"enabled": True, "host": "0.0.0.0", "port": 7861},
-        "data_manager": {"enabled": True, "host": "0.0.0.0", "port": 7862},
+        # Loopback by default: the data app has no per-user auth of its own
+        # (the chat app proxies to it and enforces RBAC there), so binding
+        # 0.0.0.0 would bypass DATA_UPLOAD/DATA_DELETE entirely.  Set
+        # ``host: 0.0.0.0`` + DATA_MANAGER_TOKEN to expose it across hosts.
+        "data_manager": {"enabled": True, "host": "127.0.0.1", "port": 7862},
         "grader": {"enabled": False, "port": 7863},
         "piazza": {"enabled": False},
         "mattermost": {"enabled": False},

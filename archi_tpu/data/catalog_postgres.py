@@ -97,16 +97,34 @@ class _ParamStyleConnection:
     def __init__(self, conn):
         self._conn = conn
 
+    def _rollback(self):
+        # A failed statement leaves a non-autocommit DBAPI connection in an
+        # aborted-transaction state (psycopg2 InFailedSqlTransaction), which
+        # poisons every later statement on the shared connection.  Roll it
+        # back eagerly so one bad query can't wedge the whole service.
+        try:
+            self._conn.rollback()
+        except Exception:
+            pass
+
     def execute(self, sql: str, params=()):
         wrapped = _ParamStyleCursor(self._conn.cursor())
-        wrapped.execute(sql, params)
+        try:
+            wrapped.execute(sql, params)
+        except Exception:
+            self._rollback()
+            raise
         return wrapped
 
     def executescript(self, script: str):
         cur = self._conn.cursor()
-        for stmt in script.split(";"):
-            if stmt.strip():
-                cur.execute(stmt)
+        try:
+            for stmt in script.split(";"):
+                if stmt.strip():
+                    cur.execute(stmt)
+        except Exception:
+            self._rollback()
+            raise
         return cur
 
     def commit(self):
@@ -136,8 +154,15 @@ def connect_with_retry(dsn: str, *, attempts: int = 5,
                 import psycopg2
                 from psycopg2.extras import RealDictConnection
 
-                return psycopg2.connect(dsn,
-                                        connection_factory=RealDictConnection)
+                conn = psycopg2.connect(
+                    dsn, connection_factory=RealDictConnection)
+                # One statement = one transaction.  The services use the
+                # sqlite-style commit-per-write pattern, so transactional
+                # batching buys nothing here, while non-autocommit leaves
+                # reads idle-in-transaction and failed statements aborting
+                # the shared connection.
+                conn.autocommit = True
+                return conn
             return connect(dsn)
         except Exception as e:  # pragma: no cover - needs a server
             last = e

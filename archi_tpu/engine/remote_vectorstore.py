@@ -18,15 +18,17 @@ from archi_tpu.utils.documents import Document
 
 
 class RemoteVectorStore:
-    def __init__(self, base_url: str, *, timeout: float = 120.0):
+    def __init__(self, base_url: str, *, timeout: float = 120.0,
+                 auth_token: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self._headers = {"x-data-token": auth_token} if auth_token else {}
 
     def _post(self, path: str, payload: dict):
         import requests
 
         r = requests.post(f"{self.base_url}{path}", json=payload,
-                          timeout=self.timeout)
+                          headers=self._headers, timeout=self.timeout)
         r.raise_for_status()
         return r.json()
 
@@ -70,7 +72,7 @@ class RemoteVectorStore:
         import requests
 
         r = requests.get(f"{self.base_url}/api/query/count",
-                         timeout=self.timeout)
+                         headers=self._headers, timeout=self.timeout)
         r.raise_for_status()
         return int(r.json()["count"])
 

@@ -154,14 +154,32 @@ class _PgConnection:
     def __init__(self, conn):
         self._conn = conn
 
+    def _rollback(self):
+        # Failed statements abort a non-autocommit transaction and poison
+        # every later call on the shared connection; always roll back on
+        # error (real connections are opened autocommit — this protects
+        # injected/test connections too).
+        try:
+            self._conn.rollback()
+        except Exception:
+            pass
+
     def execute(self, sql: str, params=()):
-        return _PgCursor(self._conn).execute(sql, params)
+        try:
+            return _PgCursor(self._conn).execute(sql, params)
+        except Exception:
+            self._rollback()
+            raise
 
     def executescript(self, script: str):
         cur = self._conn.cursor()
-        for stmt in script.split(";"):
-            if stmt.strip():
-                cur.execute(stmt)
+        try:
+            for stmt in script.split(";"):
+                if stmt.strip():
+                    cur.execute(stmt)
+        except Exception:
+            self._rollback()
+            raise
 
     def commit(self):
         self._conn.commit()
@@ -187,6 +205,14 @@ class PostgresAppDatabase(AppDatabase):
         with self.lock:
             self.conn.executescript(_PG_SCHEMA)
             self.conn.commit()
+
+    def query(self, sql: str, params=()):
+        # End the implicit transaction after reads so non-autocommit
+        # connections don't sit idle-in-transaction between requests.
+        with self.lock:
+            rows = self.conn.execute(sql, params).fetchall()
+            self.conn.commit()
+            return rows
 
 
 def open_app_database(path_or_dsn: str) -> AppDatabase:

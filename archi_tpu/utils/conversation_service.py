@@ -85,6 +85,11 @@ class ConversationService:
         hist = [(r["sender"], r["content"]) for r in rows]
         return hist[-limit:] if limit else hist
 
+    def get_message(self, message_id: int) -> Optional[dict]:
+        rows = self.db.query("SELECT * FROM messages WHERE id=?",
+                             (message_id,))
+        return dict(rows[0]) if rows else None
+
     def get_messages(self, conversation_id: int) -> list[dict]:
         rows = self.db.query(
             "SELECT * FROM messages WHERE conversation_id=? ORDER BY id",
@@ -149,6 +154,11 @@ class ConversationService:
              model_b, time.time()),
         )
         return int(cur.lastrowid)
+
+    def get_ab_comparison(self, comparison_id: int) -> Optional[dict]:
+        rows = self.db.query("SELECT * FROM ab_comparisons WHERE id=?",
+                             (comparison_id,))
+        return dict(rows[0]) if rows else None
 
     def record_ab_preference(self, comparison_id: int,
                              preference: str) -> None:

@@ -31,6 +31,7 @@ def create_chat_app(
     catalog=None,
     app_db=None,
     data_manager_url: Optional[str] = None,
+    data_manager_token: Optional[str] = None,
     jwt_secret: Optional[str] = None,
     require_auth: bool = False,
     frontend_html: Optional[str] = None,
@@ -136,6 +137,20 @@ def create_chat_app(
                 conv["user_id"] != _uid(req):
             raise PermissionError("not your conversation")
 
+    def _check_message_ownership(req: Request, mid: int) -> None:
+        """Resolve message → conversation → owner.  Ids are sequential, so
+        without this any authenticated user could read/write other users'
+        per-message state by enumeration."""
+        msg = conversations.get_message(mid)
+        if msg is not None:
+            _check_ownership(req, msg["conversation_id"])
+
+    def _check_trace_ownership(req: Request, tid: int):
+        tr = traces.get_trace(tid)
+        if tr is not None and tr.get("conversation_id") is not None:
+            _check_ownership(req, tr["conversation_id"])
+        return tr
+
     @app.delete("/api/conversations/<cid>")
     def delete_convo(req: Request):
         _require(req, Permission.CHAT_HISTORY_DELETE)
@@ -190,8 +205,11 @@ def create_chat_app(
             return error_response("data manager not configured", 501)
         import requests as _rq
 
+        headers = {}
+        if data_manager_token:
+            headers["x-data-token"] = data_manager_token
         r = _rq.request(method, data_manager_url.rstrip("/") + path,
-                        json=json_body, timeout=300)
+                        json=json_body, headers=headers, timeout=300)
         return json_response(r.json(), r.status_code)
 
     @app.get("/api/dm/grouped")
@@ -223,42 +241,51 @@ def create_chat_app(
         _require(req, Permission.ADMIN_DB)
         if app_db is None:
             return error_response("app db not configured", 501)
-        sql = (req.json().get("sql") or "").strip()
-        if not sql.lower().startswith("select"):
-            return error_response("SELECT statements only", 400)
-        import sqlite3
-
+        sql = (req.json().get("sql") or "").strip().rstrip(";").strip()
+        # Single SELECT only: some DBAPI drivers (psycopg2) execute
+        # multi-statement strings, so 'select 1; update ...' would pass a
+        # prefix-only check and commit the write.
+        if not sql.lower().startswith("select") or ";" in sql:
+            return error_response("a single SELECT statement only", 400)
         try:
             rows = app_db.query(sql)
-        except sqlite3.Error as e:
+        except Exception as e:
             return error_response(f"query error: {e}", 400)
         return [dict(r) for r in rows[:500]]
 
     @app.post("/api/feedback")
     def feedback(req: Request):
+        _require(req, Permission.CHAT_USE)
         body = req.json()
+        mid = int(body["message_id"])
+        _check_message_ownership(req, mid)
         fid = conversations.add_feedback(
-            int(body["message_id"]), body.get("rating", "like"),
-            body.get("comment", ""),
+            mid, body.get("rating", "like"), body.get("comment", ""),
         )
         return {"feedback_id": fid}
 
     # ---------------------------------------------------------------- traces
     @app.get("/api/trace/<tid>")
     def get_trace(req: Request):
-        tr = traces.get_trace(int(req.path_params["tid"]))
+        _require(req, Permission.CHAT_HISTORY_READ)
+        tr = _check_trace_ownership(req, int(req.path_params["tid"]))
         if tr is None:
             return error_response("trace not found", 404)
         return tr
 
     @app.post("/api/cancel_stream")
     def cancel_stream(req: Request):
+        _require(req, Permission.CHAT_USE)
         tid = int(req.json()["trace_id"])
+        _check_trace_ownership(req, tid)
         return {"cancelled": traces.cancel(tid)}
 
     @app.get("/api/tool_calls/<mid>")
     def tool_calls(req: Request):
-        return traces.get_tool_calls(int(req.path_params["mid"]))
+        _require(req, Permission.CHAT_HISTORY_READ)
+        mid = int(req.path_params["mid"])
+        _check_message_ownership(req, mid)
+        return traces.get_tool_calls(mid)
 
     # --------------------------------------------------------------------- AB
     @app.post("/api/ab_compare")
@@ -272,10 +299,13 @@ def create_chat_app(
 
     @app.post("/api/ab_preference")
     def ab_preference(req: Request):
+        _require(req, Permission.CHAT_USE)
         body = req.json()
-        conversations.record_ab_preference(
-            int(body["comparison_id"]), body["preference"]
-        )
+        comp_id = int(body["comparison_id"])
+        comp = conversations.get_ab_comparison(comp_id)
+        if comp is not None and comp.get("conversation_id") is not None:
+            _check_ownership(req, comp["conversation_id"])
+        conversations.record_ab_preference(comp_id, body["preference"])
         return {"ok": True}
 
     # ------------------------------------------------------------- providers

@@ -23,9 +23,26 @@ def create_data_app(
     scheduler=None,
     catalog_client=None,
     config_service=None,
+    auth_token=None,
 ) -> App:
     app = App("data_manager")
     dm = data_manager
+
+    if auth_token:
+        # Shared-secret gate for non-loopback deployments: the chat app
+        # forwards the token on its /api/dm/* proxy; direct callers must
+        # present it too (the per-user RBAC lives on the chat app).
+        import hmac
+
+        def token_middleware(req: Request):
+            if req.path == "/healthz":
+                return None
+            supplied = req.headers.get("x-data-token", "")
+            if not hmac.compare_digest(supplied, auth_token):
+                return error_response("data token required", 401)
+            return None
+
+        app.use(token_middleware)
 
     def _run_ingestion_async():
         threading.Thread(
