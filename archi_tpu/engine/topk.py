@@ -58,19 +58,7 @@ def xla_topk(queries, corpus, bias, n_active, *, k=10):
     return vals, idx.astype(jnp.int32)
 
 
-def _on_tpu() -> bool:
-    """True when the default backend is real TPU hardware.
-
-    The platform may register as 'tpu' or (via tunneled plugins) 'axon', so
-    check the device kind too.
-    """
-    try:
-        if jax.default_backend() == "tpu":
-            return True
-        dev = jax.devices()[0]
-        return "TPU" in getattr(dev, "device_kind", "")
-    except Exception:  # pragma: no cover
-        return False
+from archi_tpu.utils.hardware import on_tpu as _on_tpu  # noqa: E402
 
 
 def topk_scores(queries, corpus, bias, n_active, *, k=10, impl="auto",

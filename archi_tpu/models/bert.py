@@ -106,27 +106,68 @@ def _layer_norm(x, scale, bias, eps):
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def _encoder_layer(x, mask_bias, lp, config: BertConfig):
-    """One post-LN BERT layer. x: [B, S, H]; mask_bias: [B, 1, 1, S] f32."""
+def _encoder_layer(x, key_bias, lp, config: BertConfig,
+                   attention_impl: str = "xla",
+                   attention_interpret: bool = False):
+    """One post-LN BERT layer.
+
+    x: [B, S, H]; key_bias: [B, S] f32 additive bias on key positions
+    (0 real, -1e9 padding).
+
+    The q/k/v projections emit a heads-first ``[B, nh, S, hd]`` layout
+    directly from the einsum (the transpose fuses into the matmul's output
+    write) so each (batch, head) slice is one contiguous block — what both
+    the fused Pallas attention kernel and the XLA batched-dot path want.
+    """
     b, s, h = x.shape
     nh, hd = config.num_heads, config.head_dim
     dt = x.dtype
 
-    def proj(w_, b_):
-        return (jnp.einsum("bsh,hk->bsk", x, w_.astype(dt)) + b_.astype(dt))
+    if attention_impl == "pallas":
+        # Fused kernel: the [S, S] softmax never touches HBM
+        # (archi_tpu.ops.pallas_attention).  The kernel wants the transposed
+        # [B, nh, hd, S] layout (sequence on lanes — hd is too small for the
+        # lane axis); the projections emit it directly so the transposes
+        # fuse into the matmul epilogues.
+        from archi_tpu.ops.pallas_attention import encoder_attention
 
-    q = proj(lp["q_w"], lp["q_b"]).reshape(b, s, nh, hd)
-    k = proj(lp["k_w"], lp["k_b"]).reshape(b, s, nh, hd)
-    v = proj(lp["v_w"], lp["v_b"]).reshape(b, s, nh, hd)
+        def proj_t(w_, b_):
+            return (
+                jnp.einsum("bsh,hnd->bnds", x,
+                           w_.astype(dt).reshape(h, nh, hd))
+                + b_.astype(dt).reshape(nh, hd)[None, :, :, None]
+            )
 
-    # [B, nh, S, S] logits in f32 for a stable softmax.
-    logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
-                        preferred_element_type=jnp.float32)
-    logits = logits / np.sqrt(hd) + mask_bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
+        ctx_t = encoder_attention(
+            proj_t(lp["q_w"], lp["q_b"]),
+            proj_t(lp["k_w"], lp["k_b"]),
+            proj_t(lp["v_w"], lp["v_b"]),
+            key_bias,
+            sm_scale=float(1.0 / np.sqrt(hd)),
+            interpret=attention_interpret,
+        )
+        attn_out = jnp.einsum("bnds,ndh->bsh", ctx_t,
+                              lp["o_w"].astype(dt).reshape(nh, hd, h))
+    else:
+        def proj(w_, b_):
+            return (
+                jnp.einsum("bsh,hnd->bnsd", x,
+                           w_.astype(dt).reshape(h, nh, hd))
+                + b_.astype(dt).reshape(nh, hd)[None, :, None, :]
+            )
 
-    attn_out = jnp.einsum("bsh,hk->bsk", ctx, lp["o_w"].astype(dt)) + lp["o_b"].astype(dt)
+        q = proj(lp["q_w"], lp["q_b"])
+        k = proj(lp["k_w"], lp["k_b"])
+        v = proj(lp["v_w"], lp["v_b"])
+        # [B, nh, S, S] logits in f32 for a stable softmax.
+        logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(hd) + key_bias[:, None, None, :]
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+        attn_out = jnp.einsum("bnsd,ndh->bsh", ctx,
+                              lp["o_w"].astype(dt).reshape(nh, hd, h))
+    attn_out = attn_out + lp["o_b"].astype(dt)
     x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"],
                     config.layer_norm_eps)
 
@@ -138,12 +179,14 @@ def _encoder_layer(x, mask_bias, lp, config: BertConfig):
 
 
 def encode(params: dict, input_ids, attention_mask, config: BertConfig,
-           *, compute_dtype=jnp.float32, token_type_ids=None):
+           *, compute_dtype=jnp.float32, token_type_ids=None,
+           attention_impl: str = "xla", attention_interpret: bool = False):
     """Forward pass → pooled, (optionally) L2-normalized embeddings.
 
     Args:
       input_ids: [B, S] int32.
       attention_mask: [B, S] {0,1}.
+      attention_impl: "xla" (portable) or "pallas" (fused TPU kernel).
     Returns:
       [B, H] f32 embeddings.
     """
@@ -158,10 +201,11 @@ def encode(params: dict, input_ids, attention_mask, config: BertConfig,
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
     x = x.astype(compute_dtype)
 
-    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    key_bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
 
     def body(carry, lp):
-        return _encoder_layer(carry, mask_bias, lp, config), None
+        return _encoder_layer(carry, key_bias, lp, config,
+                              attention_impl, attention_interpret), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
 
@@ -179,7 +223,9 @@ def encode(params: dict, input_ids, attention_mask, config: BertConfig,
 
 
 def encode_tokens(params, input_ids, attention_mask, config: BertConfig,
-                  *, compute_dtype=jnp.float32, token_type_ids=None):
+                  *, compute_dtype=jnp.float32, token_type_ids=None,
+                  attention_impl: str = "xla",
+                  attention_interpret: bool = False):
     """Forward pass → per-token hidden states [B, S, H] f32 (no pooling).
 
     Used by rerankers / late-interaction retrieval.
@@ -194,10 +240,11 @@ def encode_tokens(params, input_ids, attention_mask, config: BertConfig,
         x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
     x = x.astype(compute_dtype)
-    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    key_bias = (1.0 - attention_mask.astype(jnp.float32)) * -1e9
 
     def body(carry, lp):
-        return _encoder_layer(carry, mask_bias, lp, config), None
+        return _encoder_layer(carry, key_bias, lp, config,
+                              attention_impl, attention_interpret), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x.astype(jnp.float32)

@@ -60,6 +60,7 @@ class JaxEmbedder:
         pooling: str | None = None,
         mesh: jax.sharding.Mesh | None = None,
         batch_axis: str = "data",
+        attention_impl: str | None = None,
     ):
         if pooling is None:
             # bge-family checkpoints use CLS pooling; MiniLM et al. mean-pool
@@ -82,6 +83,13 @@ class JaxEmbedder:
         self.instruction_prefix = instruction_prefix
         self.mesh = mesh
         self.batch_axis = batch_axis
+        if attention_impl is None:
+            # Fused Pallas attention on real TPU hardware; portable XLA
+            # attention everywhere else (CPU mesh tests, interpreters).
+            from archi_tpu.utils.hardware import on_tpu
+
+            attention_impl = "pallas" if on_tpu() else "xla"
+        self.attention_impl = attention_impl
         if mesh is not None:
             bspec = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec(batch_axis)
@@ -90,14 +98,16 @@ class JaxEmbedder:
             self.params = jax.device_put(self.params, rspec)
             self._fwd = jax.jit(
                 functools.partial(encode, config=self.config,
-                                  compute_dtype=compute_dtype),
+                                  compute_dtype=compute_dtype,
+                                  attention_impl=attention_impl),
                 in_shardings=(rspec, bspec, bspec),
                 out_shardings=bspec,
             )
         else:
             self._fwd = jax.jit(
                 functools.partial(encode, config=self.config,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  attention_impl=attention_impl)
             )
 
     @property

@@ -136,3 +136,49 @@ def test_tokenizer_punctuation_and_case():
     toks = tok.tokenize("Punct, test!")
     assert "," in toks and "!" in toks
     assert all(t == t.lower() for t in toks if t.isalpha())
+
+
+def test_pallas_attention_matches_xla(rng):
+    """Fused Pallas attention (interpret mode on CPU) vs the XLA path."""
+    config = BertConfig(
+        vocab_size=200, hidden_size=64, num_layers=2, num_heads=2,
+        intermediate_size=128, max_position_embeddings=64,
+    )
+    params = init_params(config, seed=2)
+    ids = rng.integers(0, 200, (3, 24)).astype(np.int32)
+    mask = np.ones((3, 24), np.int32)
+    mask[1, 12:] = 0  # padding in the middle of the batch
+    ref = np.asarray(encode(params, ids, mask, config, attention_impl="xla"))
+    fused = np.asarray(encode(params, ids, mask, config,
+                              attention_impl="pallas",
+                              attention_interpret=True))
+    np.testing.assert_allclose(fused, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_attention_kernel_direct(rng):
+    """Kernel-level parity on raw q/k/v with a key-side padding bias."""
+    import jax.numpy as jnp
+
+    from archi_tpu.ops.pallas_attention import encoder_attention
+
+    b, nh, s, hd = 2, 4, 32, 16
+    q = rng.standard_normal((b, nh, s, hd)).astype(np.float32)
+    k = rng.standard_normal((b, nh, s, hd)).astype(np.float32)
+    v = rng.standard_normal((b, nh, s, hd)).astype(np.float32)
+    bias = np.zeros((b, s), np.float32)
+    bias[0, 20:] = -1e9
+    scale = 1.0 / np.sqrt(hd)
+
+    logits = np.einsum("bnqd,bnkd->bnqk", q, k) * scale + bias[:, None, None, :]
+    logits -= logits.max(-1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bnqk,bnkd->bnqd", p, v)
+
+    # kernel consumes/produces the transposed [B, nh, hd, S] layout
+    t = (0, 1, 3, 2)
+    got_t = np.asarray(encoder_attention(
+        jnp.asarray(q.transpose(t)), jnp.asarray(k.transpose(t)),
+        jnp.asarray(v.transpose(t)), jnp.asarray(bias),
+        sm_scale=float(scale), interpret=True))
+    np.testing.assert_allclose(got_t.transpose(t), want, rtol=1e-5, atol=1e-5)
