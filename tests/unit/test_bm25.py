@@ -118,3 +118,76 @@ def test_large_postings_chunking():
     assert (s[:n] > 0).all()
     np.testing.assert_allclose(s[:n], s[0], rtol=1e-6)
     assert (s[n:] == 0).all()
+
+
+def test_incremental_adds_are_delta_flushes_and_exact():
+    """Ingest batches after the first build must NOT trigger full rebuilds
+    (VERDICT r1 weak #4), and scores must stay exact vs a fresh index."""
+    docs0 = [f"alpha beta common{i % 3} filler{i}" for i in range(40)]
+    inc = BM25Index()
+    inc.add(list(range(40)), docs0)
+    _ = inc.scores("alpha common0", 128)
+    builds_after_first = inc.full_builds
+    assert builds_after_first == 1
+
+    docs1 = [f"alpha gamma common{i % 3} extra{i}" for i in range(40, 70)]
+    inc.add(list(range(40, 70)), docs1)
+    s_inc = np.asarray(inc.scores("alpha common0 gamma", 128))
+    assert inc.full_builds == builds_after_first  # delta flush, no rebuild
+    assert inc.delta_flushes >= 1
+
+    fresh = BM25Index()
+    fresh.add(list(range(70)), docs0 + docs1)
+    s_fresh = np.asarray(fresh.scores("alpha common0 gamma", 128))
+    # exact: idf/avgdl enter at query time, so the delta path must match a
+    # from-scratch build bit-for-bit-ish
+    np.testing.assert_allclose(s_inc, s_fresh, rtol=1e-6, atol=1e-7)
+
+
+def test_many_small_batches_stay_exact():
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+            for _ in range(120)]
+    inc = BM25Index()
+    for start in range(0, 120, 10):
+        inc.add(list(range(start, start + 10)), docs[start:start + 10])
+        _ = inc.scores(docs[0], 256)  # query between every batch
+    fresh = BM25Index()
+    fresh.add(list(range(120)), docs)
+    for q in (docs[0], "w1 w2 w3", docs[115]):
+        np.testing.assert_allclose(
+            np.asarray(inc.scores(q, 256)),
+            np.asarray(fresh.scores(q, 256)), rtol=1e-6, atol=1e-7)
+    assert inc.full_builds == 1 and inc.delta_flushes >= 10
+
+
+def test_rebuild_after_flush_limit_and_remove():
+    from archi_tpu.engine import bm25 as bm25_mod
+
+    inc = BM25Index()
+    inc.add([0, 1], ["one common", "two common"])
+    _ = inc.scores("common", 64)
+    # removal invalidates rows -> full rebuild on next query
+    inc.remove([0])
+    s = np.asarray(inc.scores("one common", 64))
+    assert inc.full_builds == 2
+    assert s[0] == 0.0 and s[1] > 0.0
+    # flush-limit compaction
+    old = bm25_mod.REBUILD_FLUSHES
+    try:
+        bm25_mod.REBUILD_FLUSHES = 3
+        idx = BM25Index()
+        for i in range(5):
+            idx.add([10 + i], [f"doc number{i} common"])
+            _ = idx.scores("common", 64)
+        assert idx.full_builds >= 2  # compacted at the flush limit
+        fresh = BM25Index()
+        fresh.add([10 + i for i in range(5)],
+                  [f"doc number{i} common" for i in range(5)])
+        np.testing.assert_allclose(
+            np.asarray(idx.scores("common number3", 64)),
+            np.asarray(fresh.scores("common number3", 64)),
+            rtol=1e-6, atol=1e-7)
+    finally:
+        bm25_mod.REBUILD_FLUSHES = old
