@@ -32,26 +32,87 @@ def synthetic_corpus(n: int, d: int, *, clustered: bool = True,
     return x
 
 
+def synthetic_corpus_device(n: int, d: int, *, clustered: bool = True,
+                            n_clusters: int = 1024, seed: int = 0,
+                            dtype=None, chunk: int = 1 << 20):
+    """Clustered corpus generated ON DEVICE (normalized) — at 8M x 384 a
+    host corpus would cost ~12 GB through the axon relay; here nothing is
+    uploaded.  Chunked writes into a donated buffer bound peak HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(seed)
+    centers = jax.random.normal(jax.random.fold_in(key, 0), (n_clusters, d),
+                                jnp.float32)
+
+    @jax.jit
+    def gen_chunk(ckey, m_start):
+        ka, kb = jax.random.split(ckey)
+        assign = jax.random.randint(ka, (chunk,), 0, n_clusters)
+        v = centers[assign]
+        if clustered:
+            v = v + 0.3 * jax.random.normal(kb, (chunk, d), jnp.float32)
+        else:
+            v = jax.random.normal(kb, (chunk, d), jnp.float32)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        return v.astype(dtype)
+
+    write = jax.jit(
+        lambda buf, v, off: jax.lax.dynamic_update_slice(buf, v, (off, 0)),
+        donate_argnums=0)
+    buf = jnp.zeros((n, d), dtype)
+    for i, off in enumerate(range(0, n, chunk)):
+        v = gen_chunk(jax.random.fold_in(key, 100 + i), off)
+        m = min(chunk, n - off)
+        buf = write(buf, v[:m] if m < chunk else v, jnp.int32(off))
+    return buf
+
+
 def run_sweep(n: int = 1 << 18, d: int = 384, *, nlist: int = 512,
               block: int = 512, nprobes=(4, 16, 64, 256), n_queries: int = 64,
               k: int = 10, clustered: bool = True, iters: int = 10,
-              seed: int = 0) -> list[dict]:
+              seed: int = 0, device: bool = False) -> list[dict]:
     from archi_tpu.engine.ivf_index import IVFIndex
 
-    x = synthetic_corpus(n, d, clustered=clustered, seed=seed)
-    rng = np.random.default_rng(seed + 1)
-    q_idx = rng.choice(n, n_queries, replace=False)
-    queries = x[q_idx] + 0.05 * rng.standard_normal(
-        (n_queries, d)).astype(np.float32)
+    if device:
+        import jax.numpy as jnp
 
-    # exact ground truth (host brute force)
-    ref = queries @ x.T
-    ref_top = np.argsort(-ref, axis=1)[:, :k]
+        from archi_tpu.engine.topk import topk_scores
 
-    t0 = time.time()
-    ivf = IVFIndex.build(x, list(range(n)), nlist=nlist, block=block,
-                         iters=iters, seed=seed)
-    build_s = time.time() - t0
+        x_dev = synthetic_corpus_device(n, d, clustered=clustered, seed=seed)
+        rng = np.random.default_rng(seed + 1)
+        q_idx = np.sort(rng.choice(n, n_queries, replace=False))
+        queries = np.array(x_dev[jnp.asarray(q_idx)].astype(jnp.float32))
+        queries += 0.05 * rng.standard_normal((n_queries, d)).astype(
+            np.float32)
+        queries /= np.maximum(
+            np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        # exact ground truth on device (the engine's own exact scan)
+        bias = jnp.zeros((n,), jnp.float32)
+        _v, ref_top = topk_scores(jnp.asarray(queries), x_dev, bias, n, k=k)
+        ref_top = np.asarray(ref_top)
+        t0 = time.time()
+        ivf = IVFIndex.build_device(x_dev, nlist=nlist, block=block,
+                                    iters=iters, seed=seed)
+        build_s = time.time() - t0
+        del x_dev
+    else:
+        x = synthetic_corpus(n, d, clustered=clustered, seed=seed)
+        rng = np.random.default_rng(seed + 1)
+        q_idx = rng.choice(n, n_queries, replace=False)
+        queries = x[q_idx] + 0.05 * rng.standard_normal(
+            (n_queries, d)).astype(np.float32)
+
+        # exact ground truth (host brute force)
+        ref = queries @ x.T
+        ref_top = np.argsort(-ref, axis=1)[:, :k]
+
+        t0 = time.time()
+        ivf = IVFIndex.build(x, list(range(n)), nlist=nlist, block=block,
+                             iters=iters, seed=seed)
+        build_s = time.time() - t0
 
     results = []
     for nprobe in nprobes:
@@ -87,11 +148,14 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--uniform", action="store_true",
                     help="worst-case uniform random corpus")
+    ap.add_argument("--device", action="store_true",
+                    help="generate corpus + build on device (8M-scale)")
     args = ap.parse_args()
     run_sweep(
         args.n, args.d, nlist=args.nlist, block=args.block,
         nprobes=[int(p) for p in args.nprobe.split(",")],
         n_queries=args.queries, k=args.k, clustered=not args.uniform,
+        device=args.device,
     )
 
 

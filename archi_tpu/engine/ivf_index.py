@@ -94,13 +94,20 @@ class IVFIndex:
         self.block_rows_valid = jnp.asarray(
             (self.block_rows >= 0).astype(np.float32))
         self.cell_blocks = jnp.asarray(cell_blocks, jnp.int32)
-        self._ids = list(ids)
+        # ids=None → identity mapping (row IS the id); avoids materializing
+        # an 8M-entry python list for synthetic/benchmark corpora.
+        self._ids = list(ids) if ids is not None else None
+        self._n_rows = int((self.block_rows >= 0).sum()) if ids is None \
+            else len(self._ids)
         self.nlist = self.centroids.shape[0]
         self.block = self.blocks.shape[1]
         self.dim = self.blocks.shape[2]
 
+    def _id_of(self, row: int):
+        return self._ids[row] if self._ids is not None else row
+
     def __len__(self) -> int:
-        return len(self._ids)
+        return self._n_rows
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -139,6 +146,45 @@ class IVFIndex:
             np.asarray(centroids), np.stack(blocks_list),
             np.stack(rows_list), cb, ids, dtype=dtype,
         )
+
+    @classmethod
+    def build_device(cls, x, ids=None, *, nlist: int = 1024,
+                     block: int = 512, iters: int = 10, seed: int = 0,
+                     dtype=jnp.bfloat16):
+        """Build from a DEVICE-resident normalized corpus ``x [N, D]``.
+
+        The host-side ``build`` uploads the full corpus twice (k-means input
+        + reordered blocks) — ~26 GB through the axon relay at 8M x 384.
+        Here only the 4-byte/row assignment vector round-trips: k-means runs
+        on the already-resident corpus, the host computes the
+        cell-contiguous block layout from the assignments (vectorized
+        argsort), and the reorder is ONE device gather.
+        """
+        x = jnp.asarray(x)
+        n, d = x.shape
+        nlist = max(1, min(nlist, n))
+        centroids, assign = kmeans(x, nlist, iters=iters, seed=seed)
+        assign_h = np.asarray(assign)
+        counts = np.bincount(assign_h, minlength=nlist)
+        order = np.argsort(assign_h, kind="stable")   # rows cell-contiguous
+        bpc = np.maximum(-(-counts // block), 1)      # blocks per cell (>=1)
+        n_blocks = int(bpc.sum())
+        block_first = np.concatenate([[0], np.cumsum(bpc)])
+        src_off = np.concatenate([[0], np.cumsum(counts)])
+        gather = np.full((n_blocks * block,), -1, np.int64)
+        for c in range(nlist):  # nlist iterations, each a vectorized slice
+            cnt = int(counts[c])
+            dst = int(block_first[c]) * block
+            gather[dst: dst + cnt] = order[src_off[c]: src_off[c] + cnt]
+        cb = np.full((nlist, int(bpc.max())), -1, np.int32)
+        for c in range(nlist):
+            cb[c, : bpc[c]] = np.arange(block_first[c], block_first[c + 1])
+        safe = jnp.asarray(np.where(gather >= 0, gather, 0))
+        blocks = jax.jit(
+            lambda xx, ss: xx[ss].reshape(n_blocks, block, d).astype(dtype)
+        )(x, safe)
+        block_rows = gather.reshape(n_blocks, block)
+        return cls(centroids, blocks, block_rows, cb, ids, dtype=dtype)
 
     @classmethod
     def from_flat(cls, flat_index, **kw):
@@ -184,7 +230,7 @@ class IVFIndex:
             for j, g in enumerate(gpos[b]):
                 orig = int(flat_rows[g]) if vals[b, j] > -1e29 else -1
                 rows_out[b, j] = orig
-                row_ids.append(self._ids[orig] if orig >= 0 else None)
+                row_ids.append(self._id_of(orig) if orig >= 0 else None)
             ids_out.append(row_ids)
         return ids_out, vals, rows_out
 
@@ -197,7 +243,8 @@ class IVFIndex:
             blocks=np.asarray(self.blocks.astype(jnp.float32)),
             block_rows=self.block_rows,
             cell_blocks=np.asarray(self.cell_blocks),
-            meta=json.dumps({"ids": [str(i) for i in self._ids]}),
+            meta=json.dumps({"ids": None if self._ids is None
+                             else [str(i) for i in self._ids]}),
         )
 
     @classmethod

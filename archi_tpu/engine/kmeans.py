@@ -25,7 +25,7 @@ def _assign(x, centroids, *, k):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _update(x, assign, *, k):
-    sums = jax.ops.segment_sum(x, assign, num_segments=k)
+    sums = jax.ops.segment_sum(x.astype(jnp.float32), assign, num_segments=k)
     counts = jax.ops.segment_sum(
         jnp.ones((x.shape[0],), jnp.float32), assign, num_segments=k
     )
@@ -49,12 +49,15 @@ def kmeans(
     x must be L2-normalized (cosine k-means).  Large N is processed in
     device batches so HBM holds at most one batch + centroids.
     """
-    x = jnp.asarray(x, jnp.float32)
+    # keep x in its stored dtype (bf16 corpora stay 2 bytes/elem in HBM —
+    # an 8M x 384 corpus as f32 would not leave room for the IVF blocks);
+    # matmuls accumulate in f32, segment sums cast per batch.
+    x = jnp.asarray(x)
     n, d = x.shape
     k = min(k, n)
     rng = np.random.default_rng(seed)
     init_idx = rng.choice(n, size=k, replace=False)
-    centroids = x[jnp.asarray(np.sort(init_idx))]
+    centroids = x[jnp.asarray(np.sort(init_idx))].astype(jnp.float32)
 
     n_batches = max(1, int(np.ceil(n / batch)))
     for _ in range(iters):
@@ -67,7 +70,8 @@ def kmeans(
             for b in range(n_batches):
                 xb = x[b * batch:(b + 1) * batch]
                 ab = _assign(xb, centroids, k=k)
-                sums = sums + jax.ops.segment_sum(xb, ab, num_segments=k)
+                sums = sums + jax.ops.segment_sum(
+                    xb.astype(jnp.float32), ab, num_segments=k)
                 counts = counts + jax.ops.segment_sum(
                     jnp.ones((xb.shape[0],), jnp.float32), ab,
                     num_segments=k,
