@@ -54,6 +54,10 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
         byok_resolver=ctx.byok_resolver,
         catalog=ctx.catalog,
     )
+    from archi_tpu.pipelines.agents.agent_spec import AgentStore
+
+    agents_dir = os.path.join(
+        ctx.config["data_manager"]["data_path"], "agents")
     app = create_chat_app(
         chat_wrapper=wrapper,
         conversations=ctx.conversations,
@@ -63,6 +67,8 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
         byok_store=ctx.byok_store,
         catalog=ctx.catalog,
         app_db=ctx.app_db,
+        agent_store=AgentStore(agents_dir),
+        prompt_service=ctx.prompts,
         data_manager_url=resolve_engine_url(ctx.config),
         data_manager_token=os.environ.get("DATA_MANAGER_TOKEN"),
         jwt_secret=os.environ.get("JWT_SECRET"),

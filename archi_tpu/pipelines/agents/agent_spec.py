@@ -72,3 +72,67 @@ class AgentSpec:
         if self.model:
             front["model"] = self.model
         return f"---\n{yaml.safe_dump(front)}---\n\n{self.prompt}\n"
+
+
+AGENT_TEMPLATE = """---
+name: my-agent
+description: One-line purpose of this agent.
+tools: [retriever]
+# model: openai/gpt-4o        # optional per-agent model override
+---
+
+You are a helpful assistant for <domain>. Use the available tools to
+ground every answer in retrieved documents, and cite your sources.
+"""
+
+
+class AgentStore:
+    """Directory-backed agent registry with CRUD — the storage behind the
+    chat app's agents HTTP API (reference agents CRUD
+    ``src/interfaces/chat_app/app.py:2840-3111`` and agent template/save
+    ``chat_app/api.py:815,835``).  Specs are markdown files so they remain
+    hand-editable and versionable, like the reference's ``examples/agents``.
+    """
+
+    _NAME_RE = __import__("re").compile(r"^[a-zA-Z0-9][a-zA-Z0-9._-]{0,63}$")
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if not self._NAME_RE.match(name):
+            raise ValueError(f"invalid agent name: {name!r}")
+        return os.path.join(self.directory, f"{name}.md")
+
+    def list(self) -> list[AgentSpec]:
+        return list(AgentSpec.discover(self.directory).values())
+
+    def get(self, name: str) -> Optional[AgentSpec]:
+        path = self._path(name)
+        return AgentSpec.from_file(path) if os.path.isfile(path) else None
+
+    def save(self, spec: AgentSpec) -> AgentSpec:
+        path = self._path(spec.name)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(spec.to_markdown())
+        spec.source_path = path
+        return spec
+
+    def save_markdown(self, text: str) -> AgentSpec:
+        """Save a raw markdown spec (the /api/v2/agent/save analog)."""
+        spec = AgentSpec.from_markdown(text)
+        if not spec.name or not spec.prompt:
+            raise ValueError("agent spec needs a name and a prompt body")
+        return self.save(spec)
+
+    def delete(self, name: str) -> bool:
+        path = self._path(name)
+        if os.path.isfile(path):
+            os.remove(path)
+            return True
+        return False
+
+    @staticmethod
+    def template() -> str:
+        return AGENT_TEMPLATE

@@ -22,6 +22,7 @@ CREATE TABLE IF NOT EXISTS users (
     name TEXT DEFAULT '',
     roles TEXT DEFAULT '[]',
     preferences TEXT DEFAULT '{}',
+    password_hash TEXT,
     created_at REAL
 );
 CREATE TABLE IF NOT EXISTS conversations (
@@ -122,6 +123,17 @@ class AppDatabase:
         with self.lock:
             self.conn.executescript(_SCHEMA)
             self.conn.commit()
+            self._migrate()
+
+    def _migrate(self) -> None:
+        """Additive column migrations for databases created by older
+        schemas (the reference's migration_state analog for the app DB)."""
+        try:
+            self.conn.execute(
+                "ALTER TABLE users ADD COLUMN password_hash TEXT")
+            self.conn.commit()
+        except Exception:
+            pass  # column already exists
 
     def execute(self, sql: str, params=()) -> sqlite3.Cursor:
         with self.lock:

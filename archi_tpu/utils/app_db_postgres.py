@@ -23,6 +23,7 @@ CREATE TABLE IF NOT EXISTS users (
     name TEXT DEFAULT '',
     roles TEXT DEFAULT '[]',
     preferences TEXT DEFAULT '{}',
+    password_hash TEXT,
     created_at DOUBLE PRECISION
 );
 CREATE TABLE IF NOT EXISTS conversations (

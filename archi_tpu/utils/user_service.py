@@ -35,6 +35,7 @@ class UserService:
         if not rows:
             return None
         d = dict(rows[0])
+        d.pop("password_hash", None)  # never serve the hash
         d["roles"] = json.loads(d["roles"] or "[]")
         d["preferences"] = json.loads(d["preferences"] or "{}")
         return d
@@ -46,6 +47,23 @@ class UserService:
     def list_users(self) -> list[dict]:
         return [self.get_user(r["email"])
                 for r in self.db.query("SELECT email FROM users")]
+
+    # -------------------------------------------------------------- passwords
+    def set_password(self, email: str, password: str) -> None:
+        from archi_tpu.utils.sessions import hash_password
+
+        self.create_user(email)
+        self.db.execute("UPDATE users SET password_hash=? WHERE email=?",
+                        (hash_password(password), email))
+
+    def verify_password(self, email: str, password: str) -> bool:
+        from archi_tpu.utils.sessions import verify_password
+
+        rows = self.db.query(
+            "SELECT password_hash FROM users WHERE email=?", (email,))
+        if not rows or not rows[0]["password_hash"]:
+            return False
+        return verify_password(password, rows[0]["password_hash"])
 
     # ------------------------------------------------------------------ roles
     def set_roles(self, email: str, roles: list[str]) -> None:

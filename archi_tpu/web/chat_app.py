@@ -11,6 +11,7 @@ providers/BYOK (``:2205-2211,3113-3416``), config + audit
 
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 from archi_tpu.utils.rbac.jwt_parser import extract_identity
@@ -30,6 +31,10 @@ def create_chat_app(
     byok_store=None,
     catalog=None,
     app_db=None,
+    agent_store=None,
+    prompt_service=None,
+    session_service=None,
+    oauth_exchange=None,
     data_manager_url: Optional[str] = None,
     data_manager_token: Optional[str] = None,
     jwt_secret: Optional[str] = None,
@@ -37,6 +42,14 @@ def create_chat_app(
     frontend_html: Optional[str] = None,
 ) -> App:
     app = App("chat")
+    if session_service is None and user_service is not None:
+        from archi_tpu.utils.sessions import SessionService
+
+        session_service = SessionService(jwt_secret)
+
+    # auth endpoints must stay reachable without a session, or nobody can
+    # ever log in under require_auth
+    _AUTH_OPEN = ("/api/auth/login", "/api/auth/callback")
 
     # ------------------------------------------------------------------ auth
     def auth_middleware(req: Request) -> Optional[Response]:
@@ -45,20 +58,32 @@ def create_chat_app(
             or None
         )
         identity = None
-        if token:
+        # 1) session cookie (issued by /api/auth/login or the OAuth callback)
+        if session_service is not None:
+            from archi_tpu.utils.sessions import SessionService as _SS
+
+            stoken = _SS.token_from_cookie_header(
+                req.headers.get("cookie", ""))
+            if stoken:
+                email = session_service.verify(stoken)
+                if email:
+                    identity = {"email": email, "name": "", "roles": ["user"]}
+        # 2) bearer / JWT header
+        if identity is None and token:
             try:
                 identity = extract_identity(token, jwt_secret)
             except ValueError as e:
                 return error_response(f"invalid token: {e}", 401)
-        elif req.headers.get("x-user-email") and not require_auth \
-                and jwt_secret is None:
+        elif identity is None and req.headers.get("x-user-email") \
+                and not require_auth and jwt_secret is None:
             # dev-mode identity header; NEVER trusted once real auth (JWT
             # secret or require_auth) is configured — it would be a trivial
             # impersonation vector otherwise.
             identity = {"email": req.headers["x-user-email"],
                         "name": "", "roles": ["user"]}
         if identity is None:
-            if require_auth and req.path.startswith("/api/"):
+            if require_auth and req.path.startswith("/api/") \
+                    and req.path not in _AUTH_OPEN:
                 return error_response("authentication required", 401)
             identity = {"email": None, "name": "", "roles": ["user"]}
         if user_service is not None and identity.get("email"):
@@ -306,6 +331,186 @@ def create_chat_app(
         if comp is not None and comp.get("conversation_id") is not None:
             _check_ownership(req, comp["conversation_id"])
         conversations.record_ab_preference(comp_id, body["preference"])
+        return {"ok": True}
+
+    # ------------------------------------------------------------------ auth
+    # Session establishment (reference OAuth/SSO login flow,
+    # app.py:2293-2459,2486-2572): password login + OAuth-shaped callback,
+    # both issuing the signed session cookie the middleware honors.
+    @app.post("/api/auth/login")
+    def auth_login(req: Request):
+        if session_service is None or user_service is None:
+            return error_response("sessions not configured", 501)
+        body = req.json()
+        email = (body.get("email") or "").strip()
+        if not email or not user_service.verify_password(
+                email, body.get("password") or ""):
+            return error_response("invalid credentials", 401)
+        token = session_service.create(email)
+        return Response(
+            json.dumps({"ok": True, "email": email}), 200,
+            "application/json",
+            headers={"Set-Cookie": session_service.cookie_header(token)},
+        )
+
+    @app.get("/api/auth/callback")
+    def auth_callback(req: Request):
+        """OAuth-shaped: exchanges ?code= for an identity via the injected
+        exchanger (a real IdP integration plugs in here)."""
+        if session_service is None or oauth_exchange is None:
+            return error_response("oauth not configured", 501)
+        code = req.param("code")
+        if not code:
+            return error_response("missing code", 400)
+        ident = oauth_exchange(code)
+        if not ident or not ident.get("email"):
+            return error_response("code exchange failed", 401)
+        if user_service is not None:
+            user_service.create_user(ident["email"],
+                                     name=ident.get("name", ""))
+        token = session_service.create(ident["email"])
+        return Response(
+            b"", 302, "text/plain",
+            headers={"Location": "/",
+                     "Set-Cookie": session_service.cookie_header(token)},
+        )
+
+    @app.post("/api/auth/logout")
+    def auth_logout(req: Request):
+        from archi_tpu.utils.sessions import SessionService as _SS
+
+        return Response(
+            json.dumps({"ok": True}), 200, "application/json",
+            headers={"Set-Cookie": _SS.clear_cookie_header()},
+        )
+
+    @app.get("/api/auth/session")
+    def auth_session(req: Request):
+        return req.context["identity"]
+
+    @app.post("/api/auth/password")
+    def auth_set_password(req: Request):
+        """Set/update own password (admin may set others')."""
+        if user_service is None:
+            return error_response("users not configured", 501)
+        body = req.json()
+        me = req.context["identity"].get("email")
+        target = body.get("email") or me
+        if not me:
+            return error_response("authentication required", 401)
+        if target != me:
+            _require(req, Permission.ADMIN_USERS)
+        if not body.get("password"):
+            raise ValueError("missing 'password'")
+        user_service.set_password(target, body["password"])
+        return {"ok": True}
+
+    # ----------------------------------------------------------------- agents
+    # Agents CRUD + template/save (reference app.py:2840-3111,
+    # api.py:815,835).
+    @app.get("/api/agents")
+    def list_agents(req: Request):
+        _require(req, Permission.AGENTS_USE)
+        if agent_store is None:
+            return []
+        return [{"name": s.name, "description": s.description,
+                 "tools": s.tools, "model": s.model}
+                for s in agent_store.list()]
+
+    @app.get("/api/agents/<name>")
+    def get_agent(req: Request):
+        _require(req, Permission.AGENTS_USE)
+        if agent_store is None:
+            return error_response("agents not configured", 501)
+        spec = agent_store.get(req.path_params["name"])
+        if spec is None:
+            return error_response("agent not found", 404)
+        return {"name": spec.name, "description": spec.description,
+                "tools": spec.tools, "model": spec.model,
+                "prompt": spec.prompt, "markdown": spec.to_markdown()}
+
+    @app.post("/api/agents")
+    def save_agent(req: Request):
+        _require(req, Permission.AGENTS_MANAGE)
+        if agent_store is None:
+            return error_response("agents not configured", 501)
+        from archi_tpu.pipelines.agents.agent_spec import AgentSpec
+
+        body = req.json()
+        if not body.get("name") or not body.get("prompt"):
+            raise ValueError("agent needs 'name' and 'prompt'")
+        spec = AgentSpec(
+            name=body["name"], description=body.get("description", ""),
+            tools=body.get("tools") or [], prompt=body["prompt"],
+            model=body.get("model"),
+        )
+        agent_store.save(spec)
+        return {"ok": True, "name": spec.name}
+
+    @app.delete("/api/agents/<name>")
+    def delete_agent(req: Request):
+        _require(req, Permission.AGENTS_MANAGE)
+        if agent_store is None:
+            return error_response("agents not configured", 501)
+        return {"deleted": agent_store.delete(req.path_params["name"])}
+
+    @app.put("/api/agents/active")
+    def set_active_agent(req: Request):
+        _require(req, Permission.AGENTS_MANAGE)
+        if config_service is None or agent_store is None:
+            return error_response("not configured", 501)
+        name = req.json().get("name")
+        if name and agent_store.get(name) is None:
+            return error_response("agent not found", 404)
+        email = req.context["identity"].get("email") or "anonymous"
+        config_service.update_dynamic({"active_agent": name},
+                                      changed_by=email)
+        return {"ok": True, "active_agent": name}
+
+    @app.get("/api/v2/agent/template")
+    def agent_template(req: Request):
+        _require(req, Permission.AGENTS_USE)
+        from archi_tpu.pipelines.agents.agent_spec import AgentStore
+
+        return {"template": AgentStore.template()}
+
+    @app.post("/api/v2/agent/save")
+    def agent_save_markdown(req: Request):
+        _require(req, Permission.AGENTS_MANAGE)
+        if agent_store is None:
+            return error_response("agents not configured", 501)
+        spec = agent_store.save_markdown(req.json().get("markdown", ""))
+        return {"ok": True, "name": spec.name}
+
+    # ---------------------------------------------------------------- prompts
+    # Prompt registry endpoints (reference api.py prompt management over
+    # utils/prompt_service.py:34).
+    @app.get("/api/v2/prompts")
+    def list_prompts(req: Request):
+        _require(req, Permission.CONFIG_READ)
+        if prompt_service is None:
+            return []
+        return prompt_service.list_prompts()
+
+    @app.get("/api/v2/prompts/<name>")
+    def get_prompt(req: Request):
+        _require(req, Permission.CONFIG_READ)
+        if prompt_service is None:
+            return error_response("prompts not configured", 501)
+        content = prompt_service.get_prompt(req.path_params["name"])
+        if content is None:
+            return error_response("prompt not found", 404)
+        return {"name": req.path_params["name"], "content": content}
+
+    @app.put("/api/v2/prompts/<name>")
+    def set_prompt(req: Request):
+        _require(req, Permission.CONFIG_WRITE)
+        if prompt_service is None:
+            return error_response("prompts not configured", 501)
+        content = req.json().get("content")
+        if content is None:
+            raise ValueError("missing 'content'")
+        prompt_service.set_prompt(req.path_params["name"], content)
         return {"ok": True}
 
     # ------------------------------------------------------------- providers
