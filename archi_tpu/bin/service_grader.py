@@ -15,7 +15,8 @@ def build_app(config_paths=(), overrides=None, ctx=None):
                     vectorstore=ctx.vectorstore)
     image = Archi("ImageProcessingPipeline", config=ctx.config,
                   vectorstore=ctx.vectorstore)
-    return create_grader_app(grading_archi=grading, image_archi=image), ctx
+    return create_grader_app(grading_archi=grading, image_archi=image,
+                             app_db=ctx.app_db), ctx
 
 
 def main() -> None:

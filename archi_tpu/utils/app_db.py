@@ -110,6 +110,19 @@ CREATE TABLE IF NOT EXISTS rbac_audit (
     allowed INTEGER,
     created_at REAL
 );
+CREATE TABLE IF NOT EXISTS grader_submissions (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    user_email TEXT,
+    submission TEXT,
+    grade TEXT,
+    analysis TEXT,
+    summary TEXT,
+    status TEXT DEFAULT 'pending',
+    final_grade TEXT,
+    decided_by TEXT,
+    created_at REAL,
+    updated_at REAL
+);
 """
 
 

@@ -111,6 +111,19 @@ CREATE TABLE IF NOT EXISTS rbac_audit (
     allowed INTEGER,
     created_at DOUBLE PRECISION
 );
+CREATE TABLE IF NOT EXISTS grader_submissions (
+    id BIGSERIAL PRIMARY KEY,
+    user_email TEXT,
+    submission TEXT,
+    grade TEXT,
+    analysis TEXT,
+    summary TEXT,
+    status TEXT DEFAULT 'pending',
+    final_grade TEXT,
+    decided_by TEXT,
+    created_at DOUBLE PRECISION,
+    updated_at DOUBLE PRECISION
+);
 """
 
 

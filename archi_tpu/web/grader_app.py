@@ -3,24 +3,33 @@
 Mirrors the reference's grader web app
 (``src/interfaces/grader_app/app.py``, 840 LoC): students submit text or
 images; images run through the ImageProcessingPipeline, the result through
-the GradingPipeline; grades land in a pending queue an admin approves or
-overrides.
+the GradingPipeline; grades land in a PERSISTENT pending queue (app DB —
+the reference persists in Postgres; round 1's in-memory dict lost state on
+restart) that an admin approves, overrides, or rejects, with a decided-by
+audit trail.
 """
 
 from __future__ import annotations
 
 import base64
-import threading
-import time
 
+from archi_tpu.utils.grader_service import GraderService
 from archi_tpu.web.framework import App, Request, error_response
 
 
-def create_grader_app(*, grading_archi, image_archi=None) -> App:
+def create_grader_app(*, grading_archi, image_archi=None,
+                      grader_service=None, app_db=None) -> App:
     app = App("grader")
-    pending: dict[int, dict] = {}
-    counter = {"next": 1}
-    lock = threading.Lock()
+    if grader_service is None:
+        if app_db is None:
+            from archi_tpu.utils.app_db import AppDatabase
+
+            app_db = AppDatabase(":memory:")
+        grader_service = GraderService(app_db)
+    svc = grader_service
+
+    def _who(req: Request) -> str:
+        return req.headers.get("x-user-email", "") or "anonymous"
 
     @app.post("/api/grade")
     def grade(req: Request):
@@ -37,37 +46,47 @@ def create_grader_app(*, grading_archi, image_archi=None) -> App:
             rubric=body.get("rubric", ""),
             max_points=body.get("max_points", 100),
         )
-        with lock:
-            sid = counter["next"]
-            counter["next"] += 1
-            pending[sid] = {
-                "id": sid,
-                "submission": submission[:2000],
-                "grade": out.answer,
-                "analysis": out.metadata.get("analysis"),
-                "summary": out.metadata.get("summary"),
-                "status": "pending",
-                "created_at": time.time(),
-            }
+        sid = svc.add_submission(
+            submission[:2000], out.answer,
+            analysis=out.metadata.get("analysis"),
+            summary=out.metadata.get("summary"),
+            user_email=_who(req),
+        )
         return {"submission_id": sid, "grade": out.answer,
                 "status": "pending"}
 
     @app.get("/api/submissions")
     def submissions(req: Request):
-        with lock:
-            return sorted(pending.values(), key=lambda s: s["id"])
+        return svc.list(status=req.param("status"))
+
+    @app.get("/api/submissions/<sid>")
+    def get_submission(req: Request):
+        sub = svc.get(int(req.path_params["sid"]))
+        if sub is None:
+            return error_response("not found", 404)
+        return sub
+
+    def _decide(req: Request, status: str):
+        body = req.json()
+        sub = svc.decide(
+            int(req.path_params["sid"]), status=status,
+            final_grade=body.get("final_grade"), decided_by=_who(req),
+        )
+        if sub is None:
+            return error_response("not found", 404)
+        # back-compat: 'grade' reflects the operative (possibly overridden)
+        # grade in responses
+        if sub.get("final_grade"):
+            sub["grade"] = sub["final_grade"]
+        return sub
 
     @app.post("/api/submissions/<sid>/approve")
     def approve(req: Request):
-        sid = int(req.path_params["sid"])
-        with lock:
-            if sid not in pending:
-                return error_response("not found", 404)
-            body = req.json()
-            pending[sid]["status"] = "approved"
-            if body.get("final_grade"):
-                pending[sid]["grade"] = body["final_grade"]
-            return pending[sid]
+        return _decide(req, "approved")
+
+    @app.post("/api/submissions/<sid>/reject")
+    def reject(req: Request):
+        return _decide(req, "rejected")
 
     @app.get("/healthz")
     def health(req: Request):

@@ -133,6 +133,74 @@ class RedmineMailer:
         return n
 
 
+class RedmineIssueProcessor:
+    """Redmine-side polling loop (the ``service_redmine`` companion to the
+    IMAP-side mailer — reference ``src/bin/service_redmine.py``:
+    ``process_new_issues`` / ``process_resolved_issues``).
+
+    - NEW issues: run the agent over subject+description, append the draft
+      as a private note (once per issue).
+    - RESOLVED issues: mail the reporter the resolution (once per issue).
+    Transports (issue listing, write client, sender) are injectable.
+    """
+
+    def __init__(self, *, list_issues: Callable, redmine_client,
+                 agent_archi=None, sender: Optional[MailSender] = None,
+                 project_id: str = "support"):
+        self.list_issues = list_issues  # (status: str) -> [issue dicts]
+        self.redmine = redmine_client
+        self.agent = agent_archi
+        self.sender = sender
+        self.project_id = project_id
+        self.drafted: set[int] = set()
+        self.notified: set[int] = set()
+
+    def process_new_issues(self) -> int:
+        n = 0
+        for issue in self.list_issues("open"):
+            iid = int(issue["id"])
+            if iid in self.drafted or self.agent is None:
+                continue
+            try:
+                q = f"{issue.get('subject', '')}\n\n" \
+                    f"{issue.get('description', '')}".strip()
+                draft = self.agent.invoke(history=[("User", q)]).answer
+                self.redmine.add_note(iid, f"[AI draft]\n{draft}",
+                                      private=True)
+                self.drafted.add(iid)
+                n += 1
+            except Exception as e:
+                logger.warning("redmine draft failed for #%s: %s", iid, e)
+        return n
+
+    def process_resolved_issues(self) -> int:
+        n = 0
+        for issue in self.list_issues("resolved"):
+            iid = int(issue["id"])
+            if iid in self.notified:
+                continue
+            reporter = (issue.get("author") or {}).get("mail") or \
+                issue.get("reporter_email")
+            try:
+                if reporter and self.sender is not None:
+                    notes = [j.get("notes", "") for j in
+                             issue.get("journals", []) if j.get("notes")]
+                    body = notes[-1] if notes else "Your issue was resolved."
+                    self.sender.send(
+                        reporter,
+                        f"Re: {issue.get('subject', '')} [#{iid}] resolved",
+                        body,
+                    )
+                self.notified.add(iid)
+                n += 1
+            except Exception as e:
+                logger.warning("redmine notify failed for #%s: %s", iid, e)
+        return n
+
+    def step(self) -> int:
+        return self.process_new_issues() + self.process_resolved_issues()
+
+
 class RedmineWriteClient:
     """Ticket creation/notes (the write half; reads live in
     data/collectors/tickets.py RedmineClient)."""
