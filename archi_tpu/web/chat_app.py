@@ -258,6 +258,31 @@ def create_chat_app(
         return _dm(req, "DELETE",
                    f"/api/documents/{req.path_params['resource_hash']}")
 
+    @app.post("/api/dm/links")
+    def dm_add_link(req: Request):
+        _require(req, Permission.DATA_UPLOAD)
+        return _dm(req, "POST", "/api/links", req.json())
+
+    @app.post("/api/dm/git")
+    def dm_add_git(req: Request):
+        _require(req, Permission.DATA_UPLOAD)
+        return _dm(req, "POST", "/api/git", req.json())
+
+    @app.get("/api/dm/schedules")
+    def dm_schedules(req: Request):
+        _require(req, Permission.DATA_READ)
+        return _dm(req, "GET", "/api/schedules")
+
+    @app.put("/api/dm/schedules")
+    def dm_set_schedules(req: Request):
+        _require(req, Permission.DATA_INGEST)
+        return _dm(req, "PUT", "/api/schedules", req.json())
+
+    @app.post("/api/dm/retry")
+    def dm_retry(req: Request):
+        _require(req, Permission.DATA_INGEST)
+        return _dm(req, "POST", "/api/ingestion/retry", req.json())
+
     # -------------------------------------------------- admin DB console
     @app.post("/api/admin/db")
     def admin_db(req: Request):

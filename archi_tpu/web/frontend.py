@@ -1,10 +1,19 @@
 """Chat frontend: a single-file SPA served by the chat service.
 
 The reference ships a ~10.3k-line vanilla-JS SPA
-(``src/interfaces/chat_app/static/chat.js`` + modules).  This is a compact
-vanilla-JS equivalent covering the core workflows: streaming chat with live
-agent-step/tool events (SSE), conversation list + history, source chips,
-feedback, and a trace panel.
+(``src/interfaces/chat_app/static/chat.js`` + ``modules/*``).  This is a
+compact vanilla-JS equivalent covering the same workflows: streaming chat
+with live agent-step/tool events (SSE), conversation list + history, source
+chips, feedback, trace panel, **A/B model comparison with preference
+voting** (``modules/ab-testing.js`` analog), a **data tab** with upload,
+URL-scrape, git-repo and schedule management plus per-conversation document
+selection, an **admin tab** with the read-only DB console
+(``modules/db-admin.js`` analog) and usage analytics, and **session login**
+against ``/api/auth/*``.
+
+The browser-free test tier (``tests/unit/test_frontend_contract.py``)
+asserts this file's API calls against the live router — every route the JS
+touches must exist and answer.
 """
 
 FRONTEND_HTML = r"""<!doctype html>
@@ -53,16 +62,40 @@ color:var(--dim)}
 .ev b{color:var(--text)}
 #status{color:var(--dim);font-size:12px;padding:0 20px}
 .tab{flex:1;background:var(--panel);border:1px solid var(--border);
-color:var(--dim);padding:6px;border-radius:6px;cursor:pointer}
+color:var(--dim);padding:6px;border-radius:6px;cursor:pointer;font-size:12px}
 .tab.active{color:var(--text);border-color:var(--accent)}
-#dataView{display:none;flex:1;padding:20px;overflow-y:auto}
-#dataView h2{font-size:14px;margin:12px 0 6px;color:var(--dim)}
+#dataView,#adminView{display:none;flex:1;padding:20px;overflow-y:auto}
+#dataView h2,#adminView h2{font-size:14px;margin:12px 0 6px;color:var(--dim)}
 .docrow{display:flex;align-items:center;gap:8px;padding:6px;
 border-bottom:1px solid var(--border);font-size:13px}
 .docrow .nm{flex:1;overflow:hidden;text-overflow:ellipsis;white-space:nowrap}
 .docrow .st{color:var(--dim);font-size:11px}
-#uploadBox{margin-top:14px;padding:12px;border:1px dashed var(--border);
+.box{margin-top:14px;padding:12px;border:1px dashed var(--border);
 border-radius:8px;color:var(--dim)}
+.box input[type=text],.box input[type=password]{background:var(--bg);
+border:1px solid var(--border);color:var(--text);border-radius:6px;
+padding:6px;margin-right:6px;width:50%}
+.box button,.ab-vote button{background:var(--accent);border:none;color:#fff;
+padding:6px 12px;border-radius:6px;cursor:pointer;margin:2px}
+#abBar{display:none;gap:8px;padding:6px 12px;border-top:1px solid var(--border);
+font-size:12px;align-items:center}
+#abBar select{background:var(--panel);color:var(--text);
+border:1px solid var(--border);border-radius:6px;padding:4px}
+.ab-pair{display:flex;gap:10px;margin-bottom:12px}
+.ab-col{flex:1;background:var(--bot);border:1px solid var(--border);
+border-radius:10px;padding:10px;white-space:pre-wrap}
+.ab-col h3{font-size:12px;color:var(--dim);margin-bottom:6px}
+#sqlBox{width:100%;height:70px;background:var(--bg);color:var(--text);
+border:1px solid var(--border);border-radius:6px;padding:8px;
+font-family:monospace}
+#sqlResult{overflow-x:auto;margin-top:8px}
+#sqlResult table{border-collapse:collapse;font-size:12px}
+#sqlResult td,#sqlResult th{border:1px solid var(--border);padding:4px 8px}
+#loginBox{margin-top:14px;font-size:12px;color:var(--dim)}
+#loginBox input{width:100%;margin-bottom:4px;background:var(--bg);
+border:1px solid var(--border);color:var(--text);border-radius:6px;padding:6px}
+#loginBox button{width:100%;background:var(--accent);border:none;color:#fff;
+padding:6px;border-radius:6px;cursor:pointer}
 </style>
 </head>
 <body>
@@ -71,29 +104,65 @@ border-radius:8px;color:var(--dim)}
   <div style="display:flex;gap:6px;margin-bottom:10px">
     <button class="tab active" data-tab="chat">Chat</button>
     <button class="tab" data-tab="data">Data</button>
+    <button class="tab" data-tab="admin">Admin</button>
   </div>
   <button id="newConv">+ New conversation</button>
   <div id="convList"></div>
+  <div id="loginBox">
+    <div id="whoami"></div>
+    <input type="text" id="loginEmail" placeholder="email">
+    <input type="password" id="loginPw" placeholder="password">
+    <button id="loginBtn">Sign in</button>
+  </div>
 </aside>
 <main>
   <div id="dataView">
     <div id="ingestStatus" class="st"></div>
     <div id="docGroups"></div>
-    <div id="uploadBox">
+    <div class="box">
       Upload a document: <input type="file" id="fileInput">
       <span id="uploadMsg"></span>
     </div>
+    <div class="box">
+      Scrape a URL: <input type="text" id="linkUrl" placeholder="https://…">
+      <button id="linkAdd">Scrape</button> <span id="linkMsg"></span>
+    </div>
+    <div class="box">
+      Add git repo: <input type="text" id="gitUrl" placeholder="https://…/repo.git">
+      <button id="gitAdd">Clone + ingest</button> <span id="gitMsg"></span>
+    </div>
+    <div class="box">
+      <h2>Ingestion schedules (cron per source)</h2>
+      <div id="schedList"></div>
+      <input type="text" id="schedName" placeholder="source name">
+      <input type="text" id="schedCron" placeholder="*/30 * * * *">
+      <button id="schedSave">Save schedule</button> <span id="schedMsg"></span>
+      <div><button id="retryFailed">Retry failed documents</button></div>
+    </div>
+  </div>
+  <div id="adminView">
+    <h2>Read-only DB console (single SELECT)</h2>
+    <textarea id="sqlBox">SELECT id, email, roles FROM users LIMIT 20</textarea>
+    <button id="sqlRun" class="tab">Run</button>
+    <div id="sqlResult"></div>
+    <h2>Analytics</h2>
+    <div id="analytics" class="st"></div>
   </div>
   <div id="messages"></div>
   <div id="status"></div>
+  <div id="abBar">
+    A/B compare: <select id="modelA"></select> vs <select id="modelB"></select>
+    <span class="st">next message runs both models</span>
+  </div>
   <div id="composer">
     <textarea id="input" rows="2" placeholder="Ask a question…"></textarea>
+    <button id="abToggle" class="tab" title="A/B compare">A/B</button>
     <button id="send">Send</button>
   </div>
 </main>
 <div id="tracePanel"><h2>Agent trace</h2><div id="events"></div></div>
 <script>
-let conversationId=null,busy=false;
+let conversationId=null,busy=false,abMode=false;
 const $=s=>document.querySelector(s);
 const esc=t=>{const d=document.createElement('div');d.textContent=t;return d.innerHTML};
 
@@ -169,46 +238,118 @@ async function send(){
   addMsg('User',text);
   $('#events').innerHTML='';
   try{
-    const resp=await fetch('/api/get_chat_response_stream',{method:'POST',
-      headers:{'Content-Type':'application/json'},
-      body:JSON.stringify({message:text,conversation_id:conversationId,
-                           client_sent:Date.now()/1000})});
-    const reader=resp.body.getReader();const dec=new TextDecoder();
-    let buf='';
-    for(;;){
-      const {done,value}=await reader.read();
-      if(done)break;
-      buf+=dec.decode(value,{stream:true});
-      let i;
-      while((i=buf.indexOf('\n\n'))>=0){
-        const frame=buf.slice(0,i);buf=buf.slice(i+2);
-        if(!frame.startsWith('data: '))continue;
-        const data=frame.slice(6);
-        if(data==='[DONE]')continue;
-        const ev=JSON.parse(data);
-        if(ev.type==='token'){
-          if(!window._pending){window._pending=addMsg('archi','')}
-          window._pending.innerHTML+=esc(ev.delta||'');
-          $('#messages').scrollTop=1e9;
-        }else if(ev.type==='final'){
-          conversationId=ev.conversation_id;
-          if(window._pending){window._pending.remove();window._pending=null}
-          addMsg('archi',ev.answer,{sources:ev.sources,message_id:ev.message_id});
-          $('#status').textContent='model: '+((ev.metadata||{}).model_used||'')+
-            '  ·  '+(ev.timing&&ev.timing.msg_duration?ev.timing.msg_duration.toFixed(2)+'s':'');
-        }else if(ev.type==='trace_start'){conversationId=ev.conversation_id;}
-        else addEvent(ev);
-      }
-    }
+    if(abMode){await sendAB(text);}
+    else{await sendStream(text);}
   }catch(e){addMsg('archi','Error: '+e.message)}
   busy=false;if($('#status').textContent==='thinking…')$('#status').textContent='';
   loadConversations();
 }
+async function sendStream(text){
+  const resp=await fetch('/api/get_chat_response_stream',{method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({message:text,conversation_id:conversationId,
+                         client_sent:Date.now()/1000})});
+  const reader=resp.body.getReader();const dec=new TextDecoder();
+  let buf='';
+  for(;;){
+    const {done,value}=await reader.read();
+    if(done)break;
+    buf+=dec.decode(value,{stream:true});
+    let i;
+    while((i=buf.indexOf('\n\n'))>=0){
+      const frame=buf.slice(0,i);buf=buf.slice(i+2);
+      if(!frame.startsWith('data: '))continue;
+      const data=frame.slice(6);
+      if(data==='[DONE]')continue;
+      const ev=JSON.parse(data);
+      if(ev.type==='token'){
+        if(!window._pending){window._pending=addMsg('archi','')}
+        window._pending.innerHTML+=esc(ev.delta||'');
+        $('#messages').scrollTop=1e9;
+      }else if(ev.type==='final'){
+        conversationId=ev.conversation_id;
+        if(window._pending){window._pending.remove();window._pending=null}
+        addMsg('archi',ev.answer,{sources:ev.sources,message_id:ev.message_id});
+        $('#status').textContent='model: '+((ev.metadata||{}).model_used||'')+
+          '  ·  '+(ev.timing&&ev.timing.msg_duration?ev.timing.msg_duration.toFixed(2)+'s':'');
+      }else if(ev.type==='trace_start'){conversationId=ev.conversation_id;}
+      else addEvent(ev);
+    }
+  }
+}
+// ------------------------------------------------------------- A/B compare
+async function sendAB(text){
+  const out=await api('/api/ab_compare',{method:'POST',body:JSON.stringify({
+    message:text,model_a:$('#modelA').value,model_b:$('#modelB').value,
+    conversation_id:conversationId})});
+  conversationId=out.conversation_id||conversationId;
+  const pair=document.createElement('div');pair.className='ab-pair';
+  for(const side of['a','b']){
+    const col=document.createElement('div');col.className='ab-col';
+    col.innerHTML='<h3>'+esc(out['model_'+side]||side.toUpperCase())+'</h3>'+
+      esc(out['answer_'+side]||'');
+    pair.appendChild(col);
+  }
+  const vote=document.createElement('div');vote.className='ab-vote';
+  for(const [label,pref] of [['A is better','a'],['B is better','b'],['Tie','tie']]){
+    const b=document.createElement('button');b.textContent=label;
+    b.onclick=()=>api('/api/ab_preference',{method:'POST',body:JSON.stringify(
+      {comparison_id:out.comparison_id,preference:pref})})
+      .then(()=>{vote.innerHTML='<span class="st">recorded ✓</span>'});
+    vote.appendChild(b);
+  }
+  pair.appendChild(vote);
+  $('#messages').appendChild(pair);
+  $('#messages').scrollTop=1e9;
+}
+async function loadModels(){
+  try{
+    const provs=await api('/api/providers');
+    for(const sel of[$('#modelA'),$('#modelB')]){
+      sel.innerHTML='';
+      for(const p of provs){
+        if(!p.enabled&&!p.configured)continue;
+        for(const m of p.models||[]){
+          const o=document.createElement('option');
+          o.value=p.provider_type+'/'+m.name;o.textContent=p.provider_type+'/'+m.name;
+          sel.appendChild(o);
+        }
+      }
+    }
+  }catch(e){}
+}
+$('#abToggle').onclick=()=>{
+  abMode=!abMode;
+  $('#abToggle').classList.toggle('active',abMode);
+  $('#abBar').style.display=abMode?'flex':'none';
+  if(abMode)loadModels();
+};
 $('#send').onclick=send;
 $('#input').addEventListener('keydown',e=>{
   if(e.key==='Enter'&&!e.shiftKey){e.preventDefault();send()}});
 $('#newConv').onclick=()=>{conversationId=null;$('#messages').innerHTML='';
   $('#events').innerHTML='';loadConversations()};
+
+// ------------------------------------------------------------------- login
+async function loadSession(){
+  try{
+    const s=await api('/api/auth/session');
+    if(s.email){
+      $('#whoami').innerHTML=esc(s.email)+' · <a href="#" id="logout">sign out</a>';
+      $('#loginEmail').style.display='none';$('#loginPw').style.display='none';
+      $('#loginBtn').style.display='none';
+      $('#logout').onclick=async e=>{e.preventDefault();
+        await api('/api/auth/logout',{method:'POST'});location.reload()};
+    }
+  }catch(e){}
+}
+$('#loginBtn').onclick=async()=>{
+  try{
+    await api('/api/auth/login',{method:'POST',body:JSON.stringify(
+      {email:$('#loginEmail').value,password:$('#loginPw').value})});
+    location.reload();
+  }catch(e){$('#whoami').textContent='login failed: '+e.message}
+};
 
 // ---------------------------------------------------------------- data tab
 async function loadData(){
@@ -243,10 +384,28 @@ async function loadData(){
         nm.textContent=d.display_name;row.appendChild(nm);
         const st=document.createElement('span');st.className='st';
         st.textContent=d.ingestion_status||'';row.appendChild(st);
+        const del=document.createElement('button');del.textContent='✕';
+        del.className='fb';del.style.background='none';del.style.border='none';
+        del.style.color='var(--dim)';del.style.cursor='pointer';
+        del.onclick=()=>api('/api/dm/documents/'+d.resource_hash,
+          {method:'DELETE'}).then(()=>setTimeout(loadData,500));
+        row.appendChild(del);
         el.appendChild(row);
       }
     }
   }catch(e){$('#docGroups').textContent='error: '+e.message}
+  loadSchedules();
+}
+async function loadSchedules(){
+  try{
+    const s=await api('/api/dm/schedules');
+    const el=$('#schedList');el.innerHTML='';
+    for(const j of (s.jobs||[])){
+      const d=document.createElement('div');d.className='st';
+      d.textContent=(j.name||j)+' : '+(j.cron||'');
+      el.appendChild(d);
+    }
+  }catch(e){}
 }
 $('#fileInput').onchange=async e=>{
   const f=e.target.files[0];if(!f)return;
@@ -260,18 +419,81 @@ $('#fileInput').onchange=async e=>{
     setTimeout(loadData,1500);
   }catch(err){$('#uploadMsg').textContent='failed: '+err.message}
 };
-for(const b of document.querySelectorAll('.tab')){
+$('#linkAdd').onclick=async()=>{
+  $('#linkMsg').textContent='scraping…';
+  try{
+    const r=await api('/api/dm/links',{method:'POST',body:JSON.stringify(
+      {url:$('#linkUrl').value})});
+    $('#linkMsg').textContent='collected '+r.collected+' pages ✓';
+    setTimeout(loadData,1500);
+  }catch(e){$('#linkMsg').textContent='failed: '+e.message}
+};
+$('#gitAdd').onclick=async()=>{
+  $('#gitMsg').textContent='cloning…';
+  try{
+    const r=await api('/api/dm/git',{method:'POST',body:JSON.stringify(
+      {url:$('#gitUrl').value})});
+    $('#gitMsg').textContent='collected '+r.collected+' files ✓';
+    setTimeout(loadData,1500);
+  }catch(e){$('#gitMsg').textContent='failed: '+e.message}
+};
+$('#schedSave').onclick=async()=>{
+  try{
+    await api('/api/dm/schedules',{method:'PUT',body:JSON.stringify(
+      {[$('#schedName').value]:$('#schedCron').value})});
+    $('#schedMsg').textContent='saved ✓';loadSchedules();
+  }catch(e){$('#schedMsg').textContent='failed: '+e.message}
+};
+$('#retryFailed').onclick=async()=>{
+  try{await api('/api/dm/retry',{method:'POST',body:'{}'});
+    setTimeout(loadData,1000);}catch(e){}
+};
+
+// --------------------------------------------------------------- admin tab
+$('#sqlRun').onclick=async()=>{
+  const el=$('#sqlResult');el.textContent='running…';
+  try{
+    const rows=await api('/api/admin/db',{method:'POST',body:JSON.stringify(
+      {sql:$('#sqlBox').value})});
+    if(!rows.length){el.textContent='(no rows)';return}
+    const cols=Object.keys(rows[0]);
+    let html='<table><tr>'+cols.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
+    for(const r of rows)html+='<tr>'+cols.map(c=>'<td>'+esc(String(r[c]??''))+
+      '</td>').join('')+'</tr>';
+    el.innerHTML=html+'</table>';
+  }catch(e){el.textContent='error: '+e.message}
+};
+async function loadAnalytics(){
+  const el=$('#analytics');el.innerHTML='';
+  for(const [label,path] of [['models','/api/v2/analytics/models'],
+      ['feedback','/api/v2/analytics/feedback'],
+      ['A/B','/api/v2/analytics/ab'],
+      ['timing','/api/v2/analytics/timing']]){
+    try{
+      const d=await api(path);
+      const div=document.createElement('div');
+      div.innerHTML='<b>'+esc(label)+'</b>: '+esc(JSON.stringify(d).slice(0,300));
+      el.appendChild(div);
+    }catch(e){}
+  }
+}
+// --------------------------------------------------------------------- tabs
+for(const b of document.querySelectorAll('.tab[data-tab]')){
   b.onclick=()=>{
-    for(const t of document.querySelectorAll('.tab'))t.classList.remove('active');
+    for(const t of document.querySelectorAll('.tab[data-tab]'))
+      t.classList.remove('active');
     b.classList.add('active');
-    const data=b.dataset.tab==='data';
-    $('#dataView').style.display=data?'block':'none';
-    $('#messages').style.display=data?'none':'block';
-    $('#composer').style.display=data?'none':'flex';
-    if(data)loadData();
+    const tab=b.dataset.tab;
+    $('#dataView').style.display=tab==='data'?'block':'none';
+    $('#adminView').style.display=tab==='admin'?'block':'none';
+    $('#messages').style.display=tab==='chat'?'block':'none';
+    $('#composer').style.display=tab==='chat'?'flex':'none';
+    if(tab==='data')loadData();
+    if(tab==='admin')loadAnalytics();
   };
 }
 loadConversations();
+loadSession();
 </script>
 </body>
 </html>
