@@ -155,6 +155,21 @@ class ConversationService:
         )
         return int(cur.lastrowid)
 
+    def list_pending_ab(self, user_id: Optional[int] = None) -> list[dict]:
+        """Comparisons awaiting a preference (reference /api/ab/pending,
+        app.py:2195), scoped to the user's conversations when known."""
+        if user_id is None:
+            rows = self.db.query(
+                "SELECT * FROM ab_comparisons WHERE preference IS NULL "
+                "ORDER BY id DESC")
+        else:
+            rows = self.db.query(
+                "SELECT ab.* FROM ab_comparisons ab JOIN conversations c "
+                "ON ab.conversation_id = c.id WHERE ab.preference IS NULL "
+                "AND (c.user_id = ? OR c.user_id IS NULL) ORDER BY ab.id "
+                "DESC", (user_id,))
+        return [dict(r) for r in rows]
+
     def get_ab_comparison(self, comparison_id: int) -> Optional[dict]:
         rows = self.db.query("SELECT * FROM ab_comparisons WHERE id=?",
                              (comparison_id,))

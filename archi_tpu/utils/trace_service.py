@@ -74,6 +74,13 @@ class TraceService:
         d["cancelled"] = bool(d["cancelled"])
         return d
 
+    def get_trace_by_message(self, message_id: int) -> Optional[dict]:
+        """Reference /api/trace/message/<id> (app.py:2200)."""
+        rows = self.db.query(
+            "SELECT id FROM agent_traces WHERE message_id=? "
+            "ORDER BY id DESC", (message_id,))
+        return self.get_trace(int(rows[0]["id"])) if rows else None
+
     # ------------------------------------------------------------ tool calls
     def insert_tool_calls(self, message_id: int,
                           tool_calls: list[dict]) -> None:

@@ -33,6 +33,7 @@ def create_chat_app(
     app_db=None,
     agent_store=None,
     prompt_service=None,
+    prompts_dir: Optional[str] = None,
     session_service=None,
     oauth_exchange=None,
     data_manager_url: Optional[str] = None,
@@ -283,7 +284,28 @@ def create_chat_app(
         _require(req, Permission.DATA_INGEST)
         return _dm(req, "POST", "/api/ingestion/retry", req.json())
 
+    @app.get("/api/dm/stats")
+    def dm_stats(req: Request):
+        _require(req, Permission.DATA_READ)
+        return _dm(req, "GET", "/api/stats")
+
     # -------------------------------------------------- admin DB console
+    @app.get("/api/admin/db/tables")
+    def admin_db_tables(req: Request):
+        """Table listing for the console (reference app.py:2255)."""
+        _require(req, Permission.ADMIN_DB)
+        if app_db is None:
+            return error_response("app db not configured", 501)
+        try:
+            rows = app_db.query(
+                "SELECT name FROM sqlite_master WHERE type='table' "
+                "ORDER BY name")
+        except Exception:
+            rows = app_db.query(
+                "SELECT table_name AS name FROM information_schema.tables "
+                "WHERE table_schema='public' ORDER BY table_name")
+        return [r["name"] for r in rows]
+
     @app.post("/api/admin/db")
     def admin_db(req: Request):
         """Read-only SQL console (reference admin DB viewer,
@@ -337,6 +359,16 @@ def create_chat_app(
         _check_message_ownership(req, mid)
         return traces.get_tool_calls(mid)
 
+    @app.get("/api/trace/message/<mid>")
+    def trace_by_message(req: Request):
+        _require(req, Permission.CHAT_HISTORY_READ)
+        mid = int(req.path_params["mid"])
+        _check_message_ownership(req, mid)
+        tr = traces.get_trace_by_message(mid)
+        if tr is None:
+            return error_response("trace not found", 404)
+        return tr
+
     # --------------------------------------------------------------------- AB
     @app.post("/api/ab_compare")
     def ab_compare(req: Request):
@@ -357,6 +389,31 @@ def create_chat_app(
             _check_ownership(req, comp["conversation_id"])
         conversations.record_ab_preference(comp_id, body["preference"])
         return {"ok": True}
+
+    @app.get("/api/ab_pending")
+    def ab_pending(req: Request):
+        _require(req, Permission.CHAT_USE)
+        return conversations.list_pending_ab(_uid(req))
+
+    # ------------------------------------------------------------ permissions
+    @app.get("/api/permissions")
+    def get_permissions(req: Request):
+        from archi_tpu.utils.rbac.permissions import permissions_for_roles
+
+        roles = req.context["identity"]["roles"]
+        return {"roles": roles,
+                "permissions": sorted(
+                    p.value for p in permissions_for_roles(roles))}
+
+    @app.post("/api/permissions/check")
+    def check_permission(req: Request):
+        perm = req.json().get("permission", "")
+        roles = req.context["identity"]["roles"]
+        try:
+            allowed = has_permission(roles, Permission(perm))
+        except ValueError:
+            return error_response(f"unknown permission: {perm}", 400)
+        return {"permission": perm, "allowed": allowed}
 
     # ------------------------------------------------------------------ auth
     # Session establishment (reference OAuth/SSO login flow,
@@ -538,6 +595,28 @@ def create_chat_app(
         prompt_service.set_prompt(req.path_params["name"], content)
         return {"ok": True}
 
+    @app.post("/api/v2/prompts/reload")
+    def reload_prompts(req: Request):
+        """Re-seed prompts from the deployment's prompt directory
+        (reference api.py:982)."""
+        _require(req, Permission.CONFIG_WRITE)
+        if prompt_service is None or not prompts_dir:
+            return error_response("prompt directory not configured", 501)
+        n = prompt_service.seed_from_directory(prompts_dir, overwrite=True)
+        return {"reloaded": n}
+
+    @app.get("/api/v2/info")
+    def v2_info(req: Request):
+        import archi_tpu
+
+        return {"name": "archi-tpu",
+                "version": getattr(archi_tpu, "__version__", "0.1"),
+                "engine": "jax/pallas TPU retrieval engine"}
+
+    @app.get("/api/v2/health")
+    def v2_health(req: Request):
+        return {"status": "ok"}
+
     # ------------------------------------------------------------- providers
     @app.get("/api/providers")
     def providers(req: Request):
@@ -545,6 +624,68 @@ def create_chat_app(
         from archi_tpu.providers.registry import list_all_providers
 
         return list_all_providers()
+
+    @app.get("/api/providers/models")
+    def provider_models(req: Request):
+        """Flat model listing across providers (reference app.py:2206)."""
+        _require(req, Permission.PROVIDERS_READ)
+        from archi_tpu.providers.registry import list_all_providers
+
+        out = []
+        for p in list_all_providers():
+            for m in p.get("models", []):
+                out.append({"ref": f"{p['provider_type']}/{m['name']}",
+                            **m, "provider": p["provider_type"],
+                            "enabled": p.get("enabled", False)})
+        return out
+
+    @app.post("/api/providers/validate")
+    def provider_validate(req: Request):
+        """Key validation probe (reference app.py:2207): instantiate the
+        provider with the supplied key and ask it for models."""
+        _require(req, Permission.BYOK_MANAGE)
+        body = req.json()
+        name = body.get("provider", "")
+        key = body.get("api_key") or ""
+        try:
+            from archi_tpu.providers.registry import (
+                get_chat_model_with_api_key, get_provider,
+            )
+
+            prov = get_provider(name)
+            if not key.strip():
+                raise ValueError("empty api key")
+            models = prov.list_models()
+            ref = f"{name}/{models[0].name}" if models else f"{name}/default"
+            get_chat_model_with_api_key(ref, key)  # constructs the client
+            return {"provider": name, "valid": True,
+                    "models": len(models)}
+        except Exception as e:
+            return {"provider": name, "valid": False,
+                    "error": f"{type(e).__name__}: {e}"}
+
+    @app.get("/api/pipeline/default_model")
+    def pipeline_default_model(req: Request):
+        """Active pipeline's configured models (reference app.py:2211)."""
+        cfg = config_service.get_full_config() if config_service else {}
+        active = cfg.get("active_pipeline", "QAPipeline")
+        models = (cfg.get("pipelines", {}).get(active, {}) or {}).get(
+            "models", {})
+        return {"pipeline": active, "models": models}
+
+    @app.get("/api/agent/info")
+    def agent_info(req: Request):
+        """Active agent summary (reference app.py:2212)."""
+        _require(req, Permission.AGENTS_USE)
+        cfg = config_service.get_full_config() if config_service else {}
+        name = cfg.get("active_agent")
+        spec = agent_store.get(name) if (agent_store and name) else None
+        return {
+            "active_agent": name,
+            "spec": None if spec is None else {
+                "name": spec.name, "description": spec.description,
+                "tools": spec.tools, "model": spec.model},
+        }
 
     @app.post("/api/user/api_key")
     def set_api_key(req: Request):
@@ -588,6 +729,16 @@ def create_chat_app(
             return error_response("config service not configured", 501)
         email = req.context["identity"].get("email") or "anonymous"
         return config_service.update_dynamic(req.json(), changed_by=email)
+
+    @app.get("/api/v2/config/static")
+    def get_static_config(req: Request):
+        _require(req, Permission.CONFIG_READ)
+        return config_service.get_static() if config_service else {}
+
+    @app.get("/api/v2/config/dynamic")
+    def get_dynamic_config(req: Request):
+        _require(req, Permission.CONFIG_READ)
+        return config_service.get_dynamic() if config_service else {}
 
     @app.get("/api/v2/config/audit")
     def config_audit(req: Request):

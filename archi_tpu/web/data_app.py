@@ -112,6 +112,65 @@ def create_data_app(
             _run_ingestion_async()
         return {"collected": len(hashes)}
 
+    def _git_docs(url: str) -> list[dict]:
+        return [d for d in dm.catalog.list_documents()
+                if d.get("source_type") == "git"
+                and (d.get("url") or "").startswith(url.rstrip("/"))]
+
+    @app.delete("/api/git")
+    def remove_git(req: Request):
+        """Remove all documents collected from a repo (reference
+        remove_git_repo, uploader_app/app.py:98)."""
+        url = req.json().get("url", "")
+        if not url:
+            raise ValueError("missing 'url'")
+        removed = 0
+        for d in _git_docs(url):
+            if dm.persistence.delete_resource(d["resource_hash"]):
+                removed += 1
+        if removed:
+            _run_ingestion_async()
+        return {"removed": removed}
+
+    @app.post("/api/git/refresh")
+    def refresh_git(req: Request):
+        """Re-clone + re-collect a repo; diff-sync drops stale chunks
+        (reference refresh_git, uploader_app/app.py:100)."""
+        body = req.json()
+        hashes = dm.git.collect(body["url"], branch=body.get("branch"))
+        _run_ingestion_async()
+        return {"collected": len(hashes)}
+
+    @app.post("/api/jira")
+    def add_jira(req: Request):
+        """Ingest a Jira project (reference add_jira_project,
+        uploader_app/app.py:99)."""
+        from archi_tpu.data.collectors.tickets import JiraClient
+
+        body = req.json()
+        client = JiraClient(body["url"], token=body.get("token"))
+        hashes = dm.tickets.collect_jira(client, body["project"])
+        if body.get("sync", True):
+            _run_ingestion_async()
+        return {"collected": len(hashes)}
+
+    @app.get("/api/sources")
+    def list_sources(req: Request):
+        """Configured + collected sources (reference /api/sources/*,
+        app.py:2248-2250)."""
+        by_type: dict[str, int] = {}
+        git_urls: set[str] = set()
+        for d in dm.catalog.list_documents():
+            st = d.get("source_type") or "unknown"
+            by_type[st] = by_type.get(st, 0) + 1
+            if st == "git" and d.get("url"):
+                git_urls.add(d["url"].split("/blob/")[0])
+        return {
+            "configured": dm.sources_config,
+            "collected_counts": by_type,
+            "git_repos": sorted(git_urls)[:100],
+        }
+
     # -------------------------------------------------------------- schedules
     @app.get("/api/schedules")
     def get_schedules(req: Request):

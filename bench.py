@@ -1,19 +1,26 @@
 """Headline benchmark: fused-kernel query throughput at 1M chunks, 384-d.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 The reference (archi) publishes no absolute numbers (BASELINE.md) — its
 retrieval plane is pgvector SQL.  The measured stand-in baseline here is the
 same exact top-k scan done the reference's pre-TPU way (host CPU, fp32
-brute force over identical work), so vs_baseline = TPU QPS / host QPS.
-BASELINE.md's north-star target is >=10x per chip.
+brute force over identical work), so vs_baseline = TPU QPS / host QPS;
+the "extra.baseline" field states exactly what was measured and how it was
+extrapolated (VERDICT r1 weak #11/#12 honesty items).  BASELINE.md's
+north-star target is >=10x per chip.
+
+"extra" also records hybrid (BM25+vector fused-bias) QPS on the same corpus
+and the encoder throughput (fused Pallas attention), so one driver run
+captures the three hot paths.
 
 Timing notes (see .claude/skills/verify/SKILL.md): this box reaches the TPU
 through an HTTP relay, so (a) the corpus is generated ON DEVICE (uploading
 1.5GB through the relay takes minutes), (b) syncs download a single scalar
 (`float(jnp.sum(v))`) — pulling large arrays through the relay corrupts
-timing, (c) one relay RTT is subtracted.
+timing, (c) the relay RTT is MEASURED at runtime (tiny scalar round trips)
+and one RTT is subtracted per timed loop.
 """
 
 from __future__ import annotations
@@ -22,6 +29,19 @@ import json
 import time
 
 import numpy as np
+
+
+def measure_rtt(jnp) -> float:
+    """Median scalar round-trip through the relay (device sync + 4-byte
+    download)."""
+    x = jnp.zeros((), jnp.float32) + 1.0
+    float(x)  # warm path
+    samples = []
+    for i in range(7):
+        t0 = time.time()
+        float(jnp.asarray(i, jnp.float32) + x)
+        samples.append(time.time() - t0)
+    return float(np.median(samples))
 
 
 def main() -> None:
@@ -49,6 +69,7 @@ def main() -> None:
         for i in range(NQ)
     ]
     impl = "pallas" if _on_tpu() else "xla"
+    rtt = measure_rtt(jnp)
 
     # compile + stage all inputs on device
     v, i = topk_scores(queries[0], corpus, bias, N, k=K, impl=impl)
@@ -57,32 +78,94 @@ def main() -> None:
         v, i = topk_scores(q, corpus, bias, N, k=K, impl=impl)
     float(jnp.sum(v))
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for q in queries:
-            v, i = topk_scores(q, corpus, bias, N, k=K, impl=impl)
-        float(jnp.sum(v))
-        best = min(best, max(time.time() - t0 - 0.030, 1e-9))  # - 1 RTT
-    tpu_qps = NQ * B / best
+    def timed_qps(run_bias) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for q in queries:
+                v, _i = topk_scores(q, corpus, run_bias, N, k=K, impl=impl)
+            float(jnp.sum(v))
+            best = min(best, max(time.time() - t0 - rtt, 1e-9))
+        return NQ * B / best
+
+    tpu_qps = timed_qps(bias)
+
+    # hybrid: the SAME fused pass with a non-trivial per-row additive bias
+    # stream (what BM25 scores ride in production — engine/bm25.py feeds the
+    # dense score vector straight in as bias)
+    hybrid_bias = jax.random.uniform(jax.random.PRNGKey(99), (N,),
+                                     jnp.float32) * 0.5
+    hybrid_qps = timed_qps(hybrid_bias)
 
     # Host-CPU fp32 brute force on a slice, scaled (full 1M scan on one core
     # is minutes; a 1/32 slice keeps the bench fast, scaling is linear).
-    M = N // 32
+    SLICE = 32
+    M = N // SLICE
     rng = np.random.default_rng(0)
     sub = rng.standard_normal((M, D), dtype=np.float32)
     q0 = rng.standard_normal((B, D), dtype=np.float32)
     t0 = time.time()
     scores = q0 @ sub.T
     _idx = np.argpartition(-scores, K, axis=1)[:, :K]
-    host_elapsed = (time.time() - t0) * (N / M)
+    host_elapsed = (time.time() - t0) * SLICE
     host_qps = B / host_elapsed
+
+    # encoder throughput (MiniLM-class, fused Pallas attention, b=256 s=128)
+    enc = {}
+    try:
+        import functools
+
+        from archi_tpu.models.bert import BertConfig, encode, init_params
+
+        cfg = BertConfig.minilm_l6()
+        params = jax.device_put(init_params(cfg, seed=0))
+        eb, es = 256, 128
+        fwd = jax.jit(functools.partial(
+            encode, config=cfg, compute_dtype=jnp.bfloat16,
+            attention_impl=impl if impl == "pallas" else "xla"))
+        mask = jnp.ones((eb, es), jnp.int32)
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def ids_from(seed_vec):
+            noise = jax.random.randint(key, (eb, es), 0, cfg.vocab_size)
+            off = (jnp.abs(seed_vec[0, 0]) * 1000).astype(jnp.int32)
+            return (noise + off) % cfg.vocab_size
+
+        out = jnp.ones((eb, cfg.hidden_size), jnp.float32)
+        out = fwd(params, ids_from(out), mask)
+        float(jnp.sum(out))
+        steps = 6
+        t0 = time.time()
+        for _ in range(steps):
+            out = fwd(params, ids_from(out), mask)
+        float(jnp.sum(out))
+        dt = max((time.time() - t0 - rtt) / steps, 1e-9)
+        enc = {"encoder_chunks_per_s": round(eb / dt, 1),
+               "encoder_tokens_per_s": round(eb * es / dt, 1),
+               "encoder_shape": f"b{eb} s{es}"}
+    except Exception as e:  # encoder bench is best-effort
+        enc = {"encoder_error": f"{type(e).__name__}: {e}"}
 
     out = {
         "metric": "query_qps_1M_chunks_384d_bf16_batch32",
         "value": round(tpu_qps, 1),
         "unit": "qps",
         "vs_baseline": round(tpu_qps / host_qps, 1),
+        "extra": {
+            "hybrid_qps_1M": round(hybrid_qps, 1),
+            "relay_rtt_ms_measured": round(rtt * 1e3, 1),
+            "baseline": {
+                "what": "host single-core fp32 brute-force exact scan of the "
+                        "same corpus (the reference stores no numbers; its "
+                        "pgvector HNSW would be sublinear/multicore — this "
+                        "is a like-for-like exact-scan comparison, not an "
+                        "ANN comparison)",
+                "slice": f"1/{SLICE} of corpus, linearly extrapolated x{SLICE}",
+                "host_qps": round(host_qps, 3),
+            },
+            **enc,
+        },
     }
     print(json.dumps(out))
 

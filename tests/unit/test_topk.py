@@ -123,3 +123,18 @@ def test_topk_k_zero(rng):
             jnp.asarray(q), jnp.asarray(e), jnp.asarray(bias), 512, k=0, impl=impl
         )
         assert vals.shape == (2, 0) and idx.shape == (2, 0)
+
+
+def test_fused_fallback_is_counted(rng):
+    """k>128 silently loses the fused path — the fallback must be counted
+    (VERDICT r1 weak #8)."""
+    from archi_tpu.engine import topk as topk_mod
+
+    corpus = rng.standard_normal((256, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    bias = np.zeros(256, np.float32)
+    before = topk_mod.FUSED_FALLBACKS["count"]
+    vals, idx = topk_mod.topk_scores(q, corpus, bias, 256, k=130,
+                                     impl="pallas", tile_n=256)
+    assert topk_mod.FUSED_FALLBACKS["count"] == before + 1
+    assert vals.shape == (2, 130)
