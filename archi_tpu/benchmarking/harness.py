@@ -59,13 +59,15 @@ class Benchmarker:
                  modes: tuple[str, ...] = ("SOURCES",),
                  out_dir: str = "./benchmark_results",
                  vectorstore=None,
-                 retrieval_k: int = 10):
+                 retrieval_k: int = 10,
+                 judge_model=None):
         self.archi = archi
         self.queries = queries
         self.modes = modes
         self.out_dir = out_dir
         self.vectorstore = vectorstore
         self.retrieval_k = retrieval_k
+        self.judge_model = judge_model  # RAGAS-fallback LLM judge
 
     # ---------------------------------------------------------------- modes
     def _retrieval_metrics(self) -> dict:
@@ -109,7 +111,24 @@ class Benchmarker:
             from datasets import Dataset  # noqa: F401
             from ragas import evaluate  # noqa: F401
         except ImportError:
-            return {"ragas_skipped": "ragas not installed"}
+            # vendored fallback: the same four metrics as direct LLM-judge
+            # calls through the provider layer (benchmarking/llm_judge.py) —
+            # the mode produces numbers even without the ragas package.
+            judge = self.judge_model
+            if judge is None:
+                try:
+                    from archi_tpu.providers.registry import get_model
+
+                    judge = get_model("local/echo")
+                except Exception:
+                    judge = None
+            if judge is None:
+                return {"ragas_skipped": "ragas absent and no judge model"}
+            from archi_tpu.benchmarking.llm_judge import LLMJudge
+
+            scores = LLMJudge(judge).evaluate(ragas_input)
+            scores["ragas_backend"] = "llm_judge_fallback"
+            return scores
         # Full RAGAS path mirrors reference get_ragas_results:385-426.
         from datasets import Dataset
         from ragas import evaluate
