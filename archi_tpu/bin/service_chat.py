@@ -32,6 +32,39 @@ def resolve_engine_url(config: dict) -> str | None:
     return None
 
 
+def make_agent_resolver(agent_store, config_service, config, vectorstore):
+    """() → Optional[Archi] for the dynamic-config ``active_agent``.
+
+    Caches the built agent per (name, spec mtime) so selecting an agent
+    over HTTP (PUT /api/agents/active) takes effect on the next message
+    without paying a rebuild per request."""
+    cache: dict = {}
+
+    def resolver():
+        name = None
+        if config_service is not None:
+            name = config_service.get("active_agent")
+        if not name:
+            return None
+        spec = agent_store.get(name)
+        if spec is None:
+            return None
+        mtime = os.path.getmtime(spec.source_path) if spec.source_path else 0
+        key = (name, mtime)
+        if cache.get("key") != key:
+            from archi_tpu.pipelines.agents.toolbox import agent_from_spec
+
+            agent = agent_from_spec(spec, config)
+            archi = Archi("BaseReActAgent", config=config,
+                          vectorstore=vectorstore)
+            archi.pipeline = agent  # the spec-configured instance
+            cache["key"] = key
+            cache["archi"] = archi
+        return cache["archi"]
+
+    return resolver
+
+
 def build_app(config_paths=(), overrides=None, ctx=None, *,
               remote_engine: bool = False):
     if ctx is None and remote_engine:
@@ -47,17 +80,21 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
     ctx = ctx or build_context(config_paths, overrides)
     pipeline = ctx.config.get("active_pipeline", "QAPipeline")
     archi = Archi(pipeline, config=ctx.config, vectorstore=ctx.vectorstore)
+
+    from archi_tpu.pipelines.agents.agent_spec import AgentStore
+
+    agents_dir = os.path.join(
+        ctx.config["data_manager"]["data_path"], "agents")
+    agent_store = AgentStore(agents_dir)
     wrapper = ChatWrapper(
         archi, ctx.conversations, ctx.traces,
         source_score_threshold=ctx.config.get("chat", {}).get(
             "source_score_threshold", 0.0),
         byok_resolver=ctx.byok_resolver,
         catalog=ctx.catalog,
+        agent_resolver=make_agent_resolver(
+            agent_store, ctx.config_service, ctx.config, ctx.vectorstore),
     )
-    from archi_tpu.pipelines.agents.agent_spec import AgentStore
-
-    agents_dir = os.path.join(
-        ctx.config["data_manager"]["data_path"], "agents")
     app = create_chat_app(
         chat_wrapper=wrapper,
         conversations=ctx.conversations,
@@ -67,7 +104,7 @@ def build_app(config_paths=(), overrides=None, ctx=None, *,
         byok_store=ctx.byok_store,
         catalog=ctx.catalog,
         app_db=ctx.app_db,
-        agent_store=AgentStore(agents_dir),
+        agent_store=agent_store,
         prompt_service=ctx.prompts,
         data_manager_url=resolve_engine_url(ctx.config),
         data_manager_token=os.environ.get("DATA_MANAGER_TOKEN"),

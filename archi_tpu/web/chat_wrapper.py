@@ -39,14 +39,35 @@ class ChatWrapper:
         source_score_threshold: float = 0.0,
         byok_resolver=None,
         catalog=None,
+        agent_resolver=None,
     ):
-        self.archi = archi
+        self._default_archi = archi
         self.conversations = conversations
         self.traces = traces
         self.source_score_threshold = source_score_threshold
         self.byok_resolver = byok_resolver
         self.catalog = catalog  # for per-conversation doc selection
+        # callable () -> Optional[Archi]: the runtime-selected agent
+        # (dynamic-config active_agent → AgentSpec → BaseReActAgent); None
+        # keeps the default pipeline (reference agent selection,
+        # app.py:2218 set_active_agent)
+        self.agent_resolver = agent_resolver
         self.lock = threading.Lock()
+
+    @property
+    def archi(self):
+        if self.agent_resolver is not None:
+            try:
+                selected = self.agent_resolver()
+            except Exception:
+                selected = None
+            if selected is not None:
+                return selected
+        return self._default_archi
+
+    @archi.setter
+    def archi(self, value):
+        self._default_archi = value
 
     # ------------------------------------------------------------- internals
     def _prepare(self, conversation_id: Optional[int], user_id: Optional[int],
