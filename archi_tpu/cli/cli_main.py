@@ -126,26 +126,60 @@ def list_deps():
 @click.option("--name", "-n", default="evaluate")
 @click.option("--config", "-c", "configs", multiple=True,
               type=click.Path(exists=True))
-@click.option("--queries", "-q", required=True, type=click.Path(exists=True),
-              help="queries JSON file")
+@click.option("--queries", "-q", type=click.Path(exists=True),
+              help="queries JSON file (omit with --fixture)")
+@click.option("--fixture", is_flag=True,
+              help="use the built-in deterministic quality fixture corpus "
+                   "+ queries (benchmarking/fixture.py) instead of a "
+                   "deployment corpus")
 @click.option("--mode", "-m", multiple=True,
               default=("SOURCES", "RETRIEVAL"),
               type=click.Choice(["SOURCES", "RAGAS", "RETRIEVAL"]))
+@click.option("--judge", help="model ref for RAGAS-fallback LLM judging "
+                              "(e.g. openai/gpt-4o-mini)")
 @click.option("--out", "-o", default="./benchmark_results")
-def evaluate(name, configs, queries, mode, out):
+def evaluate(name, configs, queries, fixture, mode, judge, out):
     """Run the quality/retrieval benchmark (reference `archi evaluate`)."""
     from archi_tpu.benchmarking.harness import Benchmarker
-    from archi_tpu.bin.bootstrap import build_context
     from archi_tpu.orchestrator.archi import Archi
 
-    with open(queries) as f:
-        qs = json.load(f)
-    ctx = build_context(list(configs))
-    ctx.data_manager.run_ingestion()
-    archi = Archi(ctx.config.get("active_pipeline", "QAPipeline"),
-                  config=ctx.config, vectorstore=ctx.vectorstore)
+    judge_model = None
+    if judge:
+        from archi_tpu.providers.registry import get_model
+
+        judge_model = get_model(judge)
+
+    if fixture:
+        from archi_tpu.benchmarking.fixture import fixture_corpus
+        from archi_tpu.data.chunking import character_split
+        from archi_tpu.engine.vectorstore import TpuVectorStore
+        from archi_tpu.models.hashed_embedder import HashedNgramEmbedder
+
+        docs, qs = fixture_corpus()
+        store = TpuVectorStore(HashedNgramEmbedder())
+        texts, metas, ids = [], [], []
+        for dname, text, meta in docs:
+            for i, chunk in enumerate(character_split(text)):
+                texts.append(chunk)
+                metas.append(dict(meta))
+                ids.append(f"{dname}:{i}")
+        store.add_texts(texts, metas, ids=ids)
+        archi = Archi("QAPipeline", vectorstore=store)
+        vectorstore = store
+    else:
+        if not queries:
+            raise click.UsageError("--queries required without --fixture")
+        from archi_tpu.bin.bootstrap import build_context
+
+        with open(queries) as f:
+            qs = json.load(f)
+        ctx = build_context(list(configs))
+        ctx.data_manager.run_ingestion()
+        archi = Archi(ctx.config.get("active_pipeline", "QAPipeline"),
+                      config=ctx.config, vectorstore=ctx.vectorstore)
+        vectorstore = ctx.vectorstore
     bench = Benchmarker(archi, qs, modes=tuple(mode), out_dir=out,
-                        vectorstore=ctx.vectorstore)
+                        vectorstore=vectorstore, judge_model=judge_model)
     report = bench.run()
     click.echo(json.dumps(report["totals"], indent=2))
     click.echo(f"full report: {out}/results.json, {out}/results.html")
