@@ -47,8 +47,9 @@ class MaxSimReranker:
                  max_doc_tokens: int = 128):
         """embedder: a JaxEmbedder (provides tokenizer + params/config)."""
         self.embedder = embedder
-        self.max_q = max_query_tokens
-        self.max_d = max_doc_tokens
+        max_pos = embedder.config.max_position_embeddings
+        self.max_q = min(max_query_tokens, max_pos)
+        self.max_d = min(max_doc_tokens, max_pos)
         self._fwd = None
 
     def _token_embed(self, texts: Sequence[str], max_len: int):

@@ -96,13 +96,31 @@ class BasePipeline(ABC):
 
         hybrid_cfg = (self.dm_config.get("retrievers", {})
                       .get("hybrid_retriever", {}))
+        k = hybrid_cfg.get("num_documents_to_retrieve", 5)
+        rerank_cfg = hybrid_cfg.get("rerank") or {}
+        base_k = k
+        if rerank_cfg.get("enabled"):
+            base_k = max(k, int(rerank_cfg.get("overfetch", 4 * k)))
         self.retriever = HybridRetriever(
             vectorstore,
-            k=hybrid_cfg.get("num_documents_to_retrieve", 5),
+            k=base_k,
             bm25_weight=hybrid_cfg.get("bm25_weight", 0.6),
             semantic_weight=hybrid_cfg.get("semantic_weight", 0.4),
             enabled_ids=enabled_ids,
         )
+        if rerank_cfg.get("enabled"):
+            # MaxSim late-interaction reranking over the over-fetched pool
+            # (engine/reranker.py — a capability beyond the reference stack);
+            # needs the local embedder (token-level output), so remote
+            # vectorstores skip it gracefully.
+            embedder = getattr(vectorstore, "_embedding_function", None)
+            if embedder is not None and hasattr(embedder, "params"):
+                from archi_tpu.engine.reranker import (
+                    MaxSimReranker, RerankingRetriever,
+                )
+
+                self.retriever = RerankingRetriever(
+                    self.retriever, MaxSimReranker(embedder), k=k)
 
     @abstractmethod
     def invoke(self, **kwargs) -> PipelineOutput:

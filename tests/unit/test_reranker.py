@@ -105,3 +105,51 @@ def test_reranking_retriever(embedder):
 
 def test_rerank_empty(embedder):
     assert MaxSimReranker(embedder).rerank("q", []) == []
+
+
+def test_rerank_config_wires_reranking_retriever():
+    """data_manager.retrievers.hybrid_retriever.rerank.enabled builds a
+    RerankingRetriever over an over-fetching hybrid base."""
+    import jax.numpy as jnp
+
+    from archi_tpu.engine.reranker import RerankingRetriever
+    from archi_tpu.engine.vectorstore import TpuVectorStore
+    from archi_tpu.models.bert import BertConfig
+    from archi_tpu.models.embedder import JaxEmbedder
+    from archi_tpu.orchestrator.archi import Archi
+
+    cfg = BertConfig(vocab_size=512, hidden_size=32, num_layers=1,
+                     num_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    embedder = JaxEmbedder(config=cfg, compute_dtype=jnp.float32,
+                           max_length=32, attention_impl="xla")
+    store = TpuVectorStore(embedder, dtype=jnp.float32)
+    store.add_texts(["fox jumps high", "dog sleeps", "fox runs fast"])
+    archi = Archi("QAPipeline", config={
+        "data_manager": {"retrievers": {"hybrid_retriever": {
+            "num_documents_to_retrieve": 2,
+            "rerank": {"enabled": True, "overfetch": 3},
+        }}},
+    }, vectorstore=store)
+    out = archi.invoke(history=[("User", "fox")])
+    pipe = archi.pipeline
+    assert isinstance(pipe.retriever, RerankingRetriever)
+    assert pipe.retriever.k == 2
+    assert pipe.retriever.base.k == 3
+    assert len(out.source_documents) <= 2
+
+
+def test_rerank_config_skipped_for_remote_store():
+    """Remote vectorstores (no local encoder) keep the plain retriever."""
+    from archi_tpu.engine.remote_vectorstore import RemoteVectorStore
+    from archi_tpu.pipelines.qa import QAPipeline
+
+    pipe = QAPipeline({
+        "data_manager": {"retrievers": {"hybrid_retriever": {
+            "rerank": {"enabled": True},
+        }}},
+    })
+    pipe.update_retriever(RemoteVectorStore("http://127.0.0.1:1"))
+    from archi_tpu.engine.reranker import RerankingRetriever
+
+    assert not isinstance(pipe.retriever, RerankingRetriever)
