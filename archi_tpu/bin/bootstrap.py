@@ -100,13 +100,28 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
         else:
             vectorstore = None
         if vectorstore is None:
-            vectorstore = TpuVectorStore(
-                embedder,
-                index=FlatIndex(
+            if index_cfg.get("hot_tail"):
+                # streaming deployments: O(tail) appends, periodic merges
+                # (engine/segmented_index.py; docs/streaming_ingest.md)
+                from archi_tpu.engine.segmented_index import (
+                    SegmentedFlatIndex,
+                )
+
+                index = SegmentedFlatIndex(
                     embedder.dim,
                     dtype=index_cfg.get("dtype", "bfloat16"),
                     tile_n=index_cfg.get("tile_n", 4096),
-                ),
+                    merge_rows=index_cfg.get("merge_rows", 1 << 16),
+                )
+            else:
+                index = FlatIndex(
+                    embedder.dim,
+                    dtype=index_cfg.get("dtype", "bfloat16"),
+                    tile_n=index_cfg.get("tile_n", 4096),
+                )
+            vectorstore = TpuVectorStore(
+                embedder,
+                index=index,
                 bm25=BM25Index(stemming=stemming),
             )
     data_manager = DataManager(

@@ -46,6 +46,10 @@ DEFAULT_CONFIG: dict = {
             "tile_n": 4096,
             "nlist": 1024,           # ivf cells
             "nprobe": 64,
+            # hot-tail segmented appends for heavy streaming ingest
+            # (O(tail) copies instead of O(corpus); docs/streaming_ingest.md)
+            "hot_tail": False,
+            "merge_rows": 65536,
         },
         "retrievers": {
             "hybrid_retriever": {

@@ -216,25 +216,13 @@ class FlatIndex:
             self.normalize = saved
 
     # ---------------------------------------------------------------- search
-    def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
-               impl="auto"):
-        """Top-k search.
-
-        Args:
-          queries: [B, D] or [D].
-          filter_mask: optional [capacity] (or [n_rows]) 0/1 float mask for
-            metadata filtering / per-conversation doc enablement (analog of
-            the JSONB filters + 3-tier selection in
-            ``postgres_vectorstore.py:317-332``, ``init.sql:315-336``).
-          bias: optional [capacity] additive f32 per-row score bias (carries
-            ``bm25_weight * bm25`` in hybrid search; queries should then be
-            pre-scaled by semantic_weight by the caller).
-        Returns:
-          (ids: list[list[chunk_id]], scores [B, k] np.f32, rows [B, k]).
-        """
+    def search_dispatch(self, queries, k: int = 10, *, filter_mask=None,
+                        bias=None, impl="auto"):
+        """Dispatch the scan and return DEVICE (vals, rows) — callers that
+        scan several segments (SegmentedFlatIndex) launch all segments
+        before blocking, so per-call host/relay latency isn't paid twice."""
         queries = jnp.asarray(queries, jnp.float32)
-        squeeze = queries.ndim == 1
-        if squeeze:
+        if queries.ndim == 1:
             queries = queries[None, :]
         if self.normalize:
             queries = _l2_normalize(queries)
@@ -254,10 +242,30 @@ class FlatIndex:
                 bb = jnp.pad(bb, (0, self.capacity - bb.shape[0]))
             row_bias = row_bias + bb
         k_eff = min(k, max(len(self), 1))
-        vals, rows = topk_scores(
+        return topk_scores(
             queries, emb_snap, row_bias, n_rows_snap, k=k_eff, impl=impl,
             tile_n=self.tile_n,
         )
+
+    def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
+               impl="auto"):
+        """Top-k search.
+
+        Args:
+          queries: [B, D] or [D].
+          filter_mask: optional [capacity] (or [n_rows]) 0/1 float mask for
+            metadata filtering / per-conversation doc enablement (analog of
+            the JSONB filters + 3-tier selection in
+            ``postgres_vectorstore.py:317-332``, ``init.sql:315-336``).
+          bias: optional [capacity] additive f32 per-row score bias (carries
+            ``bm25_weight * bm25`` in hybrid search; queries should then be
+            pre-scaled by semantic_weight by the caller).
+        Returns:
+          (ids: list[list[chunk_id]], scores [B, k] np.f32, rows [B, k]).
+        """
+        vals, rows = self.search_dispatch(queries, k, filter_mask=filter_mask,
+                                          bias=bias, impl=impl)
+        squeeze = np.asarray(queries).ndim == 1
         vals = np.asarray(vals)
         rows = np.asarray(rows)
         ids = [

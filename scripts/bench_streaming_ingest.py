@@ -52,7 +52,7 @@ def prepopulate(idx, n, d, chunk=1 << 19):
     return done
 
 
-def phase_vector(seconds: int) -> dict:
+def phase_vector(seconds: int, hot_tail: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -65,10 +65,24 @@ def phase_vector(seconds: int) -> dict:
     CAP, D, B, K = 8 * (1 << 20), 384, 32, 10
     N = CAP - (1 << 17)
     rtt = measure_rtt(jnp)
-    idx = FlatIndex(D, dtype=jnp.bfloat16, tile_n=4096)
+    if hot_tail:
+        from archi_tpu.engine.segmented_index import SegmentedFlatIndex
+
+        idx = SegmentedFlatIndex(D, dtype=jnp.bfloat16, tile_n=4096,
+                                 merge_rows=1 << 16)
+    else:
+        idx = FlatIndex(D, dtype=jnp.bfloat16, tile_n=4096)
     t0 = time.time()
-    prepopulate(idx, N, D)
-    assert idx.capacity == CAP, idx.capacity
+    # pre-grow to the final capacity while empty: growing at 4M rows peaks
+    # at old(3GB)+new(6GB)+append-copy(6GB) and can OOM alongside transient
+    # generation buffers; growing from empty allocates just the 6GB once
+    main = idx.main if hot_tail else idx
+    main._grow_to(CAP)
+    # hot-tail: bulk prepopulation goes straight into the cold main segment
+    # (global rows == main rows while the tail is empty); the tail is for
+    # the streaming phase's small appends
+    prepopulate(main, N, D)
+    assert main.capacity == CAP, main.capacity
     prep_s = time.time() - t0
 
     key = jax.random.PRNGKey(7)
@@ -106,7 +120,7 @@ def phase_vector(seconds: int) -> dict:
     th.join(timeout=10)
     lat_ms = np.asarray(lat) * 1e3
     return {
-        "phase": "vector_8M_streaming",
+        "phase": "vector_8M_streaming" + ("_hot_tail" if hot_tail else ""),
         "corpus_rows": int(len(idx)),
         "prepopulate_s": round(prep_s, 1),
         "ingest_rows_per_min": round(ingested["rows"] / seconds * 60, 0),
@@ -211,9 +225,11 @@ def main() -> None:
     ap.add_argument("--seconds", type=int, default=45)
     ap.add_argument("--phase", choices=["vector", "hybrid", "both"],
                     default="both")
+    ap.add_argument("--hot-tail", action="store_true",
+                    help="use the SegmentedFlatIndex hot-tail append path")
     args = ap.parse_args()
     if args.phase in ("vector", "both"):
-        print(json.dumps(phase_vector(args.seconds)))
+        print(json.dumps(phase_vector(args.seconds, hot_tail=args.hot_tail)))
     if args.phase in ("hybrid", "both"):
         print(json.dumps(phase_hybrid(args.seconds)))
 
