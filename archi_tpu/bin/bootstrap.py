@@ -94,7 +94,15 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
             # restart-resume: reload embeddings instead of re-embedding the
             # corpus (the catalog diff-sync reconciles any drift after load)
             try:
-                vectorstore = TpuVectorStore.load(checkpoint_dir, embedder)
+                index_cls = None
+                if index_cfg.get("hot_tail"):
+                    from archi_tpu.engine.segmented_index import (
+                        SegmentedFlatIndex,
+                    )
+
+                    index_cls = SegmentedFlatIndex
+                vectorstore = TpuVectorStore.load(
+                    checkpoint_dir, embedder, index_cls=index_cls)
             except Exception:
                 vectorstore = None
         else:

