@@ -47,6 +47,32 @@ class ServiceContext:
     byok_resolver: Optional[BYOKResolver]
 
 
+def _build_index(dim: int, index_cfg: dict):
+    """data_manager.index config → index instance.
+
+    type: "flat" (default) | "sharded" (corpus rows over the device mesh,
+    per-shard fused top-k + ICI merge) — "ivf" serves via snapshot tooling
+    (`IVFIndex.from_flat`, `archi-tpu evaluate` sweeps) on top of the flat
+    ingest plane.  hot_tail: wrap appends in the segmented hot-tail path
+    (docs/streaming_ingest.md).
+    """
+    kw = dict(dtype=index_cfg.get("dtype", "bfloat16"),
+              tile_n=index_cfg.get("tile_n", 4096))
+    index_type = index_cfg.get("type", "flat")
+    if index_type == "sharded":
+        from archi_tpu.engine.sharded_index import ShardedFlatIndex
+
+        return ShardedFlatIndex(dim, **kw)
+    if index_cfg.get("hot_tail"):
+        from archi_tpu.engine.segmented_index import SegmentedFlatIndex
+
+        return SegmentedFlatIndex(
+            dim, merge_rows=index_cfg.get("merge_rows", 1 << 16), **kw)
+    from archi_tpu.engine.flat_index import FlatIndex
+
+    return FlatIndex(dim, **kw)
+
+
 def build_context(config_paths=(), overrides: Optional[dict] = None,
                   *, vectorstore: Optional[TpuVectorStore] = None
                   ) -> ServiceContext:
@@ -86,7 +112,6 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
     if vectorstore is None:
         embedder = resolve_embedder(dm_cfg)
         from archi_tpu.engine.bm25 import BM25Index
-        from archi_tpu.engine.flat_index import FlatIndex
 
         stemming = bool((dm_cfg.get("stemming") or {}).get("enabled"))
         index_cfg = dm_cfg.get("index") or {}
@@ -108,25 +133,7 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
         else:
             vectorstore = None
         if vectorstore is None:
-            if index_cfg.get("hot_tail"):
-                # streaming deployments: O(tail) appends, periodic merges
-                # (engine/segmented_index.py; docs/streaming_ingest.md)
-                from archi_tpu.engine.segmented_index import (
-                    SegmentedFlatIndex,
-                )
-
-                index = SegmentedFlatIndex(
-                    embedder.dim,
-                    dtype=index_cfg.get("dtype", "bfloat16"),
-                    tile_n=index_cfg.get("tile_n", 4096),
-                    merge_rows=index_cfg.get("merge_rows", 1 << 16),
-                )
-            else:
-                index = FlatIndex(
-                    embedder.dim,
-                    dtype=index_cfg.get("dtype", "bfloat16"),
-                    tile_n=index_cfg.get("tile_n", 4096),
-                )
+            index = _build_index(embedder.dim, index_cfg)
             vectorstore = TpuVectorStore(
                 embedder,
                 index=index,

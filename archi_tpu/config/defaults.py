@@ -41,7 +41,7 @@ DEFAULT_CONFIG: dict = {
         "data_path": "./archi_data",
         "db_path": "./archi_data/catalog.db",
         "index": {
-            "type": "flat",          # flat | ivf
+            "type": "flat",          # flat | sharded (device-mesh corpus)
             "dtype": "bfloat16",
             "tile_n": 4096,
             "nlist": 1024,           # ivf cells

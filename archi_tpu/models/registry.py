@@ -99,4 +99,9 @@ def resolve_embedder(dm_config: dict[str, Any]):
         )
     if name in ("hash", "fake", "test"):
         return HashEmbeddings(dim=kw.get("dim", 384))
+    if name in ("hashed_ngram", "featurizer"):
+        # deterministic training-free featurizer (quality-fixture embedder)
+        from archi_tpu.models.hashed_embedder import HashedNgramEmbedder
+
+        return HashedNgramEmbedder(dim=kw.get("dim", 384))
     raise ValueError(f"unknown embedding class: {name}")
