@@ -51,10 +51,9 @@ def _build_index(dim: int, index_cfg: dict):
     """data_manager.index config → index instance.
 
     type: "flat" (default) | "sharded" (corpus rows over the device mesh,
-    per-shard fused top-k + ICI merge) — "ivf" serves via snapshot tooling
-    (`IVFIndex.from_flat`, `archi-tpu evaluate` sweeps) on top of the flat
-    ingest plane.  hot_tail: wrap appends in the segmented hot-tail path
-    (docs/streaming_ingest.md).
+    per-shard fused top-k + ICI merge) | "ivf" (ANN serving: IVF snapshot +
+    exact fresh-row tail, engine/ann_index.py).  hot_tail: wrap appends in
+    the segmented hot-tail path (docs/streaming_ingest.md).
     """
     kw = dict(dtype=index_cfg.get("dtype", "bfloat16"),
               tile_n=index_cfg.get("tile_n", 4096))
@@ -63,6 +62,15 @@ def _build_index(dim: int, index_cfg: dict):
         from archi_tpu.engine.sharded_index import ShardedFlatIndex
 
         return ShardedFlatIndex(dim, **kw)
+    if index_type == "ivf":
+        from archi_tpu.engine.ann_index import AnnFlatIndex
+
+        return AnnFlatIndex(
+            dim,
+            nlist=index_cfg.get("nlist", 1024),
+            nprobe=index_cfg.get("nprobe", 64),
+            min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 15),
+            **kw)
     if index_cfg.get("hot_tail"):
         from archi_tpu.engine.segmented_index import SegmentedFlatIndex
 

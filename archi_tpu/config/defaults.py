@@ -41,7 +41,9 @@ DEFAULT_CONFIG: dict = {
         "data_path": "./archi_data",
         "db_path": "./archi_data/catalog.db",
         "index": {
-            "type": "flat",          # flat | sharded (device-mesh corpus)
+            # flat | sharded (device-mesh corpus) | ivf (ANN serving:
+            # IVF snapshot + exact fresh-row tail)
+            "type": "flat",
             "dtype": "bfloat16",
             "tile_n": 4096,
             "nlist": 1024,           # ivf cells

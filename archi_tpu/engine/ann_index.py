@@ -1,0 +1,147 @@
+"""ANN-accelerated serving index: IVF snapshot + exact fresh-row tail.
+
+Makes ``data_manager.index.type: ivf`` a REAL serving mode (the pgvector
+IVFFlat analog, reference ``init.sql:287-289``) instead of offline sweep
+tooling: ingest stays on the incremental FlatIndex plane, and queries run
+against a periodically refreshed IVF snapshot of the corpus prefix plus an
+EXACT scan of the rows added since the snapshot — the same
+snapshot+fresh-tail shape as ``SegmentedFlatIndex``, with the cold segment
+ANN-compressed instead of merely cold.
+
+The full additive-bias contract survives ANN: tombstones, metadata
+filters, per-conversation enablement, and hybrid BM25 all ride the same
+per-row bias vector, permuted into IVF block layout by one device gather
+(``_bias_to_block_layout``).  At ``nprobe == nlist`` results are exact
+(parity-tested vs FlatIndex); smaller nprobe trades recall for QPS per the
+sweep in ``docs/ivf_scale.md``.  Caveat shared with every ANN index:
+highly selective filters can empty the probed cells — over-fetch (raise k
+or nprobe) for narrow document selections.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+from archi_tpu.engine.flat_index import FlatIndex, _l2_normalize
+from archi_tpu.engine.ivf_index import IVFIndex
+from archi_tpu.engine.topk import alive_to_bias, topk_scores
+
+logger = logging.getLogger(__name__)
+
+
+class AnnFlatIndex(FlatIndex):
+    """FlatIndex whose searches are IVF-accelerated over a snapshot.
+
+    Args (beyond FlatIndex):
+      nlist / nprobe: IVF cells and default probes.
+      min_snapshot_rows: corpus size before the first snapshot is built
+        (small corpora scan exactly — ANN buys nothing).
+      refresh_fraction: rebuild when fresh rows exceed this fraction of the
+        snapshot (fresh rows are scanned exactly meanwhile, so recall never
+        degrades with staleness — only the exact-tail cost grows).
+    """
+
+    def __init__(self, dim: int, *, nlist: int = 1024, nprobe: int = 64,
+                 min_snapshot_rows: int = 1 << 15,
+                 refresh_fraction: float = 0.25, **kw):
+        super().__init__(dim, **kw)
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self.min_snapshot_rows = int(min_snapshot_rows)
+        self.refresh_fraction = float(refresh_fraction)
+        self._ivf: IVFIndex | None = None
+        self._n_snap = 0
+        self._ann_lock = threading.Lock()
+
+    # ---------------------------------------------------------------- refresh
+    def _needs_refresh(self) -> bool:
+        if self.n_rows < self.min_snapshot_rows:
+            return False
+        fresh = self.n_rows - self._n_snap
+        return fresh > max(self.refresh_fraction * max(self._n_snap, 1),
+                           0 if self._ivf is None else 1)
+
+    def refresh_ann(self) -> None:
+        """Rebuild the IVF snapshot from the current corpus prefix."""
+        with self._ann_lock:
+            n = self.n_rows
+            if n < self.min_snapshot_rows:
+                return
+            with self._buf_lock:
+                emb_snap = self.emb
+            x = emb_snap[:n]
+            if self.dtype == jnp.int8:
+                x = x.astype(jnp.float32) / 127.0
+            ivf = IVFIndex.build_device(
+                x, nlist=min(self.nlist, n), block=512,
+                dtype=self.dtype if self.dtype != jnp.int8 else jnp.bfloat16)
+            self._ivf, self._n_snap = ivf, n
+            logger.info("ANN snapshot refreshed: %d rows, nlist=%d",
+                        n, ivf.nlist)
+
+    # ---------------------------------------------------------------- search
+    def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
+               impl="auto", nprobe: int | None = None):
+        if self._needs_refresh():
+            self.refresh_ann()
+        with self._ann_lock:
+            ivf, n_snap = self._ivf, self._n_snap
+        if ivf is None:
+            return super().search(queries, k, filter_mask=filter_mask,
+                                  bias=bias, impl=impl)
+        queries = jnp.asarray(queries, jnp.float32)
+        squeeze = queries.ndim == 1
+        if squeeze:
+            queries = queries[None, :]
+        if self.normalize:
+            queries = _l2_normalize(queries)
+
+        # combined per-row bias over GLOBAL rows (same math as FlatIndex)
+        with self._buf_lock:
+            emb_snap, alive_snap, n_rows = self.emb, self.alive, self.n_rows
+        alive = alive_snap
+        if filter_mask is not None:
+            fm = jnp.asarray(filter_mask, jnp.float32)
+            if fm.shape[0] < self.capacity:
+                fm = jnp.pad(fm, (0, self.capacity - fm.shape[0]))
+            alive = alive * fm
+        row_bias = alive_to_bias(alive)
+        if bias is not None:
+            bb = jnp.asarray(bias, jnp.float32)
+            if bb.shape[0] < self.capacity:
+                bb = jnp.pad(bb, (0, self.capacity - bb.shape[0]))
+            row_bias = row_bias + bb
+
+        k_eff = min(k, max(len(self), 1))
+        # ANN over the snapshot (bias permuted to block layout internally;
+        # queries already normalized — don't re-normalize scaled hybrids)
+        _ids, a_vals, a_rows = ivf.search(
+            queries, k=k_eff, nprobe=nprobe or self.nprobe, bias=row_bias,
+            normalize_queries=False)
+        # EXACT scan of the fresh rows [n_snap, n_rows) — static shapes per
+        # snapshot (recompiles only at refresh)
+        f_vals, f_rows = topk_scores(
+            queries, emb_snap[n_snap:], row_bias[n_snap:],
+            jnp.asarray(n_rows - n_snap, jnp.int32),
+            k=k_eff, impl="xla", tile_n=self.tile_n)
+        a_vals = np.asarray(a_vals)
+        a_rows = np.asarray(a_rows)
+        f_vals = np.asarray(f_vals)
+        f_rows = np.asarray(f_rows) + n_snap
+
+        vals_all = np.concatenate([a_vals, f_vals], axis=1)
+        rows_all = np.concatenate([a_rows, f_rows], axis=1)
+        order = np.argsort(-vals_all, axis=1, kind="stable")[:, :k_eff]
+        vals = np.take_along_axis(vals_all, order, axis=1)
+        rows = np.take_along_axis(rows_all, order, axis=1)
+        ids = [
+            [self._ids[r] if (v > -1e29 and 0 <= r < len(self._ids))
+             else None
+             for r, v in zip(rr, vv)]
+            for rr, vv in zip(rows, vals)
+        ]
+        return ids, vals, rows

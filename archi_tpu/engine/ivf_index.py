@@ -33,11 +33,15 @@ from archi_tpu.engine.kmeans import kmeans
 from archi_tpu.ops.pallas_topk import NEG_INF
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "group"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "group",
+                                              "with_bias"))
 def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
-                *, k, nprobe, group=8):
+                bias_by_slot, *, k, nprobe, group=8, with_bias=False):
     """queries [B, D] (B % group == 0); blocks [n_blocks, blk, D];
-    block_rows_valid [n_blocks, blk]; cell_blocks [nlist, max_bpc] i32.
+    block_rows_valid [n_blocks, blk]; cell_blocks [nlist, max_bpc] i32;
+    bias_by_slot [n_blocks, blk] f32 (per-row additive bias in BLOCK layout
+    — tombstones/filters as NEG_INF, hybrid BM25 as finite values; ignored
+    unless with_bias).
     → (vals [B, k], flat candidate positions [B, k] = block_id*blk + slot).
 
     Queries are processed in groups of ``group``: one [G, P*blk] matmul per
@@ -62,6 +66,8 @@ def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
         cand = blocks[safe].reshape(-1, d)                   # [P*blk, D]
         scores = jnp.dot(qg, cand.T,
                          preferred_element_type=jnp.float32)  # [G, P*blk]
+        if with_bias:
+            scores = scores + bias_by_slot[safe].reshape(-1)[None, :]
         # ownership: block slot p was probed by query p // per_q; each query
         # scores only its own slots (duplicates across queries are scored
         # redundantly but masked per owner, so results stay exact)
@@ -83,6 +89,14 @@ def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
     return vals.reshape(b, -1), gpos.reshape(b, -1)
 
 
+@jax.jit
+def _bias_to_block_layout(bias, block_rows, block_rows_valid):
+    """[N?] original-row bias → [n_blocks, blk] block-layout bias (one
+    device gather; pad rows get 0 — they're masked by block_rows_valid)."""
+    safe_rows = jnp.clip(block_rows, 0, bias.shape[0] - 1)
+    return bias[safe_rows] * block_rows_valid
+
+
 class IVFIndex:
     """Built from a snapshot of (normalized) embeddings + ids."""
 
@@ -91,6 +105,7 @@ class IVFIndex:
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.blocks = jnp.asarray(blocks).astype(dtype)
         self.block_rows = np.asarray(block_rows)       # [n_blocks, blk] -> original row (-1 pad)
+        self._block_rows_dev = jnp.asarray(self.block_rows, jnp.int32)
         self.block_rows_valid = jnp.asarray(
             (self.block_rows >= 0).astype(np.float32))
         self.cell_blocks = jnp.asarray(cell_blocks, jnp.int32)
@@ -197,7 +212,12 @@ class IVFIndex:
 
     # ----------------------------------------------------------------- search
     def search(self, queries, k: int = 10, *, nprobe: int = 64,
+               bias=None, normalize_queries: bool = True,
                vmem_budget_rows: int = 1 << 21):
+        """bias: optional f32 vector indexed by ORIGINAL row (the flat
+        index's physical rows when built via from_flat/prefix) — carries
+        tombstones/filters as NEG_INF and hybrid BM25 as finite values,
+        the same additive-bias contract as the fused flat kernel."""
         queries = jnp.asarray(queries, jnp.float32)
         squeeze = queries.ndim == 1
         if squeeze:
@@ -213,11 +233,21 @@ class IVFIndex:
         if pad:
             queries = jnp.concatenate(
                 [queries, jnp.zeros((pad, self.dim), jnp.float32)], axis=0)
-        qn = queries / jnp.maximum(
-            jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        if normalize_queries:
+            qn = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        else:
+            qn = queries
+        if bias is not None:
+            bias_by_slot = _bias_to_block_layout(
+                jnp.asarray(bias, jnp.float32), self._block_rows_dev,
+                self.block_rows_valid)
+        else:
+            bias_by_slot = self.block_rows_valid  # placeholder, unused
         vals, gpos = _ivf_search(
             qn, self.centroids, self.blocks, self.block_rows_valid,
-            self.cell_blocks, k=k, nprobe=nprobe, group=group,
+            self.cell_blocks, bias_by_slot, k=k, nprobe=nprobe, group=group,
+            with_bias=bias is not None,
         )
         vals, gpos = vals[:b], gpos[:b]
         vals = np.asarray(vals)

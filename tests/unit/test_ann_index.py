@@ -1,0 +1,135 @@
+"""AnnFlatIndex (IVF snapshot + exact fresh tail) and the IVF bias
+contract: tombstones/filters/hybrid ride the same per-row additive bias as
+the fused flat kernel."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from archi_tpu.engine.ann_index import AnnFlatIndex
+from archi_tpu.engine.flat_index import FlatIndex
+from archi_tpu.engine.ivf_index import IVFIndex
+
+
+def _clustered(rng, n_clusters=8, per=64, d=32):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    x = np.repeat(centers, per, axis=0) + 0.2 * rng.standard_normal(
+        (n_clusters * per, d)).astype(np.float32)
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+# --------------------------------------------------------- IVF bias support
+def test_ivf_bias_tombstones_and_hybrid(rng):
+    x = _clustered(rng)
+    ivf = IVFIndex.build(x, None, nlist=4, block=64, dtype=np.float32)
+    q = x[10][None, :]
+    # no bias: row 10 is its own best match
+    _i, _v, rows = ivf.search(q, k=3, nprobe=4)
+    assert rows[0][0] == 10
+    # tombstone row 10 via NEG_INF bias
+    bias = np.zeros(len(x), np.float32)
+    bias[10] = -1e30
+    _i, _v, rows2 = ivf.search(q, k=3, nprobe=4, bias=bias)
+    assert 10 not in rows2[0]
+    # finite bias boosts an arbitrary row to the top
+    bias2 = np.zeros(len(x), np.float32)
+    bias2[200] = 10.0
+    _i, vals3, rows3 = ivf.search(q, k=2, nprobe=4, bias=bias2)
+    assert rows3[0][0] == 200 and vals3[0][0] > 9.0
+
+
+def test_ivf_bias_matches_flat_exactly_at_full_probe(rng):
+    x = _clustered(rng)
+    flat = FlatIndex(32, dtype=np.float32, tile_n=256)
+    flat.add(x, list(range(len(x))))
+    ivf = IVFIndex.build(x, None, nlist=8, block=64, dtype=np.float32)
+    bias = rng.uniform(0, 0.5, len(x)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    _i, f_vals, f_rows = flat.search(q, k=10, bias=bias)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    _i, a_vals, a_rows = ivf.search(qn, k=10, nprobe=8, bias=bias,
+                                    normalize_queries=False)
+    for b in range(4):
+        assert set(int(r) for r in a_rows[b]) == set(int(r) for r in f_rows[b])
+        np.testing.assert_allclose(np.sort(a_vals[b]), np.sort(f_vals[b]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------- AnnFlatIndex
+@pytest.fixture
+def ann_pair(rng):
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8, nprobe=8,
+                       min_snapshot_rows=256, refresh_fraction=0.5)
+    flat = FlatIndex(32, dtype=np.float32, tile_n=256)
+    x = _clustered(rng)  # 512 rows
+    ids = [f"c{i}" for i in range(len(x))]
+    ann.add(x, ids)
+    flat.add(x, ids)
+    return ann, flat, x
+
+
+def test_ann_matches_flat_at_full_probe(ann_pair, rng):
+    ann, flat, x = ann_pair
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    ids_a, vals_a, rows_a = ann.search(q, k=10)
+    assert ann._ivf is not None and ann._n_snap == 512  # snapshot built
+    ids_f, vals_f, rows_f = flat.search(q, k=10)
+    for b in range(3):
+        assert set(int(r) for r in rows_a[b]) == set(int(r) for r in rows_f[b])
+    assert ids_a[0][0] == ids_f[0][0]
+
+
+def test_ann_fresh_rows_searched_exactly(ann_pair, rng):
+    ann, flat, x = ann_pair
+    _ = ann.search(x[0], k=1)  # trigger snapshot at 512 rows
+    snap = ann._n_snap
+    fresh = _clustered(rng, n_clusters=2, per=20)  # 40 rows < refresh frac
+    ann.add(fresh, [f"f{i}" for i in range(40)])
+    assert ann._n_snap == snap  # not refreshed yet
+    # a freshly added vector must be findable immediately (exact tail)
+    ids, vals, rows = ann.search(fresh[7], k=1)
+    assert ids[0][0] == "f7" and vals[0][0] > 0.99
+
+
+def test_ann_tombstones_filters_and_enabled_ids(ann_pair, rng):
+    ann, flat, x = ann_pair
+    _ = ann.search(x[0], k=1)
+    ann.delete(["c10"])
+    flat.delete(["c10"])
+    _i, _v, rows = ann.search(x[10], k=3)
+    assert 10 not in rows[0]
+    fm = np.zeros(ann.capacity, np.float32)
+    fm[5] = 1.0
+    ids, _v, rows2 = ann.search(x[300], k=2, filter_mask=fm)
+    assert rows2[0][0] == 5 and ids[0][0] == "c5"
+
+
+def test_ann_small_corpus_stays_exact_flat(rng):
+    ann = AnnFlatIndex(16, dtype=np.float32, tile_n=256,
+                       min_snapshot_rows=10_000)
+    x = _clustered(rng, n_clusters=2, per=30, d=16)
+    ann.add(x, list(range(len(x))))
+    _i, _v, rows = ann.search(x[3], k=1)
+    assert rows[0][0] == 3 and ann._ivf is None
+
+
+def test_ann_through_vectorstore_hybrid():
+    from archi_tpu.engine.vectorstore import TpuVectorStore
+    from tests.unit.test_vectorstore import FakeEmbeddings
+
+    ann = AnnFlatIndex(FakeEmbeddings.dim, dtype=np.float32, tile_n=256,
+                       nlist=4, nprobe=4, min_snapshot_rows=4)
+    store = TpuVectorStore(FakeEmbeddings(), index=ann)
+    store.add_texts(
+        ["the quick brown fox", "lazy dog sleeps", "fox runs in forest",
+         "cat naps", "fox hunts at dusk", "birds sing at dawn"],
+        ids=[f"x{i}" for i in range(6)])
+    res = store.hybrid_search("fox", k=3)
+    assert ann._ivf is not None  # ANN path active
+    assert res and all("fox" in d.page_content for d, _s in res)
+    res2 = store.hybrid_search("fox", k=3, enabled_ids={"x2"})
+    assert len(res2) == 1 and res2[0][0].page_content.startswith("fox runs")
+    store.delete(["x0"])
+    res3 = store.hybrid_search("quick brown fox", k=3)
+    assert all(not d.page_content.startswith("the quick")
+               for d, _s in res3)
