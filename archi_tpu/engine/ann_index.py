@@ -23,6 +23,7 @@ from __future__ import annotations
 import logging
 import threading
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,19 @@ from archi_tpu.engine.ivf_index import IVFIndex
 from archi_tpu.engine.topk import alive_to_bias, topk_scores
 
 logger = logging.getLogger(__name__)
+
+
+@jax.jit
+def _merge_topk(a_vals, a_rows, f_vals, f_rows, n_snap):
+    """Disjoint-range segment merge: ANN rows < n_snap, fresh rows are
+    tail-relative → shifted.  → top-k of the union, on device."""
+    vals = jnp.concatenate([a_vals, f_vals], axis=1)
+    rows = jnp.concatenate(
+        [a_rows, jnp.where(f_vals > -1e29, f_rows + n_snap, -1)], axis=1)
+    k = a_vals.shape[1]
+    top_vals, pos = jax.lax.top_k(vals, k)
+    top_rows = jnp.take_along_axis(rows, pos, axis=1)
+    return top_vals, top_rows
 
 
 class AnnFlatIndex(FlatIndex):
@@ -119,7 +133,7 @@ class AnnFlatIndex(FlatIndex):
         k_eff = min(k, max(len(self), 1))
         # ANN over the snapshot (bias permuted to block layout internally;
         # queries already normalized — don't re-normalize scaled hybrids)
-        _ids, a_vals, a_rows = ivf.search(
+        a_vals, a_rows = ivf.search_dispatch(
             queries, k=k_eff, nprobe=nprobe or self.nprobe, bias=row_bias,
             normalize_queries=False)
         # EXACT scan of the fresh rows [n_snap, n_rows) — static shapes per
@@ -128,16 +142,12 @@ class AnnFlatIndex(FlatIndex):
             queries, emb_snap[n_snap:], row_bias[n_snap:],
             jnp.asarray(n_rows - n_snap, jnp.int32),
             k=k_eff, impl="xla", tile_n=self.tile_n)
-        a_vals = np.asarray(a_vals)
-        a_rows = np.asarray(a_rows)
-        f_vals = np.asarray(f_vals)
-        f_rows = np.asarray(f_rows) + n_snap
-
-        vals_all = np.concatenate([a_vals, f_vals], axis=1)
-        rows_all = np.concatenate([a_rows, f_rows], axis=1)
-        order = np.argsort(-vals_all, axis=1, kind="stable")[:, :k_eff]
-        vals = np.take_along_axis(vals_all, order, axis=1)
-        rows = np.take_along_axis(rows_all, order, axis=1)
+        # merge ON DEVICE and pull once (each host pull is a full relay
+        # round trip on this rig)
+        vals_d, rows_d = _merge_topk(a_vals, a_rows, f_vals, f_rows,
+                                     jnp.int32(n_snap))
+        vals = np.asarray(vals_d)
+        rows = np.asarray(rows_d)
         ids = [
             [self._ids[r] if (v > -1e29 and 0 <= r < len(self._ids))
              else None

@@ -211,16 +211,14 @@ class IVFIndex:
         return cls.build(emb[alive], ids, **kw)
 
     # ----------------------------------------------------------------- search
-    def search(self, queries, k: int = 10, *, nprobe: int = 64,
-               bias=None, normalize_queries: bool = True,
-               vmem_budget_rows: int = 1 << 21):
-        """bias: optional f32 vector indexed by ORIGINAL row (the flat
-        index's physical rows when built via from_flat/prefix) — carries
-        tombstones/filters as NEG_INF and hybrid BM25 as finite values,
-        the same additive-bias contract as the fused flat kernel."""
+    def search_dispatch(self, queries, k: int = 10, *, nprobe: int = 64,
+                        bias=None, normalize_queries: bool = True,
+                        vmem_budget_rows: int = 1 << 21):
+        """Device-only: → (vals [B, k] f32 dev, original_rows [B, k] i32 dev
+        with -1 for dead slots).  Callers combining with other scans (the
+        ANN fresh-tail) stay on device until one final pull."""
         queries = jnp.asarray(queries, jnp.float32)
-        squeeze = queries.ndim == 1
-        if squeeze:
+        if queries.ndim == 1:
             queries = queries[None, :]
         b = queries.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -250,18 +248,31 @@ class IVFIndex:
             with_bias=bias is not None,
         )
         vals, gpos = vals[:b], gpos[:b]
+        # device-side slot → original-row mapping (-1 where the slot lost)
+        rows = jnp.where(
+            vals > -1e29,
+            jnp.take(self._block_rows_dev.reshape(-1), gpos),
+            -1,
+        ).astype(jnp.int32)
+        return vals, rows
+
+    def search(self, queries, k: int = 10, *, nprobe: int = 64,
+               bias=None, normalize_queries: bool = True,
+               vmem_budget_rows: int = 1 << 21):
+        """bias: optional f32 vector indexed by ORIGINAL row (the flat
+        index's physical rows when built via from_flat/prefix) — carries
+        tombstones/filters as NEG_INF and hybrid BM25 as finite values,
+        the same additive-bias contract as the fused flat kernel."""
+        vals, rows = self.search_dispatch(
+            queries, k, nprobe=nprobe, bias=bias,
+            normalize_queries=normalize_queries,
+            vmem_budget_rows=vmem_budget_rows)
         vals = np.asarray(vals)
-        gpos = np.asarray(gpos)
-        flat_rows = self.block_rows.reshape(-1)
-        ids_out = []
-        rows_out = np.full_like(gpos, -1)
-        for b in range(gpos.shape[0]):
-            row_ids = []
-            for j, g in enumerate(gpos[b]):
-                orig = int(flat_rows[g]) if vals[b, j] > -1e29 else -1
-                rows_out[b, j] = orig
-                row_ids.append(self._id_of(orig) if orig >= 0 else None)
-            ids_out.append(row_ids)
+        rows_out = np.asarray(rows)
+        ids_out = [
+            [self._id_of(int(r)) if int(r) >= 0 else None for r in rr]
+            for rr in rows_out
+        ]
         return ids_out, vals, rows_out
 
     # -------------------------------------------------------------- serialize
