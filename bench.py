@@ -104,10 +104,13 @@ def main() -> None:
     rng = np.random.default_rng(0)
     sub = rng.standard_normal((M, D), dtype=np.float32)
     q0 = rng.standard_normal((B, D), dtype=np.float32)
-    t0 = time.time()
-    scores = q0 @ sub.T
-    _idx = np.argpartition(-scores, K, axis=1)[:, :K]
-    host_elapsed = (time.time() - t0) * SLICE
+    host_best = float("inf")
+    for _ in range(3):  # best-of-3: cold page-in once skewed this 25x
+        t0 = time.time()
+        scores = q0 @ sub.T
+        _idx = np.argpartition(-scores, K, axis=1)[:, :K]
+        host_best = min(host_best, time.time() - t0)
+    host_elapsed = host_best * SLICE
     host_qps = B / host_elapsed
 
     # encoder throughput (MiniLM-class, fused Pallas attention, b=256 s=128)
