@@ -97,6 +97,15 @@ class AnnFlatIndex(FlatIndex):
             logger.info("ANN snapshot refreshed: %d rows, nlist=%d",
                         n, ivf.nlist)
 
+    def compact(self) -> None:
+        """Compaction renumbers physical rows — the IVF snapshot's
+        block_rows would map to the OLD numbering, so invalidate it (the
+        next search rebuilds from the compacted corpus)."""
+        super().compact()
+        with self._ann_lock:
+            self._ivf = None
+            self._n_snap = 0
+
     # ---------------------------------------------------------------- search
     def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
                impl="auto", nprobe: int | None = None):

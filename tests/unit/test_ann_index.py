@@ -133,3 +133,20 @@ def test_ann_through_vectorstore_hybrid():
     res3 = store.hybrid_search("quick brown fox", k=3)
     assert all(not d.page_content.startswith("the quick")
                for d, _s in res3)
+
+
+def test_ann_compact_invalidates_snapshot(rng):
+    """Compaction renumbers rows; a stale ANN snapshot would return wrong
+    ids. The snapshot must be rebuilt from the compacted corpus."""
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=4, nprobe=4,
+                       min_snapshot_rows=64, refresh_fraction=10.0)
+    x = _clustered(rng, n_clusters=4, per=32)  # 128 rows
+    ids = [f"c{i}" for i in range(len(x))]
+    ann.add(x, ids)
+    _ = ann.search(x[0], k=1)  # build snapshot
+    assert ann._ivf is not None
+    ann.delete([f"c{i}" for i in range(0, 50)])
+    ann.compact()
+    assert ann._ivf is None  # invalidated
+    got, vals, _rows = ann.search(x[100], k=1)
+    assert got[0][0] == "c100" and vals[0][0] > 0.99
