@@ -10,6 +10,7 @@ search (``:327``), metadata schema (``:410``), and full-document fetch
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Optional
 
@@ -71,15 +72,23 @@ class RemoteCatalogClient:
     """HTTP client to a data-manager service exposing the catalog API
     (reference ``local_files.py:22``; endpoints ``uploader_app/app.py:449``)."""
 
-    def __init__(self, base_url: str, timeout: float = 30.0):
+    def __init__(self, base_url: str, timeout: float = 30.0,
+                 auth_token: str | None = None):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        # shared-secret gate on the data app (DATA_MANAGER_TOKEN); defaults
+        # from env so agent tools inside the chat process keep working when
+        # the deployment locks the data service down
+        self._headers = {}
+        token = auth_token or os.environ.get("DATA_MANAGER_TOKEN")
+        if token:
+            self._headers["x-data-token"] = token
 
     def _get(self, path: str, **params):
         import requests
 
         r = requests.get(f"{self.base_url}{path}", params=params,
-                         timeout=self.timeout)
+                         headers=self._headers, timeout=self.timeout)
         r.raise_for_status()
         return r.json()
 
