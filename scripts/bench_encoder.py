@@ -25,6 +25,7 @@ from archi_tpu.models.bert import BertConfig, encode, init_params
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 SEQ = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+MODEL = sys.argv[4] if len(sys.argv) > 4 else "minilm"
 
 
 def model_flops(cfg: BertConfig, b: int, s: int) -> float:
@@ -67,7 +68,11 @@ def bench(impl: str, cfg: BertConfig, params, steps: int = STEPS) -> float:
 
 def main():
     print(f"devices: {jax.devices()}")
-    cfg = BertConfig.minilm_l6()
+    cfg = (BertConfig.bge_base() if MODEL == "bge-base"
+           else BertConfig.bge_small() if MODEL == "bge-small"
+           else BertConfig.minilm_l6())
+    print(f"model={MODEL} H={cfg.hidden_size} L={cfg.num_layers} "
+          f"hd={cfg.head_dim}")
     params = init_params(cfg, seed=0)
     params = jax.device_put(params)
     flops = model_flops(cfg, BATCH, SEQ)
