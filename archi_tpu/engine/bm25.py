@@ -164,10 +164,19 @@ class BM25Index:
         self.delta_flushes = 0
 
     # ------------------------------------------------------------------ build
+    def analyze_batch(self, texts: Sequence[str]) -> list[list[str]]:
+        """Text analysis only (no row binding) — lets callers overlap this
+        host-side cost with device-side embedding."""
+        return [analyze(t, stemming=self.stemming) for t in texts]
+
     def add(self, rows: Sequence[int], texts: Sequence[str]) -> None:
         assert len(rows) == len(texts)
-        for row, text in zip(rows, texts):
-            terms = analyze(text, stemming=self.stemming)
+        self.add_analyzed(rows, self.analyze_batch(texts))
+
+    def add_analyzed(self, rows: Sequence[int],
+                     term_lists: Sequence[list[str]]) -> None:
+        assert len(rows) == len(term_lists)
+        for row, terms in zip(rows, term_lists):
             self._doc_len[row] = len(terms)
             self._len_sum += len(terms)
             tf: dict[int, int] = {}

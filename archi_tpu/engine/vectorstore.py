@@ -80,9 +80,16 @@ class TpuVectorStore:
             if existing:
                 self.delete(existing)
             if embeddings is None:
-                embeddings = np.asarray(
-                    self._embedding_function.embed_documents(texts), np.float32
-                )
+                # encode_numpy (when the embedder has it) skips the
+                # list-of-lists round trip of the Embeddings contract
+                encode = getattr(self._embedding_function, "encode_numpy",
+                                 None)
+                if encode is not None:
+                    embeddings = encode(texts)
+                else:
+                    embeddings = np.asarray(
+                        self._embedding_function.embed_documents(texts),
+                        np.float32)
             rows = self.index.add(embeddings, ids)
             self.bm25.add(rows, texts)
             for row, cid, text, meta in zip(rows, ids, texts, metadatas):
