@@ -154,6 +154,7 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
         sources_config=dm_cfg.get("sources", {}),
         chunk_size=dm_cfg.get("chunk_size", 1000),
         chunk_overlap=dm_cfg.get("chunk_overlap", 0),
+        parallel_workers=dm_cfg.get("parallel_workers", 32),
     )
 
     scheduler = CronScheduler()

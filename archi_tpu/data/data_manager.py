@@ -36,6 +36,7 @@ class DataManager:
         sources_config: Optional[dict] = None,
         chunk_size: int = 1000,
         chunk_overlap: int = 0,
+        parallel_workers: int = 32,
         anonymize_tickets: bool = False,
     ):
         self.catalog = catalog
@@ -44,6 +45,7 @@ class DataManager:
         self.index_manager = IndexManager(
             catalog, self.persistence, vectorstore,
             chunk_size=chunk_size, chunk_overlap=chunk_overlap,
+            parallel_workers=parallel_workers,
         )
         self.local_files = LocalFileManager(self.persistence)
         self.scrapers = ScraperManager(self.persistence)

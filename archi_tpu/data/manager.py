@@ -57,6 +57,7 @@ class IndexManager:
         chunk_size: int = 1000,
         chunk_overlap: int = 0,
         batch_files: int = 25,
+        parallel_workers: int = 32,
     ):
         self.catalog = catalog
         self.persistence = persistence
@@ -64,6 +65,8 @@ class IndexManager:
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
         self.batch_files = batch_files
+        # reference caps its parse ThreadPool at 64 (manager.py:86-99)
+        self.parallel_workers = max(1, min(int(parallel_workers), 64))
         self._lock = threading.RLock()
 
     # ------------------------------------------------------------------ sync
@@ -169,25 +172,45 @@ class IndexManager:
             **{k: v for k, v in meta.items() if isinstance(v, (str, int, float))},
         }
 
-    def _add_hashes(self, hashes: Sequence[str]) -> tuple[int, int]:
-        added = failed = 0
-        batch: list[tuple[str, list[str], dict]] = []
-        for h in hashes:
+    def _parse_group(self, pool, group: Sequence[str]):
+        for h in group:
             self.catalog.update_ingestion_status(h, "embedding")
-            chunks = self._parse_and_chunk(h)
-            if chunks is None:
-                failed += 1
-                continue
-            batch.append((h, chunks, self._doc_meta(h)))
-            if len(batch) >= self.batch_files:
-                ok = self._insert_batch(batch)
-                added += ok
-                failed += len(batch) - ok
-                batch = []
-        if batch:
-            ok = self._insert_batch(batch)
-            added += ok
-            failed += len(batch) - ok
+        return list(pool.map(self._parse_and_chunk, group))
+
+    def _add_hashes(self, hashes: Sequence[str]) -> tuple[int, int]:
+        """Parse files on a thread pool (reference ThreadPool parsing,
+        ``manager.py:86-99,332``), pipelined one group ahead of the
+        embed+insert of the current group so host parsing overlaps device
+        embedding."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        added = failed = 0
+        groups = [list(hashes[s: s + self.batch_files])
+                  for s in range(0, len(hashes), self.batch_files)]
+        # the prefetch driver lives on its OWN single thread: submitting it
+        # to `pool` would deadlock at parallel_workers=1 (the group task
+        # blocks on per-file tasks that need the worker it occupies)
+        with ThreadPoolExecutor(max_workers=self.parallel_workers) as pool, \
+                ThreadPoolExecutor(max_workers=1) as prefetch:
+            next_parsed = None
+            for gi, group in enumerate(groups):
+                parsed = (next_parsed if next_parsed is not None
+                          else self._parse_group(pool, group))
+                # prefetch the NEXT group's parses before embedding this one
+                if gi + 1 < len(groups):
+                    nxt = groups[gi + 1]
+                    next_future = prefetch.submit(
+                        self._parse_group, pool, nxt)
+                else:
+                    next_future = None
+                batch = [(h, c, self._doc_meta(h))
+                         for h, c in zip(group, parsed) if c is not None]
+                failed += sum(1 for c in parsed if c is None)
+                if batch:
+                    ok = self._insert_batch(batch)
+                    added += ok
+                    failed += len(batch) - ok
+                next_parsed = next_future.result() if next_future else None
         return added, failed
 
     # -------------------------------------------------------------- retries

@@ -187,3 +187,44 @@ def test_content_edit_is_remove_plus_add(stack):
     res = manager.update_vectorstore()
     assert res["added"] == 1 and res["removed"] == 1
     assert manager.store_hashes() == {h2}
+
+
+def test_parallel_parse_pipeline_isolation_and_order(tmp_path):
+    """Parallel+pipelined parsing (parallel_workers config) preserves
+    per-file fault isolation and syncs every good file, including at
+    workers=1 (prefetch-driver deadlock regression)."""
+    import numpy as np
+
+    from archi_tpu.data.catalog import CatalogService
+    from archi_tpu.data.manager import IndexManager
+    from archi_tpu.data.persistence import PersistenceService
+    from archi_tpu.data.resource import Resource, ResourceMetadata
+    from archi_tpu.engine.vectorstore import TpuVectorStore
+    from tests.unit.test_vectorstore import FakeEmbeddings
+
+    for workers in (1, 8):
+        catalog = CatalogService(str(tmp_path / f"cat{workers}.db"))
+        pers = PersistenceService(str(tmp_path / f"data{workers}"), catalog)
+        store = TpuVectorStore(FakeEmbeddings(), dtype=np.float32)
+        mgr = IndexManager(catalog, pers, store, batch_files=4,
+                           parallel_workers=workers)
+        for i in range(11):
+            meta = ResourceMetadata(display_name=f"d{i}.txt",
+                                    source_type="local_files",
+                                    extension=".txt")
+            pers.persist_resource(Resource(
+                f"{workers} searchable content number {i}", meta))
+        # one unreadable doc: point its file_path at nothing and empty text
+        bad_meta = ResourceMetadata(display_name="bad.bin",
+                                    source_type="local_files",
+                                    extension=".bin")
+        bad_hash = pers.persist_resource(Resource("  ", bad_meta))
+        result = mgr.update_vectorstore()
+        assert result["added"] == 11
+        assert result["failed"] == 1
+        assert catalog.get_document(bad_hash)["ingestion_status"] == "failed"
+        docs = [d for d in catalog.list_documents()
+                if d["ingestion_status"] == "embedded"]
+        assert len(docs) == 11
+        res = store.hybrid_search(f"{workers} searchable number", k=3)
+        assert res
