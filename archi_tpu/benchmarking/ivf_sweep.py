@@ -34,40 +34,45 @@ def synthetic_corpus(n: int, d: int, *, clustered: bool = True,
 
 def synthetic_corpus_device(n: int, d: int, *, clustered: bool = True,
                             n_clusters: int = 1024, seed: int = 0,
-                            dtype=None, chunk: int = 1 << 20):
+                            dtype=None, chunk: int = 1 << 18):
     """Clustered corpus generated ON DEVICE (normalized) — at 8M x 384 a
     host corpus would cost ~12 GB through the axon relay; here nothing is
-    uploaded.  Chunked writes into a donated buffer bound peak HBM."""
+    uploaded.  One jit with ``lax.map`` over row blocks bounds peak HBM to
+    the bf16 output + one f32 block (buffer donation is not honored by the
+    tunneled backend, so donated-write loops double-allocate)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.bfloat16
-    key = jax.random.PRNGKey(seed)
-    centers = jax.random.normal(jax.random.fold_in(key, 0), (n_clusters, d),
-                                jnp.float32)
+    n_blocks = max(1, n // chunk)
+    while n % n_blocks:  # nearest divisor (block rows must tile n exactly)
+        n_blocks -= 1
+    block_rows = n // n_blocks
 
-    @jax.jit
-    def gen_chunk(ckey, m_start):
-        ka, kb = jax.random.split(ckey)
-        assign = jax.random.randint(ka, (chunk,), 0, n_clusters)
-        v = centers[assign]
-        if clustered:
-            v = v + 0.3 * jax.random.normal(kb, (chunk, d), jnp.float32)
-        else:
-            v = jax.random.normal(kb, (chunk, d), jnp.float32)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        return v.astype(dtype)
+    @functools.partial(jax.jit, static_argnames=())
+    def gen(key):
+        centers = jax.random.normal(jax.random.fold_in(key, 0),
+                                    (n_clusters, d), jnp.float32)
+        keys = jax.random.split(jax.random.fold_in(key, 1), n_blocks)
 
-    write = jax.jit(
-        lambda buf, v, off: jax.lax.dynamic_update_slice(buf, v, (off, 0)),
-        donate_argnums=0)
-    buf = jnp.zeros((n, d), dtype)
-    for i, off in enumerate(range(0, n, chunk)):
-        v = gen_chunk(jax.random.fold_in(key, 100 + i), off)
-        m = min(chunk, n - off)
-        buf = write(buf, v[:m] if m < chunk else v, jnp.int32(off))
-    return buf
+        def block(k):
+            ka, kb = jax.random.split(k)
+            if clustered:
+                assign = jax.random.randint(ka, (block_rows,), 0, n_clusters)
+                v = centers[assign] + 0.3 * jax.random.normal(
+                    kb, (block_rows, d), jnp.float32)
+            else:
+                v = jax.random.normal(kb, (block_rows, d), jnp.float32)
+            v = v / jnp.maximum(
+                jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            return v.astype(dtype)
+
+        return jax.lax.map(block, keys).reshape(n, d)
+
+    return gen(jax.random.PRNGKey(seed))
 
 
 def run_sweep(n: int = 1 << 18, d: int = 384, *, nlist: int = 512,
