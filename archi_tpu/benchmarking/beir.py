@@ -1,0 +1,175 @@
+"""BEIR-format retrieval evaluation (BASELINE config 2 tooling).
+
+Config 2 is "BEIR NFCorpus/SciFact (~5k docs), bge-small, end-to-end
+ingest→embed→query vs reference retriever".  This image has no dataset
+egress, so this module ships the complete evaluation path — standard BEIR
+directory layout (``corpus.jsonl``, ``queries.jsonl``,
+``qrels/test.tsv``), ingest through ``TpuVectorStore``, and the standard
+metrics (nDCG@10, recall@k, MRR@10) — gated on a local dataset directory:
+
+    archi-tpu evaluate --beir /path/to/nfcorpus [--mode semantic|hybrid]
+
+A synthetic BEIR-format fixture (``write_fixture_beir``) exercises the
+loader + metrics end to end offline (tests/unit/test_beir.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Optional
+
+
+def load_beir(directory: str):
+    """→ (corpus {did: text}, queries {qid: text}, qrels {qid: {did: rel}})."""
+    corpus = {}
+    with open(os.path.join(directory, "corpus.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            did = str(d.get("_id") or d.get("id"))
+            title = d.get("title") or ""
+            corpus[did] = f"{title}\n{d.get('text', '')}".strip()
+    queries = {}
+    with open(os.path.join(directory, "queries.jsonl"),
+              encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            queries[str(d.get("_id") or d.get("id"))] = d.get("text", "")
+    qrels: dict[str, dict[str, int]] = {}
+    qrels_path = os.path.join(directory, "qrels", "test.tsv")
+    if not os.path.isfile(qrels_path):
+        qrels_path = os.path.join(directory, "qrels.tsv")
+    with open(qrels_path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            parts = line.strip().split("\t")
+            if not parts or (i == 0 and parts[-1].lower() in ("score",
+                                                              "relevance")):
+                continue  # header
+            qid, did, rel = parts[0], parts[-2], parts[-1]
+            if int(float(rel)) > 0:
+                qrels.setdefault(str(qid), {})[str(did)] = int(float(rel))
+    # only queries with judgments participate (BEIR convention)
+    queries = {q: t for q, t in queries.items() if q in qrels}
+    return corpus, queries, qrels
+
+
+def ndcg_at_k(ranked: list[str], rels: dict[str, int], k: int) -> float:
+    dcg = sum(
+        (2 ** rels.get(d, 0) - 1) / math.log2(i + 2)
+        for i, d in enumerate(ranked[:k])
+    )
+    ideal = sorted(rels.values(), reverse=True)[:k]
+    idcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(ideal))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def recall_at_k(ranked: list[str], rels: dict[str, int], k: int) -> float:
+    if not rels:
+        return 0.0
+    return len(set(ranked[:k]) & set(rels)) / len(rels)
+
+
+def mrr_at_k(ranked: list[str], rels: dict[str, int], k: int) -> float:
+    for i, d in enumerate(ranked[:k]):
+        if d in rels:
+            return 1.0 / (i + 1)
+    return 0.0
+
+
+def evaluate_beir(directory: str, *, embedder=None, mode: str = "hybrid",
+                  k: int = 100, chunk_size: int = 0,
+                  store=None) -> dict:
+    """Ingest a BEIR dataset and score retrieval.
+
+    embedder defaults to the deterministic hashed-ngram featurizer (no
+    pretrained weights in this image); pass a `JaxEmbedder(model_dir=...)`
+    for real-checkpoint runs.  chunk_size 0 = one chunk per document (BEIR
+    docs are passage-sized); >0 splits and scores by best chunk per doc.
+    """
+    import numpy as np
+
+    from archi_tpu.data.chunking import character_split
+    from archi_tpu.engine.vectorstore import TpuVectorStore
+    from archi_tpu.models.hashed_embedder import HashedNgramEmbedder
+
+    corpus, queries, qrels = load_beir(directory)
+    if store is None:
+        store = TpuVectorStore(embedder or HashedNgramEmbedder())
+        texts, metas, ids = [], [], []
+        for did, text in corpus.items():
+            chunks = (character_split(text, chunk_size, 0)
+                      if chunk_size else [text])
+            for i, c in enumerate(chunks):
+                texts.append(c)
+                metas.append({"doc_id": did})
+                ids.append(f"{did}#{i}")
+        store.add_texts(texts, metas, ids=ids)
+
+    weights = {"semantic": (1.0, 0.0), "bm25": (0.0, 1.0),
+               "hybrid": (0.4, 0.6)}[mode]
+    ndcgs, recs10, recs100, mrrs = [], [], [], []
+    for qid, qtext in queries.items():
+        results = store.hybrid_search(
+            qtext, k=k, semantic_weight=weights[0], bm25_weight=weights[1])
+        ranked, seen = [], set()
+        for doc, _s in results:
+            did = doc.metadata.get("doc_id")
+            if did not in seen:
+                seen.add(did)
+                ranked.append(did)
+        rels = qrels[qid]
+        ndcgs.append(ndcg_at_k(ranked, rels, 10))
+        recs10.append(recall_at_k(ranked, rels, 10))
+        recs100.append(recall_at_k(ranked, rels, 100))
+        mrrs.append(mrr_at_k(ranked, rels, 10))
+    return {
+        "dataset": os.path.basename(directory.rstrip("/")),
+        "mode": mode,
+        "documents": len(corpus),
+        "queries": len(queries),
+        "ndcg@10": round(float(np.mean(ndcgs)), 4),
+        "recall@10": round(float(np.mean(recs10)), 4),
+        "recall@100": round(float(np.mean(recs100)), 4),
+        "mrr@10": round(float(np.mean(mrrs)), 4),
+    }
+
+
+def write_fixture_beir(directory: str, *, n_topics: int = 12,
+                       docs_per_topic: int = 6, seed: int = 3) -> None:
+    """Synthetic BEIR-format dataset: topical docs + judged queries with
+    GRADED relevance (2 = exact topic+facet, 1 = same topic)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(directory, "qrels"), exist_ok=True)
+    facets = ["overview", "setup", "errors", "limits", "api", "examples"]
+    with open(os.path.join(directory, "corpus.jsonl"), "w") as f:
+        for t in range(n_topics):
+            for d in range(docs_per_topic):
+                facet = facets[d % len(facets)]
+                filler = " ".join(f"w{int(x)}" for x in
+                                  rng.integers(0, 400, 25))
+                f.write(json.dumps({
+                    "_id": f"t{t}d{d}",
+                    "title": f"topic{t} {facet} guide",
+                    "text": f"all about topic{t} subject, focusing on "
+                            f"{facet} details. {filler}",
+                }) + "\n")
+    with open(os.path.join(directory, "queries.jsonl"), "w") as f, \
+            open(os.path.join(directory, "qrels", "test.tsv"), "w") as q:
+        q.write("query-id\tcorpus-id\tscore\n")
+        for t in range(n_topics):
+            qid = f"q{t}"
+            facet = facets[t % len(facets)]
+            f.write(json.dumps({
+                "_id": qid,
+                "text": f"topic{t} {facet} information",
+            }) + "\n")
+            for d in range(docs_per_topic):
+                rel = 2 if facets[d % len(facets)] == facet else 1
+                q.write(f"{qid}\tt{t}d{d}\t{rel}\n")

@@ -132,16 +132,39 @@ def list_deps():
               help="use the built-in deterministic quality fixture corpus "
                    "+ queries (benchmarking/fixture.py) instead of a "
                    "deployment corpus")
+@click.option("--beir", type=click.Path(exists=True),
+              help="BEIR-format dataset dir (corpus.jsonl/queries.jsonl/"
+                   "qrels) → nDCG@10/recall@k instead of the QA harness "
+                   "(BASELINE config 2)")
+@click.option("--retriever-mode", default="hybrid",
+              type=click.Choice(["hybrid", "semantic", "bm25"]),
+              help="retrieval mode for --beir runs")
 @click.option("--mode", "-m", multiple=True,
               default=("SOURCES", "RETRIEVAL"),
               type=click.Choice(["SOURCES", "RAGAS", "RETRIEVAL"]))
 @click.option("--judge", help="model ref for RAGAS-fallback LLM judging "
                               "(e.g. openai/gpt-4o-mini)")
 @click.option("--out", "-o", default="./benchmark_results")
-def evaluate(name, configs, queries, fixture, mode, judge, out):
+def evaluate(name, configs, queries, fixture, beir, retriever_mode, mode,
+             judge, out):
     """Run the quality/retrieval benchmark (reference `archi evaluate`)."""
     from archi_tpu.benchmarking.harness import Benchmarker
     from archi_tpu.orchestrator.archi import Archi
+
+    if beir:
+        from archi_tpu.benchmarking.beir import evaluate_beir
+
+        embedder = None
+        if configs:
+            from archi_tpu.config.manager import ConfigurationManager
+            from archi_tpu.models.registry import resolve_embedder
+
+            cm = ConfigurationManager(list(configs))
+            embedder = resolve_embedder(cm.config["data_manager"])
+        result = evaluate_beir(beir, embedder=embedder,
+                               mode=retriever_mode)
+        click.echo(json.dumps(result, indent=2))
+        return
 
     judge_model = None
     if judge:
