@@ -38,6 +38,8 @@ class SessionService:
                         hashlib.sha256).hexdigest()
 
     def create(self, email: str) -> str:
+        if "|" in email:  # delimiter — would make the token unparseable
+            raise ValueError("invalid email for session")
         exp = int(time.time() + self.ttl)
         nonce = os.urandom(8).hex()
         payload = f"{email}|{exp}|{nonce}"
