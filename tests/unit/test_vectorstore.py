@@ -2,6 +2,8 @@
 reference tests/unit/test_postgres_vectorstore.py, but against the real
 engine instead of mocked SQL)."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -18,7 +20,9 @@ class FakeEmbeddings:
     def _vec(self, text):
         v = np.zeros(self.dim, np.float32)
         for t in analyze(text):
-            rs = np.random.RandomState(abs(hash(t)) % (2**31))
+            # zlib.crc32, not hash(): str hash is PYTHONHASHSEED-randomized,
+            # which made near-tie rankings flip between test runs.
+            rs = np.random.RandomState(zlib.crc32(t.encode()) % (2**31))
             v += rs.standard_normal(self.dim).astype(np.float32)
         n = np.linalg.norm(v)
         return v / n if n > 0 else v + 1.0 / np.sqrt(self.dim)
