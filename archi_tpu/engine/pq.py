@@ -1,0 +1,367 @@
+"""Product quantization (PQ) on TPU — the 100M-chunk-scale index codec.
+
+BASELINE config 4 asks for 100M chunks; at 384-d bf16 that is ~77 GB — five
+v5e chips of HBM for the *flat* corpus alone.  The reference has no answer at
+this scale either (pgvector IVFFlat keeps full-precision vectors,
+``src/cli/templates/init.sql:287-289``).  PQ compresses each vector to
+``m`` uint8 codes (48 B/row at m=48: 16x smaller than bf16), putting 100M
+rows in ~4.8 GB of HBM on ONE chip.
+
+TPU-first design:
+- **Training** (``PQCodec.train``): all ``m`` subspace k-means run
+  *simultaneously* as one vmapped Lloyd's iteration — assignment is a single
+  ``[m, Ns, ds] x [m, ksub, ds]`` batched matmul on the MXU, update is a
+  vmapped segment-sum.  No per-subspace Python loop.
+- **Encoding** (``PQCodec.encode``): blocked argmin over the same batched
+  matmul; the corpus never leaves the device and only uint8 codes are kept.
+- **ADC search** (``adc_topk``): per query, a ``[m, ksub]`` lookup table of
+  ``q_sub · centroid`` inner products; a row's approximate score is the sum
+  of ``m`` table entries selected by its codes.  Two device implementations
+  with identical semantics, dispatched by measurement:
+  - ``gather``: ``lax.scan`` over subspaces of batched [B, T] takes — one
+    HBM pass over the codes, VPU-bound.
+  - ``onehot``: codes expanded tile-wise to one-hot and contracted with the
+    LUT on the MXU ([B, ksub] x [ksub, T] per subspace) — trades 256x FLOPs
+    for MXU throughput.
+  Both honor the engine's additive-bias contract (tombstones / metadata
+  filters as NEG_INF, hybrid BM25 as finite values), same as
+  ``archi_tpu.engine.topk``.
+
+Scoring is IP-ADC: score(q, i) ~= q · x̂_i = sum_j q_j · C_j[code_ij] — an
+approximation of the exact inner product, so recall is swept (not assumed)
+by ``benchmarking/pq_sweep.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from archi_tpu.ops.pallas_topk import NEG_INF
+
+
+# --------------------------------------------------------------------- train
+
+@functools.partial(jax.jit, static_argnames=("ksub",))
+def _pq_assign(xs, codebooks, *, ksub):
+    """xs [m, Nb, ds], codebooks [m, ksub, ds] → codes [m, Nb] i32.
+
+    L2 argmin per subspace; ||x||^2 is constant per row so argmin of
+    ``||c||^2 - 2 x·c`` suffices.  The x·c term is one batched MXU matmul.
+    """
+    xc = jnp.einsum("mnd,mkd->mnk", xs.astype(jnp.float32),
+                    codebooks.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    c2 = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)  # [m, ksub]
+    return jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("ksub",))
+def _pq_update_stats(xs, codes, *, ksub):
+    """→ (sums [m, ksub, ds], counts [m, ksub]) for one training batch."""
+    def one(x, a):
+        s = jax.ops.segment_sum(x.astype(jnp.float32), a, num_segments=ksub)
+        c = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32), a,
+                                num_segments=ksub)
+        return s, c
+    return jax.vmap(one)(xs, codes)
+
+
+def _split_subspaces(x, m):
+    """[N, D] → [m, N, ds] (device reshape/transpose, no copy churn)."""
+    n, d = x.shape
+    ds = d // m
+    return jnp.transpose(x.reshape(n, m, ds), (1, 0, 2))
+
+
+class PQCodec:
+    """Trained product quantizer: ``codebooks [m, ksub, ds]`` f32."""
+
+    def __init__(self, codebooks):
+        self.codebooks = jnp.asarray(codebooks, jnp.float32)
+        self.m, self.ksub, self.ds = self.codebooks.shape
+        self.dim = self.m * self.ds
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def train(cls, x, m: int, *, ksub: int = 256, iters: int = 12,
+              seed: int = 0, sample: int = 1 << 18) -> "PQCodec":
+        """Train on (a sample of) ``x [N, D]``; D must be divisible by m.
+
+        x may be host or device; only ``min(N, sample)`` rows are used and
+        they stay on device throughout (config-4 corpora never fit on the
+        host of this rig anyway).
+        """
+        x = jnp.asarray(x)
+        n, d = x.shape
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        rng = np.random.default_rng(seed)
+        if n > sample:
+            rows = np.sort(rng.choice(n, size=sample, replace=False))
+            x = x[jnp.asarray(rows)]
+            n = sample
+        xs = _split_subspaces(x.astype(jnp.float32), m)      # [m, n, ds]
+        ksub_eff = min(ksub, n)
+        init = np.stack([
+            np.sort(rng.choice(n, size=ksub_eff, replace=False))
+            for _ in range(m)
+        ])                                                    # [m, ksub]
+        codebooks = jnp.take_along_axis(
+            xs, jnp.asarray(init)[:, :, None], axis=1)        # [m, ksub, ds]
+        for _ in range(iters):
+            codes = _pq_assign(xs, codebooks, ksub=ksub_eff)
+            sums, counts = _pq_update_stats(xs, codes, ksub=ksub_eff)
+            means = sums / jnp.maximum(counts[:, :, None], 1.0)
+            codebooks = jnp.where(counts[:, :, None] > 0, means, codebooks)
+        if ksub_eff < ksub:   # tiny corpora: pad so codes stay uint8-valid
+            pad = jnp.tile(codebooks[:, :1], (1, ksub - ksub_eff, 1))
+            codebooks = jnp.concatenate([codebooks, pad], axis=1)
+        return cls(codebooks)
+
+    # ------------------------------------------------------------------
+    def encode(self, x, *, block: int = 1 << 20) -> jax.Array:
+        """[N, D] (host/device) → device codes [N, m] uint8, blocked so HBM
+        holds one f32 block + codes at a time."""
+        x = jnp.asarray(x)
+        n = x.shape[0]
+        out = []
+        for s in range(0, n, block):
+            xb = _split_subspaces(x[s: s + block].astype(jnp.float32), self.m)
+            codes = _pq_assign(xb, self.codebooks, ksub=self.ksub)
+            out.append(jnp.transpose(codes).astype(jnp.uint8))  # [Nb, m]
+        return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
+
+    def decode(self, codes) -> jax.Array:
+        """[N, m] uint8 → reconstructed [N, D] f32 (tests / rerank)."""
+        codes = jnp.asarray(codes).astype(jnp.int32)           # [N, m]
+        sub = jnp.take_along_axis(
+            self.codebooks,                                    # [m, ksub, ds]
+            jnp.transpose(codes)[:, :, None], axis=1)          # [m, N, ds]
+        return jnp.transpose(sub, (1, 0, 2)).reshape(codes.shape[0], self.dim)
+
+    def luts(self, queries) -> jax.Array:
+        """[B, D] → ADC lookup tables [B, m, ksub] f32 (q_sub · centroid)."""
+        q = jnp.asarray(queries, jnp.float32)
+        qs = q.reshape(q.shape[0], self.m, self.ds)
+        return jnp.einsum("bmd,mkd->bmk", qs, self.codebooks,
+                          preferred_element_type=jnp.float32)
+
+    # ------------------------------------------------------------------
+    def save_arrays(self):
+        return {"codebooks": np.asarray(self.codebooks)}
+
+    @classmethod
+    def from_arrays(cls, arrs):
+        return cls(arrs["codebooks"])
+
+
+# ----------------------------------------------------------------- ADC top-k
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "impl"))
+def adc_topk(luts, codes_t, bias, n_active, *, k=10, tile=1 << 20,
+             impl="gather"):
+    """Approximate top-k by ADC over PQ codes.
+
+    Args:
+      luts: [B, m, ksub] f32 from ``PQCodec.luts`` (pre-scaled by
+        semantic_weight for hybrid — the bias carries the lexical part).
+      codes_t: [m, N_pad] uint8 — TRANSPOSED code matrix so each subspace's
+        codes are contiguous for the per-subspace HBM stream.
+      bias: [N_pad] f32 additive bias (NEG_INF = dead row).
+      n_active: scalar; rows >= n_active are padding.
+      k, tile: top-k size / corpus tile rows (tile must divide N_pad).
+      impl: "gather" (VPU takes) | "onehot" (MXU contraction).
+    Returns: (vals [B, k] f32, idx [B, k] i32) — idx are physical rows.
+    """
+    b, m, ksub = luts.shape
+    n_pad = codes_t.shape[1]
+    n_tiles = max(1, n_pad // tile)
+    k = min(k, n_pad)
+
+    def score_tile_gather(codes_tile):
+        # scan over subspaces: scores[b, t] += luts[b, j, codes[j, t]]
+        ct = codes_tile.astype(jnp.int32)                    # [m, T]
+        def step(acc, j_lut_codes):
+            lut_j, codes_j = j_lut_codes                     # [B,ksub], [T]
+            return acc + jnp.take(lut_j, codes_j, axis=1), None
+        acc0 = jnp.zeros((b, ct.shape[1]), jnp.float32)
+        acc, _ = jax.lax.scan(step, acc0, (jnp.transpose(luts, (1, 0, 2)), ct))
+        return acc
+
+    def score_tile_onehot(codes_tile):
+        ct = codes_tile.astype(jnp.int32)                    # [m, T]
+        t = ct.shape[1]
+        def step(acc, j_lut_codes):
+            lut_j, codes_j = j_lut_codes
+            oh = (codes_j[None, :] ==
+                  jax.lax.broadcasted_iota(jnp.int32, (ksub, t), 0)
+                  ).astype(jnp.bfloat16)                     # [ksub, T]
+            return acc + jnp.dot(lut_j.astype(jnp.bfloat16), oh,
+                                 preferred_element_type=jnp.float32), None
+        acc0 = jnp.zeros((b, t), jnp.float32)
+        acc, _ = jax.lax.scan(step, acc0, (jnp.transpose(luts, (1, 0, 2)), ct))
+        return acc
+
+    score_tile = (score_tile_onehot if impl == "onehot"
+                  else score_tile_gather)
+
+    def one_tile(i):
+        start = i * tile
+        ct = jax.lax.dynamic_slice(codes_t, (0, start), (m, min(tile, n_pad)))
+        s = score_tile(ct)
+        s = s + jax.lax.dynamic_slice(bias, (start,), (ct.shape[1],))[None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.where(col < jnp.asarray(n_active, jnp.int32), s, NEG_INF)
+        vals, pos = jax.lax.top_k(s, min(k, s.shape[1]))
+        return vals, pos + start
+
+    if n_tiles == 1:
+        return one_tile(0)
+    vals, idx = jax.lax.map(one_tile, jnp.arange(n_tiles))   # [nt, B, k]
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(b, -1)
+    idx = jnp.transpose(idx, (1, 0, 2)).reshape(b, -1)
+    mvals, mpos = jax.lax.top_k(vals, k)
+    return mvals, jnp.take_along_axis(idx, mpos, axis=1).astype(jnp.int32)
+
+
+# ------------------------------------------------------------------- index
+
+class PQFlatIndex:
+    """Flat PQ index: device-resident uint8 codes + exhaustive ADC top-k.
+
+    API mirrors ``FlatIndex`` where it matters to the serving stack: rows
+    are append-ordered physical positions, ``bias`` is indexed by row, and
+    capacity grows by doubling without recompiles (tile-aligned padding).
+    """
+
+    def __init__(self, codec: PQCodec, *, capacity: int = 1 << 15,
+                 tile: int = 1 << 20):
+        self.codec = codec
+        self.tile = tile
+        self._cap = self._round_cap(capacity)
+        self.codes_t = jnp.zeros((codec.m, self._cap), jnp.uint8)
+        self.n_rows = 0
+        self._ids: list = []
+        self._buf_lock = threading.Lock()
+
+    def _round_cap(self, cap: int) -> int:
+        t = min(self.tile, 1 << 14)
+        return max(t, -(-cap // t) * t)
+
+    def __len__(self):
+        return self.n_rows
+
+    @property
+    def capacity(self):
+        return self._cap
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def build(cls, x, ids=None, *, m: int = 48, ksub: int = 256,
+              iters: int = 12, seed: int = 0, tile: int = 1 << 20,
+              codec: PQCodec | None = None) -> "PQFlatIndex":
+        """Train (unless a codec is supplied) + encode a corpus in one go.
+        ``x`` may be a device array — nothing round-trips the host."""
+        x = jnp.asarray(x)
+        codec = codec or PQCodec.train(x, m, ksub=ksub, iters=iters,
+                                       seed=seed)
+        idx = cls(codec, capacity=x.shape[0], tile=tile)
+        idx.add(x, ids)
+        return idx
+
+    def add(self, x, ids=None) -> np.ndarray:
+        """Encode + append rows; returns their physical row numbers."""
+        x = jnp.asarray(x)
+        n_new = x.shape[0]
+        codes = self.codec.encode(x)                         # [n_new, m] u8
+        with self._buf_lock:
+            start = self.n_rows
+            if start + n_new > self._cap:
+                new_cap = self._round_cap(
+                    max(self._cap * 2, start + n_new))
+                grown = jnp.zeros((self.codec.m, new_cap), jnp.uint8)
+                self.codes_t = jax.lax.dynamic_update_slice(
+                    grown, self.codes_t, (0, 0))
+                self._cap = new_cap
+            self.codes_t = jax.lax.dynamic_update_slice(
+                self.codes_t, jnp.transpose(codes), (0, start))
+            self.n_rows = start + n_new
+            if ids is None:
+                self._ids.extend(range(start, start + n_new))
+            else:
+                self._ids.extend(ids)
+        return np.arange(start, start + n_new)
+
+    # --------------------------------------------------------------- search
+    def search_dispatch(self, queries, k: int = 10, *, bias=None,
+                        normalize_queries: bool = True, impl="gather"):
+        """Device-only ADC top-k → (vals [B,k] f32 dev, rows [B,k] i32 dev).
+        bias is indexed by physical row ([capacity] or [n_rows],
+        zero-padded here)."""
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if normalize_queries:
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        with self._buf_lock:
+            codes_t, n_rows, cap = self.codes_t, self.n_rows, self._cap
+        if bias is None:
+            bias_full = jnp.zeros((cap,), jnp.float32)
+        else:
+            bias = jnp.asarray(bias, jnp.float32)
+            bias_full = (bias if bias.shape[0] == cap else
+                         jnp.zeros((cap,), jnp.float32).at[
+                             : bias.shape[0]].set(bias))
+        luts = self.codec.luts(q)
+        tile = min(self.tile, cap)
+        while cap % tile:  # capacity is a multiple of min(tile, 16k)
+            tile //= 2
+        return adc_topk(luts, codes_t, bias_full, n_rows, k=k,
+                        tile=tile, impl=impl)
+
+    def search(self, queries, k: int = 10, *, bias=None,
+               normalize_queries: bool = True, impl="gather"):
+        """→ (ids [B][k], vals [B,k] np, rows [B,k] np; None id = dead)."""
+        vals, rows = self.search_dispatch(
+            queries, k, bias=bias, normalize_queries=normalize_queries,
+            impl=impl)
+        vals = np.asarray(vals)
+        rows = np.asarray(rows)
+        dead = vals <= NEG_INF / 2
+        ids = [[None if dead[b, j] else self._ids[int(rows[b, j])]
+                for j in range(rows.shape[1])] for b in range(rows.shape[0])]
+        return ids, vals, np.where(dead, -1, rows)
+
+    # ------------------------------------------------------------ serialize
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez_compressed(
+            path,
+            codes_t=np.asarray(self.codes_t[:, : self.n_rows]),
+            **self.codec.save_arrays(),
+            meta=json.dumps({
+                "n_rows": self.n_rows, "tile": self.tile,
+                "ids": [str(i) for i in self._ids],
+            }),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PQFlatIndex":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        codec = PQCodec.from_arrays({"codebooks": z["codebooks"]})
+        idx = cls(codec, capacity=max(1, meta["n_rows"]), tile=meta["tile"])
+        codes_t = jnp.asarray(z["codes_t"])
+        idx.codes_t = jax.lax.dynamic_update_slice(
+            idx.codes_t, codes_t, (0, 0))
+        idx.n_rows = meta["n_rows"]
+        idx._ids = list(meta["ids"])
+        return idx
