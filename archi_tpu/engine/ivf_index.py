@@ -89,6 +89,30 @@ def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
     return vals.reshape(b, -1), gpos.reshape(b, -1)
 
 
+def cell_block_layout(assign_h: np.ndarray, nlist: int, block: int):
+    """Cell-contiguous block layout from host k-means assignments.
+
+    → (gather [n_blocks*block] i64 source row per slot (-1 pad),
+       cell_blocks [nlist, max_bpc] i32).  Shared by IVFIndex and
+    IVFPQIndex — the layout is identical whether blocks hold vectors or
+    PQ codes."""
+    counts = np.bincount(assign_h, minlength=nlist)
+    order = np.argsort(assign_h, kind="stable")   # rows cell-contiguous
+    bpc = np.maximum(-(-counts // block), 1)      # blocks per cell (>=1)
+    n_blocks = int(bpc.sum())
+    block_first = np.concatenate([[0], np.cumsum(bpc)])
+    src_off = np.concatenate([[0], np.cumsum(counts)])
+    gather = np.full((n_blocks * block,), -1, np.int64)
+    for c in range(nlist):  # nlist iterations, each a vectorized slice
+        cnt = int(counts[c])
+        dst = int(block_first[c]) * block
+        gather[dst: dst + cnt] = order[src_off[c]: src_off[c] + cnt]
+    cb = np.full((nlist, int(bpc.max())), -1, np.int32)
+    for c in range(nlist):
+        cb[c, : bpc[c]] = np.arange(block_first[c], block_first[c + 1])
+    return gather, cb
+
+
 @jax.jit
 def _bias_to_block_layout(bias, block_rows, block_rows_valid):
     """[N?] original-row bias → [n_blocks, blk] block-layout bias (one
@@ -180,20 +204,8 @@ class IVFIndex:
         nlist = max(1, min(nlist, n))
         centroids, assign = kmeans(x, nlist, iters=iters, seed=seed)
         assign_h = np.asarray(assign)
-        counts = np.bincount(assign_h, minlength=nlist)
-        order = np.argsort(assign_h, kind="stable")   # rows cell-contiguous
-        bpc = np.maximum(-(-counts // block), 1)      # blocks per cell (>=1)
-        n_blocks = int(bpc.sum())
-        block_first = np.concatenate([[0], np.cumsum(bpc)])
-        src_off = np.concatenate([[0], np.cumsum(counts)])
-        gather = np.full((n_blocks * block,), -1, np.int64)
-        for c in range(nlist):  # nlist iterations, each a vectorized slice
-            cnt = int(counts[c])
-            dst = int(block_first[c]) * block
-            gather[dst: dst + cnt] = order[src_off[c]: src_off[c] + cnt]
-        cb = np.full((nlist, int(bpc.max())), -1, np.int32)
-        for c in range(nlist):
-            cb[c, : bpc[c]] = np.arange(block_first[c], block_first[c + 1])
+        gather, cb = cell_block_layout(assign_h, nlist, block)
+        n_blocks = gather.shape[0] // block
         safe = jnp.asarray(np.where(gather >= 0, gather, 0))
         blocks = jax.jit(
             lambda xx, ss: xx[ss].reshape(n_blocks, block, d).astype(dtype)

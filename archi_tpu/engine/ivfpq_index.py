@@ -1,0 +1,493 @@
+"""IVF-PQ: coarse inverted-file cells over PQ-coded residuals — the
+100M-rows-on-one-chip index (BASELINE config 4).
+
+Two-level structure, the TPU answer to what faiss calls IVFPQ (the
+reference's pgvector has nothing at this scale — IVFFlat keeps
+full-precision vectors, ``src/cli/templates/init.sql:287-289``):
+
+1. **Coarse**: cosine k-means centroids (``engine.kmeans``, MXU); a query
+   scans centroids and probes the ``nprobe`` best cells.
+2. **Fine**: each row stores only ``m`` uint8 PQ codes of its RESIDUAL
+   ``r = x - centroid[cell]``.  Residuals are ~2-4x smaller in norm than
+   the vectors, so the same code budget quantizes much finer — this is the
+   recall lever that flat PQ lacks.  The reported score is
+   ``q·centroid + q·r̂  ~=  q·x`` — the coarse term comes free from the
+   probe matmul.
+
+Memory at 100M x 384-d, nlist 64k, m=48: codes 4.8 GB + centroids 100 MB
++ layout tables ~ well inside one v5e's 16 GB.  Full-corpus bf16 would be
+77 GB.
+
+Layout and search reuse the IVF machinery (``engine.ivf_index``): rows are
+re-ordered cell-contiguously into fixed ``[n_blocks, blk, m]`` uint8 blocks
+(static shapes; a query gathers whole blocks), queries run in groups so
+candidate scoring is real matmuls, and the per-row additive-bias contract
+(tombstones / filters as NEG_INF, hybrid BM25 as finite values) rides the
+same block-layout path.  ADC uses the one-hot MXU contraction measured
+6-13x faster than TPU gathers in ``engine.pq``.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from archi_tpu.engine.ivf_index import _bias_to_block_layout, cell_block_layout
+from archi_tpu.engine.kmeans import kmeans
+from archi_tpu.engine.pq import PQCodec, _split_subspaces, _pq_assign
+from archi_tpu.ops.pallas_topk import NEG_INF
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "group",
+                                              "with_bias"))
+def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
+                  cell_blocks, codebooks, bias_by_slot, *, k, nprobe,
+                  group=8, with_bias=False):
+    """queries [B, D] (B % group == 0); code_blocks [n_blocks, blk, m] u8;
+    codebooks [m, ksub, ds]; rest as ``_ivf_search``.
+    → (vals [B, k], flat candidate positions [B, k] = block_id*blk + slot).
+
+    Score of a candidate = q·centroid(owning cell) + ADC(q, residual codes)
+    [+ bias].  ADC is a one-hot MXU contraction per subspace, shared across
+    the query group (each group member masks to the slots it probed).
+    """
+    blk = code_blocks.shape[1]
+    m, ksub, ds = codebooks.shape
+    max_bpc = cell_blocks.shape[1]
+    d = queries.shape[1]
+    per_q = nprobe * max_bpc  # block slots owned by each query
+
+    def one_group(qg):  # [G, D]
+        g_sz = qg.shape[0]
+        cscores = jnp.dot(qg, centroids.T,
+                          preferred_element_type=jnp.float32)
+        cv, cells = jax.lax.top_k(cscores, nprobe)           # [G, nprobe]
+        bids = cell_blocks[cells].reshape(-1)                # [G*per_q]
+        valid_block = bids >= 0
+        safe = jnp.where(valid_block, bids, 0)
+        p = safe.shape[0]
+        cand = code_blocks[safe].reshape(p * blk, m).astype(jnp.int32)
+
+        # ADC over the gathered candidates: one [G, ksub] x [ksub, P*blk]
+        # matmul per subspace (one-hot built on the fly from the codes).
+        luts = jnp.einsum(
+            "gmd,mkd->mgk", qg.reshape(g_sz, m, ds), codebooks,
+            preferred_element_type=jnp.float32)              # [m, G, ksub]
+
+        def step(acc, lut_codes):
+            lut_j, codes_j = lut_codes                       # [G,ksub],[P*blk]
+            oh = (codes_j[None, :] ==
+                  jax.lax.broadcasted_iota(
+                      jnp.int32, (ksub, codes_j.shape[0]), 0)
+                  ).astype(jnp.bfloat16)
+            return acc + jnp.dot(lut_j.astype(jnp.bfloat16), oh,
+                                 preferred_element_type=jnp.float32), None
+        acc0 = jnp.zeros((g_sz, p * blk), jnp.float32)
+        scores, _ = jax.lax.scan(step, acc0, (luts, jnp.transpose(cand)))
+
+        # + q·centroid of the probed cell that owns each slot.  Flat block
+        # slot s belongs to query s // per_q and its probe (s % per_q) //
+        # max_bpc; non-owned (query, slot) pairs get the wrong centroid
+        # score here but are masked to NEG_INF below, so adding the owner's
+        # cscore broadcast across the group is exact.
+        probe_of_slot = (
+            jax.lax.broadcasted_iota(jnp.int32, (g_sz, per_q), 1) // max_bpc)
+        cslot = jnp.take_along_axis(cv, probe_of_slot, axis=1)  # [G, per_q]
+        scores = scores + jnp.repeat(cslot.reshape(-1), blk)[None, :]
+
+        owner = jax.lax.broadcasted_iota(jnp.int32, (g_sz, p), 1) // per_q
+        mine = owner == jax.lax.broadcasted_iota(jnp.int32, (g_sz, p), 0)
+        slot_ok = mine & valid_block[None, :]
+        row_ok = block_rows_valid[safe].reshape(-1) > 0.5     # [P*blk]
+        mask = jnp.repeat(slot_ok, blk, axis=1) & row_ok[None, :]
+        if with_bias:
+            scores = scores + bias_by_slot[safe].reshape(-1)[None, :]
+        scores = jnp.where(mask, scores, NEG_INF)
+        kk = min(k, scores.shape[1])
+        vals, pos = jax.lax.top_k(scores, kk)
+        g = safe[pos // blk] * blk + pos % blk
+        return vals, g.astype(jnp.int32)
+
+    b = queries.shape[0]
+    qs = queries.reshape(b // group, group, d)
+    vals, gpos = jax.lax.map(one_group, qs)
+    return vals.reshape(b, -1), gpos.reshape(b, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _refine_rescore(vals, rows, luts2, refine_codes, *, k):
+    """Re-score stage-1 candidates with the refinement codebook.
+
+    vals/rows [B, C] from stage 1 (rows are ORIGINAL row ids, -1 dead);
+    luts2 [B, m2, ksub]; refine_codes [N, m2] uint8 in original row order.
+    → (vals [B, k], rows [B, k]).  Dead/tombstoned slots (NEG_INF) stay
+    dead — adding a finite ADC term cannot resurrect them.
+    """
+    b, c = vals.shape
+    safe = jnp.clip(rows, 0, refine_codes.shape[0] - 1)
+    rc = refine_codes[safe].astype(jnp.int32)              # [B, C, m2]
+    adc2 = jnp.sum(
+        jnp.take_along_axis(
+            luts2[:, None, :, :],                          # [B, 1, m2, ksub]
+            rc[:, :, :, None], axis=3
+        )[..., 0], axis=-1)                                # [B, C]
+    scores = jnp.where(vals > NEG_INF / 2, vals + adc2, vals)
+    kk = min(k, c)
+    nv, pos = jax.lax.top_k(scores, kk)
+    return nv, jnp.take_along_axis(rows, pos, axis=1)
+
+
+class IVFPQIndex:
+    """Built from a device-resident snapshot of normalized embeddings.
+
+    Optional **refinement stage** (``refine_m > 0``, faiss-IVFPQR style):
+    a second PQ codebook encodes the residual left over after stage 1
+    (``x - centroid - decode1(codes1)``), stored in ORIGINAL row order so
+    it needs no cell reorder (the 2x-buffer reorder peak is what caps
+    stage-1 size at 100M rows).  Search re-scores the stage-1 top-C with
+    the refinement ADC — candidate-bound, so its cost is O(B*C*m2), not
+    O(corpus).
+    """
+
+    def __init__(self, centroids, codec: PQCodec, code_blocks, block_rows,
+                 cell_blocks, ids, *, refine_codec: PQCodec | None = None,
+                 refine_codes=None):
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.codec = codec
+        self.code_blocks = jnp.asarray(code_blocks).astype(jnp.uint8)
+        self.block_rows = np.asarray(block_rows)   # [n_blocks, blk] (-1 pad)
+        self._block_rows_dev = jnp.asarray(self.block_rows, jnp.int32)
+        self.block_rows_valid = jnp.asarray(
+            (self.block_rows >= 0).astype(np.float32))
+        self.cell_blocks = jnp.asarray(cell_blocks, jnp.int32)
+        self._ids = list(ids) if ids is not None else None
+        self._n_rows = int((self.block_rows >= 0).sum()) if ids is None \
+            else len(self._ids)
+        self.nlist = self.centroids.shape[0]
+        self.block = self.code_blocks.shape[1]
+        self.dim = self.centroids.shape[1]
+        self.refine_codec = refine_codec
+        self.refine_codes = (None if refine_codes is None
+                             else jnp.asarray(refine_codes).astype(jnp.uint8))
+
+    def _id_of(self, row: int):
+        return self._ids[row] if self._ids is not None else row
+
+    def __len__(self) -> int:
+        return self._n_rows
+
+    # ------------------------------------------------------------------ build
+    @staticmethod
+    def _train_codecs(r_sample, m, refine_m, *, ksub, pq_iters, seed, ns):
+        """Stage-1 codec on coarse residuals; optional refinement codec on
+        what stage 1 leaves behind."""
+        codec = PQCodec.train(r_sample, m, ksub=ksub, iters=pq_iters,
+                              seed=seed, sample=ns)
+        codec2 = None
+        if refine_m:
+            r2 = r_sample - codec.decode(codec.encode(r_sample))
+            codec2 = PQCodec.train(r2, refine_m, ksub=ksub, iters=pq_iters,
+                                   seed=seed + 1, sample=ns)
+        return codec, codec2
+
+    @classmethod
+    def build_device(cls, x, ids=None, *, nlist: int = 1024,
+                     block: int = 512, m: int = 48, ksub: int = 256,
+                     coarse_iters: int = 10, pq_iters: int = 12,
+                     seed: int = 0, train_sample: int = 1 << 18,
+                     encode_block: int = 1 << 20,
+                     refine_m: int = 0) -> "IVFPQIndex":
+        """Build from a DEVICE-resident normalized corpus ``x [N, D]``.
+
+        Only the 4-byte/row assignment vector round-trips the host (for the
+        block-layout computation); residuals are formed, PQ-trained, and
+        encoded on device in blocks, then reordered with ONE device gather
+        of the (tiny) codes."""
+        x = jnp.asarray(x)
+        n, d = x.shape
+        nlist = max(1, min(nlist, n))
+        centroids, assign = kmeans(x, nlist, iters=coarse_iters, seed=seed)
+        assign = jnp.asarray(assign)
+
+        # PQ on residuals: train on a sample, encode everything, in blocks
+        # so HBM never holds corpus + residuals at full scale.
+        rng = np.random.default_rng(seed)
+        ns = min(n, train_sample)
+        rows = jnp.asarray(np.sort(rng.choice(n, size=ns, replace=False)))
+        r_sample = x[rows].astype(jnp.float32) - centroids[assign[rows]]
+        codec, codec2 = cls._train_codecs(
+            r_sample, m, refine_m, ksub=ksub, pq_iters=pq_iters, seed=seed,
+            ns=ns)
+        del r_sample
+
+        @jax.jit
+        def encode_resid(xb, ab):
+            rb = xb.astype(jnp.float32) - centroids[ab]
+            codes = _pq_assign(_split_subspaces(rb, m), codec.codebooks,
+                               ksub=codec.ksub)
+            c1 = jnp.transpose(codes).astype(jnp.uint8)      # [Nb, m]
+            if codec2 is None:
+                return c1, c1
+            r2 = rb - codec.decode(c1)
+            codes2 = _pq_assign(_split_subspaces(r2, refine_m),
+                                codec2.codebooks, ksub=codec2.ksub)
+            return c1, jnp.transpose(codes2).astype(jnp.uint8)
+
+        parts, rparts = [], []
+        for s in range(0, n, encode_block):
+            c1, c2 = encode_resid(x[s: s + encode_block],
+                                  assign[s: s + encode_block])
+            parts.append(c1)
+            if codec2 is not None:
+                rparts.append(c2)
+        codes = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        refine_codes = None
+        if codec2 is not None:
+            refine_codes = (rparts[0] if len(rparts) == 1
+                            else jnp.concatenate(rparts))
+
+        assign_h = np.asarray(assign)
+        gather, cb = cell_block_layout(assign_h, nlist, block)
+        n_blocks = gather.shape[0] // block
+        safe = jnp.asarray(np.where(gather >= 0, gather, 0))
+        code_blocks = jax.jit(
+            lambda cc, ss: cc[ss].reshape(n_blocks, block, m)
+        )(codes, safe)
+        block_rows = gather.reshape(n_blocks, block)
+        return cls(centroids, codec, code_blocks, block_rows, cb, ids,
+                   refine_codec=codec2, refine_codes=refine_codes)
+
+    @classmethod
+    def build(cls, embeddings, ids=None, **kw) -> "IVFPQIndex":
+        """Host-array convenience wrapper (tests / small corpora)."""
+        x = np.asarray(embeddings, np.float32)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return cls.build_device(jnp.asarray(x), ids, **kw)
+
+    @classmethod
+    def build_streaming(cls, block_fn, n_blocks: int, block_rows: int,
+                        ids=None, *, nlist: int = 2048, block: int = 1024,
+                        m: int = 48, ksub: int = 256, coarse_iters: int = 8,
+                        pq_iters: int = 10, seed: int = 0,
+                        train_blocks: int = 2,
+                        train_sample: int = 1 << 18,
+                        refine_m: int = 0) -> "IVFPQIndex":
+        """Build when the corpus can NEVER be fully device-resident
+        (config 4: 100M x 384 bf16 = 77 GB vs 16 GB HBM).
+
+        ``block_fn(i) -> [block_rows, D]`` yields normalized corpus blocks
+        (device arrays); it MUST be deterministic in ``i`` — the corpus is
+        streamed in two passes (the tunneled backend does not honor buffer
+        donation, so a single-pass design would double-allocate its staging
+        buffers at exactly the scale where that cannot fit):
+
+        1. **assign pass**: coarse-assign every block; only the 4 B/row
+           assignment vector lands on the host.
+        2. layout computed on host → **encode pass**: re-generate each
+           block, PQ-encode its residuals, scatter codes STRAIGHT into
+           their final cell-contiguous positions (one small scatter per
+           block; refinement codes append in original order).
+
+        Peak HBM = final code blocks (N*m bytes) + refine codes churn +
+        one corpus block — ~12 GB at N=100M, m=48, refine_m=32.
+        """
+        rng = np.random.default_rng(seed)
+
+        # ---- 1. train coarse + codecs on sampled blocks
+        tb = [jnp.asarray(block_fn(i), jnp.float32)
+              for i in sorted(rng.choice(n_blocks,
+                                         size=min(train_blocks, n_blocks),
+                                         replace=False))]
+        sample = jnp.concatenate(tb) if len(tb) > 1 else tb[0]
+        if sample.shape[0] > train_sample:
+            keep = jnp.asarray(np.sort(rng.choice(
+                sample.shape[0], size=train_sample, replace=False)))
+            sample = sample[keep]
+        ns = int(sample.shape[0])
+        nlist = max(1, min(nlist, ns))
+        centroids, s_assign = kmeans(sample, nlist, iters=coarse_iters,
+                                     seed=seed)
+        resid = sample - centroids[s_assign]
+        codec, codec2 = cls._train_codecs(
+            resid, m, refine_m, ksub=ksub, pq_iters=pq_iters, seed=seed,
+            ns=ns)
+        del sample, resid, tb
+
+        # ---- pass A: assignments only (host keeps 4 B/row)
+        @jax.jit
+        def assign_block(xb):
+            cs = jnp.dot(xb.astype(jnp.float32), centroids.T,
+                         preferred_element_type=jnp.float32)
+            return jnp.argmax(cs, axis=1).astype(jnp.int32)
+
+        n = n_blocks * block_rows
+        assign_h = np.empty((n,), np.int32)
+        for i in range(n_blocks):
+            assign_h[i * block_rows:(i + 1) * block_rows] = np.asarray(
+                assign_block(jnp.asarray(block_fn(i))))
+
+        # ---- layout on host; dest position of every original row
+        gather, cb = cell_block_layout(assign_h, nlist, block)
+        nb = gather.shape[0] // block
+        dest = np.empty((n,), np.int64)
+        alive = gather >= 0
+        dest[gather[alive]] = np.nonzero(alive)[0]
+
+        # ---- pass B: stage-1 encode + scatter into final layout.
+        # The un-donated scatter double-buffers code_flat (2x N*m bytes
+        # transiently); nothing else big is live during this pass.
+        @jax.jit
+        def encode1_block(xb, ab):
+            rb = xb.astype(jnp.float32) - centroids[ab]
+            codes = _pq_assign(_split_subspaces(rb, m), codec.codebooks,
+                               ksub=codec.ksub)
+            return jnp.transpose(codes).astype(jnp.uint8)
+
+        @jax.jit
+        def scatter_codes(flat, c1, pos):
+            return flat.at[pos].set(c1)
+
+        code_flat = jnp.zeros((nb * block, m), jnp.uint8)
+        for i in range(n_blocks):
+            s = i * block_rows
+            ab = jnp.asarray(assign_h[s: s + block_rows])
+            c1 = encode1_block(jnp.asarray(block_fn(i)), ab)
+            code_flat = scatter_codes(code_flat, c1,
+                                      jnp.asarray(dest[s: s + block_rows]))
+        code_flat.block_until_ready()
+
+        # ---- pass C (refine only): regenerate blocks, decode the settled
+        # stage-1 codes back (gather by dest position — no re-encode), PQ
+        # the leftover residual.  Per-block parts concatenate ONCE at the
+        # end, avoiding a second churning buffer.
+        refine_codes = None
+        if codec2 is not None:
+            @jax.jit
+            def refine_block(flat, xb, ab, pos):
+                rb = xb.astype(jnp.float32) - centroids[ab]
+                r2 = rb - codec.decode(flat[pos])
+                codes2 = _pq_assign(_split_subspaces(r2, refine_m),
+                                    codec2.codebooks, ksub=codec2.ksub)
+                return jnp.transpose(codes2).astype(jnp.uint8)
+
+            rparts = []
+            for i in range(n_blocks):
+                s = i * block_rows
+                rparts.append(refine_block(
+                    code_flat, jnp.asarray(block_fn(i)),
+                    jnp.asarray(assign_h[s: s + block_rows]),
+                    jnp.asarray(dest[s: s + block_rows])))
+            refine_codes = (rparts[0] if len(rparts) == 1
+                            else jnp.concatenate(rparts))
+            del rparts
+
+        code_blocks = code_flat.reshape(nb, block, m)
+        block_rows_map = gather.reshape(nb, block)
+        return cls(centroids, codec, code_blocks, block_rows_map, cb, ids,
+                   refine_codec=codec2, refine_codes=refine_codes)
+
+    # ----------------------------------------------------------------- search
+    def search_dispatch(self, queries, k: int = 10, *, nprobe: int = 64,
+                        bias=None, normalize_queries: bool = True,
+                        vmem_budget_rows: int = 1 << 21,
+                        refine_overfetch: int = 8):
+        """Device-only: → (vals [B, k] f32 dev, original rows [B, k] i32 dev,
+        -1 for dead slots).  With a refinement stage, stage 1 over-fetches
+        ``refine_overfetch * k`` candidates and the refinement ADC re-ranks
+        them down to k."""
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        b = queries.shape[0]
+        nprobe = min(nprobe, self.nlist)
+        max_bpc = int(self.cell_blocks.shape[1])
+        rows_per_q = max(nprobe * max_bpc * self.block, 1)
+        group = max(1, min(16, vmem_budget_rows // rows_per_q, b))
+        pad = (-b) % group
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.zeros((pad, self.dim), jnp.float32)], axis=0)
+        if normalize_queries:
+            queries = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        if bias is not None:
+            bias_by_slot = _bias_to_block_layout(
+                jnp.asarray(bias, jnp.float32), self._block_rows_dev,
+                self.block_rows_valid)
+        else:
+            bias_by_slot = self.block_rows_valid  # placeholder, unused
+        k1 = k
+        if self.refine_codec is not None:
+            k1 = min(max(k * refine_overfetch, 64),
+                     nprobe * max_bpc * self.block)
+        vals, gpos = _ivfpq_search(
+            queries, self.centroids, self.code_blocks,
+            self.block_rows_valid, self.cell_blocks, self.codec.codebooks,
+            bias_by_slot, k=k1, nprobe=nprobe, group=group,
+            with_bias=bias is not None,
+        )
+        vals, gpos = vals[:b], gpos[:b]
+        rows = jnp.where(
+            vals > -1e29,
+            jnp.take(self._block_rows_dev.reshape(-1), gpos),
+            -1,
+        ).astype(jnp.int32)
+        if self.refine_codec is not None:
+            luts2 = self.refine_codec.luts(queries[:b])
+            vals, rows = _refine_rescore(vals, rows, luts2,
+                                         self.refine_codes, k=k)
+        return vals, rows
+
+    def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,
+               normalize_queries: bool = True,
+               vmem_budget_rows: int = 1 << 21):
+        """bias: f32 by ORIGINAL row — same contract as IVFIndex.search."""
+        vals, rows = self.search_dispatch(
+            queries, k, nprobe=nprobe, bias=bias,
+            normalize_queries=normalize_queries,
+            vmem_budget_rows=vmem_budget_rows)
+        vals = np.asarray(vals)
+        rows_out = np.asarray(rows)
+        ids_out = [
+            [self._id_of(int(r)) if int(r) >= 0 else None for r in rr]
+            for rr in rows_out
+        ]
+        return ids_out, vals, rows_out
+
+    # -------------------------------------------------------------- serialize
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if self.refine_codec is not None:
+            extra["refine_codebooks"] = np.asarray(
+                self.refine_codec.codebooks)
+            extra["refine_codes"] = np.asarray(self.refine_codes)
+        np.savez_compressed(
+            path,
+            centroids=np.asarray(self.centroids),
+            code_blocks=np.asarray(self.code_blocks),
+            block_rows=self.block_rows,
+            cell_blocks=np.asarray(self.cell_blocks),
+            **self.codec.save_arrays(),
+            **extra,
+            meta=json.dumps({"ids": None if self._ids is None
+                             else [str(i) for i in self._ids]}),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        codec = PQCodec.from_arrays({"codebooks": z["codebooks"]})
+        codec2 = refine_codes = None
+        if "refine_codebooks" in z:
+            codec2 = PQCodec.from_arrays({"codebooks": z["refine_codebooks"]})
+            refine_codes = z["refine_codes"]
+        return cls(z["centroids"], codec, z["code_blocks"], z["block_rows"],
+                   z["cell_blocks"], meta["ids"], refine_codec=codec2,
+                   refine_codes=refine_codes)

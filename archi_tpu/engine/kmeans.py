@@ -55,6 +55,10 @@ def kmeans(
     x = jnp.asarray(x)
     n, d = x.shape
     k = min(k, n)
+    # bound the [batch, k] f32 assignment-score buffer to ~1 GB — at
+    # nlist=4096 the default 262k batch would materialize 4.3 GB and OOM
+    # next to a device-resident corpus (config-4 builds)
+    batch = min(batch, max(8192, (1 << 28) // max(k, 1)))
     rng = np.random.default_rng(seed)
     init_idx = rng.choice(n, size=k, replace=False)
     centroids = x[jnp.asarray(np.sort(init_idx))].astype(jnp.float32)

@@ -48,18 +48,34 @@ from archi_tpu.ops.pallas_topk import NEG_INF
 
 # --------------------------------------------------------------------- train
 
-@functools.partial(jax.jit, static_argnames=("ksub",))
-def _pq_assign(xs, codebooks, *, ksub):
+@functools.partial(jax.jit, static_argnames=("ksub", "chunk"))
+def _pq_assign(xs, codebooks, *, ksub, chunk=1 << 13):
     """xs [m, Nb, ds], codebooks [m, ksub, ds] → codes [m, Nb] i32.
 
     L2 argmin per subspace; ||x||^2 is constant per row so argmin of
-    ``||c||^2 - 2 x·c`` suffices.  The x·c term is one batched MXU matmul.
-    """
-    xc = jnp.einsum("mnd,mkd->mnk", xs.astype(jnp.float32),
-                    codebooks.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+    ``||c||^2 - 2 x·c`` suffices.  The x·c term is one batched MXU matmul,
+    chunked over rows so the [m, chunk, ksub] distance tensor stays ~1.5 GB
+    (unchunked it is 26 GB at m=96, N=262k — instant OOM)."""
+    m, n, ds = xs.shape
     c2 = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)  # [m, ksub]
-    return jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1).astype(jnp.int32)
+    cb = codebooks.astype(jnp.float32)
+
+    def assign_rows(rows):  # [m, c, ds] → [m, c] i32
+        xc = jnp.einsum("mnd,mkd->mnk", rows.astype(jnp.float32), cb,
+                        preferred_element_type=jnp.float32)
+        return jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1).astype(
+            jnp.int32)
+
+    if n <= chunk:
+        return assign_rows(xs)
+    pad = (-n) % chunk
+    if pad:
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((m, pad, ds), xs.dtype)], axis=1)
+    parts = jnp.transpose(
+        xs.reshape(m, (n + pad) // chunk, chunk, ds), (1, 0, 2, 3))
+    codes = jax.lax.map(assign_rows, parts)          # [nc, m, chunk]
+    return jnp.transpose(codes, (1, 0, 2)).reshape(m, n + pad)[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("ksub",))
@@ -115,9 +131,18 @@ class PQCodec:
         ])                                                    # [m, ksub]
         codebooks = jnp.take_along_axis(
             xs, jnp.asarray(init)[:, :, None], axis=1)        # [m, ksub, ds]
+        # accumulate assignment stats over row batches: the vmapped
+        # segment-sum over all n rows at once peaks >9 GB at m=96 — too
+        # much next to a device-resident config-4 corpus
+        tb = 1 << 16
         for _ in range(iters):
-            codes = _pq_assign(xs, codebooks, ksub=ksub_eff)
-            sums, counts = _pq_update_stats(xs, codes, ksub=ksub_eff)
+            sums = jnp.zeros((m, ksub_eff, xs.shape[2]), jnp.float32)
+            counts = jnp.zeros((m, ksub_eff), jnp.float32)
+            for s in range(0, n, tb):
+                xb = xs[:, s: s + tb]
+                codes = _pq_assign(xb, codebooks, ksub=ksub_eff)
+                sb, cb = _pq_update_stats(xb, codes, ksub=ksub_eff)
+                sums, counts = sums + sb, counts + cb
             means = sums / jnp.maximum(counts[:, :, None], 1.0)
             codebooks = jnp.where(counts[:, :, None] > 0, means, codebooks)
         if ksub_eff < ksub:   # tiny corpora: pad so codes stay uint8-valid
@@ -138,13 +163,30 @@ class PQCodec:
             out.append(jnp.transpose(codes).astype(jnp.uint8))  # [Nb, m]
         return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
 
-    def decode(self, codes) -> jax.Array:
-        """[N, m] uint8 → reconstructed [N, D] f32 (tests / rerank)."""
+    def decode(self, codes, *, chunk: int = 8192) -> jax.Array:
+        """[N, m] uint8 → reconstructed [N, D] f32.
+
+        Chunked over rows: the natural ``[m, N, ds]`` gather layout is
+        lane-padded ds→128 on TPU (16x memory at ds=8 — a full-block decode
+        materializes 25 GB), so only [m, chunk, ds] ever exists."""
         codes = jnp.asarray(codes).astype(jnp.int32)           # [N, m]
-        sub = jnp.take_along_axis(
-            self.codebooks,                                    # [m, ksub, ds]
-            jnp.transpose(codes)[:, :, None], axis=1)          # [m, N, ds]
-        return jnp.transpose(sub, (1, 0, 2)).reshape(codes.shape[0], self.dim)
+        n = codes.shape[0]
+
+        def dec(rows):  # [c, m] → [c, D]
+            sub = jnp.take_along_axis(
+                self.codebooks,                                # [m, ksub, ds]
+                jnp.transpose(rows)[:, :, None], axis=1)       # [m, c, ds]
+            return jnp.transpose(sub, (1, 0, 2)).reshape(
+                rows.shape[0], self.dim)
+
+        if n <= chunk:
+            return dec(codes)
+        pad = (-n) % chunk
+        if pad:
+            codes = jnp.concatenate(
+                [codes, jnp.zeros((pad, self.m), codes.dtype)], axis=0)
+        out = jax.lax.map(dec, codes.reshape(-1, chunk, self.m))
+        return out.reshape(-1, self.dim)[:n]
 
     def luts(self, queries) -> jax.Array:
         """[B, D] → ADC lookup tables [B, m, ksub] f32 (q_sub · centroid)."""

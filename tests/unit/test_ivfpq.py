@@ -1,0 +1,224 @@
+"""IVF-PQ index: exactness at nprobe=nlist (up to PQ quantization),
+residual-coding advantage over flat PQ, bias contract, grouping
+invariance, save/load."""
+
+import numpy as np
+import pytest
+
+from archi_tpu.engine.ivfpq_index import IVFPQIndex
+from archi_tpu.engine.pq import PQFlatIndex
+from archi_tpu.ops.pallas_topk import NEG_INF
+
+
+def _corpus(rng, n=4096, d=64, clusters=32, noise=0.15):
+    centers = rng.standard_normal((clusters, d)).astype(np.float32)
+    x = centers[rng.integers(0, clusters, n)] + \
+        noise * rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(5)
+    x = _corpus(rng, n=4096, d=64)
+    q = _corpus(rng, n=16, d=64)
+    idx = IVFPQIndex.build(x, nlist=32, block=256, m=16, seed=0)
+    return rng, x, q, idx
+
+
+def _recall(rows, exact):
+    return sum(len(set(rows[b]) & set(exact[b]))
+               for b in range(exact.shape[0])) / exact.size
+
+
+def test_shapes_and_memory(setup):
+    _, x, _, idx = setup
+    assert idx.code_blocks.dtype == np.uint8
+    assert idx.code_blocks.shape[2] == 16
+    assert len(idx) == 4096
+
+
+def test_full_probe_recall(setup):
+    """nprobe=nlist scans everything: recall limited only by PQ error;
+    residual coding must make over-fetch recall near-perfect."""
+    _, x, q, idx = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    _, _, rows = idx.search(q, k=100, nprobe=32)
+    assert _recall(rows, exact) >= 0.97, _recall(rows, exact)
+    _, _, r10 = idx.search(q, k=10, nprobe=32)
+    assert _recall(r10, exact) >= 0.5
+
+
+def test_residual_beats_flat_pq(setup):
+    """Same code budget: residual IVF-PQ strict@10 > flat PQ strict@10."""
+    _, x, q, idx = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    flat = PQFlatIndex.build(x, m=16, seed=0, tile=1024)
+    _, _, rf = flat.search(q, k=10)
+    _, _, ri = idx.search(q, k=10, nprobe=32)
+    assert _recall(ri, exact) > _recall(rf, exact)
+
+
+def test_nprobe_tradeoff(setup):
+    _, x, q, idx = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    r_small = _recall(idx.search(q, k=100, nprobe=2)[2], exact)
+    r_big = _recall(idx.search(q, k=100, nprobe=16)[2], exact)
+    assert r_big >= r_small
+    assert r_big >= 0.9
+
+
+def test_group_invariance(setup):
+    """Results identical whatever the query grouping (ownership masking)."""
+    _, x, q, idx = setup
+    v1, r1 = idx.search_dispatch(q, k=10, nprobe=8,
+                                 vmem_budget_rows=1 << 30)   # big group
+    v2, r2 = idx.search_dispatch(q, k=10, nprobe=8,
+                                 vmem_budget_rows=1)          # group=1
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(r1) == np.asarray(r2)).mean() > 0.95  # tie reorder
+
+
+def test_score_is_centroid_plus_residual(setup):
+    """Reported score must approximate the true inner product q·x."""
+    _, x, q, idx = setup
+    vals, rows = idx.search_dispatch(q[:4], k=5, nprobe=32)
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    true_ip = np.stack([x[rows[b]] @ q[b] for b in range(4)])
+    assert np.abs(vals - true_ip).max() < 0.15
+    assert np.abs(vals - true_ip).mean() < 0.05
+
+
+def test_bias_tombstone(setup):
+    _, x, q, idx = setup
+    _, _, base = idx.search(q[:2], k=5, nprobe=8)
+    kill = {r for rr in base for r in rr}
+    bias = np.zeros(len(x), np.float32)
+    for r in kill:
+        bias[r] = NEG_INF
+    _, vals, rows = idx.search(q[:2], k=5, nprobe=8, bias=bias)
+    assert not {r for rr in rows for r in rr} & kill
+    assert (vals > NEG_INF / 2).all()
+
+
+def test_bias_hybrid_boost(setup):
+    """A finite bias (BM25 analog) must lift a probed row in the ranking."""
+    _, x, q, idx = setup
+    _, _, base = idx.search(q[:1], k=50, nprobe=8)
+    target = int(base[0][-1])                 # probed but low-ranked
+    bias = np.zeros(len(x), np.float32)
+    bias[target] = 5.0
+    _, _, rows = idx.search(q[:1], k=5, nprobe=8, bias=bias)
+    assert rows[0][0] == target
+
+
+def test_ids_mapping(setup):
+    _, x, q, _ = setup
+    idx = IVFPQIndex.build(x[:512], ids=[f"doc{i}" for i in range(512)],
+                           nlist=8, block=128, m=16)
+    ids, _, rows = idx.search(q[:2], k=3, nprobe=8)
+    for b in range(2):
+        for j in range(3):
+            assert ids[b][j] == f"doc{int(rows[b][j])}"
+
+
+def test_save_load_roundtrip(tmp_path, setup):
+    _, x, q, idx = setup
+    p = str(tmp_path / "ivfpq.npz")
+    idx.save(p)
+    loaded = IVFPQIndex.load(p)
+    va, ra = idx.search_dispatch(q[:4], k=5, nprobe=8)
+    vb, rb = loaded.search_dispatch(q[:4], k=5, nprobe=8)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_build_streaming_matches_device_build(setup):
+    """Streaming build over blocks == device build quality (same corpus)."""
+    import jax.numpy as jnp
+    _, x, q, _ = setup
+    n_blocks, block_rows = 8, 512
+    blocks = [jnp.asarray(x[i * block_rows:(i + 1) * block_rows])
+              for i in range(n_blocks)]
+    idx = IVFPQIndex.build_streaming(
+        lambda i: blocks[i], n_blocks, block_rows,
+        nlist=32, block=256, m=16, seed=0, train_blocks=8)
+    assert len(idx) == 4096
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    _, _, rows = idx.search(q, k=100, nprobe=32)
+    assert _recall(rows, exact) >= 0.95
+    # tombstone contract still honored through the streaming-built layout
+    bias = np.zeros(len(x), np.float32)
+    bias[exact[0][0]] = NEG_INF
+    _, _, r2 = idx.search(q[:1], k=10, nprobe=32, bias=bias)
+    assert exact[0][0] not in set(r2[0])
+
+
+@pytest.fixture(scope="module")
+def refined(setup):
+    _, x, _, _ = setup
+    return IVFPQIndex.build(x, nlist=32, block=256, m=16, refine_m=8,
+                            seed=0)
+
+
+def test_refine_improves_strict_recall(setup, refined):
+    """The refinement re-rank must beat stage-1-only strict@10."""
+    _, x, q, base = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    _, _, r_base = base.search(q, k=10, nprobe=32)
+    _, _, r_ref = refined.search(q, k=10, nprobe=32)
+    assert _recall(r_ref, exact) > _recall(r_base, exact)
+    assert _recall(r_ref, exact) >= 0.7
+
+
+def test_refine_score_accuracy(setup, refined):
+    """Refined scores approximate q·x tighter than stage-1 scores."""
+    _, x, q, base = setup
+    vb, rb = base.search_dispatch(q[:8], k=5, nprobe=32)
+    vr, rr = refined.search_dispatch(q[:8], k=5, nprobe=32)
+    vb, rb = np.asarray(vb), np.asarray(rb)
+    vr, rr = np.asarray(vr), np.asarray(rr)
+    err_b = np.abs(vb - np.stack([x[rb[b]] @ q[b] for b in range(8)])).mean()
+    err_r = np.abs(vr - np.stack([x[rr[b]] @ q[b] for b in range(8)])).mean()
+    assert err_r < err_b
+
+
+def test_refine_respects_tombstones(setup, refined):
+    _, x, q, _ = setup
+    _, _, base = refined.search(q[:2], k=5, nprobe=8)
+    kill = {r for rr in base for r in rr}
+    bias = np.zeros(len(x), np.float32)
+    for r in kill:
+        bias[r] = NEG_INF
+    _, vals, rows = refined.search(q[:2], k=5, nprobe=8, bias=bias)
+    assert not {r for rr in rows for r in rr} & kill
+    assert (vals > NEG_INF / 2).all()
+
+
+def test_refine_save_load(tmp_path, setup, refined):
+    _, x, q, _ = setup
+    p = str(tmp_path / "ivfpqr.npz")
+    refined.save(p)
+    loaded = IVFPQIndex.load(p)
+    assert loaded.refine_codec is not None
+    va, ra = refined.search_dispatch(q[:4], k=5, nprobe=8)
+    vb, rb = loaded.search_dispatch(q[:4], k=5, nprobe=8)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_streaming_build_with_refine(setup):
+    import jax.numpy as jnp
+    _, x, q, _ = setup
+    n_blocks, block_rows = 8, 512
+    blocks = [jnp.asarray(x[i * block_rows:(i + 1) * block_rows])
+              for i in range(n_blocks)]
+    idx = IVFPQIndex.build_streaming(
+        lambda i: blocks[i], n_blocks, block_rows,
+        nlist=32, block=256, m=16, refine_m=8, seed=0, train_blocks=8)
+    dev = IVFPQIndex.build(x, nlist=32, block=256, m=16, refine_m=8, seed=0)
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    rs = _recall(idx.search(q, k=10, nprobe=32)[2], exact)
+    rd = _recall(dev.search(q, k=10, nprobe=32)[2], exact)
+    assert abs(rs - rd) < 0.1 and rs >= 0.7
