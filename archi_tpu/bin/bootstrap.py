@@ -52,7 +52,9 @@ def _build_index(dim: int, index_cfg: dict):
 
     type: "flat" (default) | "sharded" (corpus rows over the device mesh,
     per-shard fused top-k + ICI merge) | "ivf" (ANN serving: IVF snapshot +
-    exact fresh-row tail, engine/ann_index.py).  hot_tail: wrap appends in
+    exact fresh-row tail, engine/ann_index.py) | "ivfpq" (same serving
+    shape with a PQ-compressed snapshot — 16x smaller, 100M-chunk scale;
+    pq_m / pq_refine_m tune the code budget).  hot_tail: wrap appends in
     the segmented hot-tail path (docs/streaming_ingest.md).
     """
     kw = dict(dtype=index_cfg.get("dtype", "bfloat16"),
@@ -62,7 +64,7 @@ def _build_index(dim: int, index_cfg: dict):
         from archi_tpu.engine.sharded_index import ShardedFlatIndex
 
         return ShardedFlatIndex(dim, **kw)
-    if index_type == "ivf":
+    if index_type in ("ivf", "ivfpq"):
         from archi_tpu.engine.ann_index import AnnFlatIndex
 
         return AnnFlatIndex(
@@ -70,6 +72,9 @@ def _build_index(dim: int, index_cfg: dict):
             nlist=index_cfg.get("nlist", 1024),
             nprobe=index_cfg.get("nprobe", 64),
             min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 15),
+            snapshot_kind=index_type,
+            pq_m=index_cfg.get("pq_m", 48),
+            pq_refine_m=index_cfg.get("pq_refine_m", 48),
             **kw)
     if index_cfg.get("hot_tail"):
         from archi_tpu.engine.segmented_index import SegmentedFlatIndex

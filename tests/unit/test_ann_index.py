@@ -150,3 +150,52 @@ def test_ann_compact_invalidates_snapshot(rng):
     assert ann._ivf is None  # invalidated
     got, vals, _rows = ann.search(x[100], k=1)
     assert got[0][0] == "c100" and vals[0][0] > 0.99
+
+
+# --------------------------------------------------------- ivfpq snapshot
+@pytest.fixture
+def annpq(rng):
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8, nprobe=8,
+                       min_snapshot_rows=256, refresh_fraction=0.5,
+                       snapshot_kind="ivfpq", pq_m=8, pq_refine_m=8)
+    x = _clustered(rng)
+    ann.add(x, [f"c{i}" for i in range(len(x))])
+    return ann, x
+
+
+def test_ivfpq_snapshot_self_recall(annpq):
+    ann, x = annpq
+    ids, vals, rows = ann.search(x[37], k=5, nprobe=8)
+    assert rows[0][0] == 37 and ids[0][0] == "c37"
+    assert vals[0][0] > 0.9  # PQ-approximate, but near the true IP of 1.0
+
+
+def test_ivfpq_fresh_rows_exact(annpq, rng):
+    ann, x = annpq
+    ann.refresh_ann()
+    fresh = rng.standard_normal((4, 32)).astype(np.float32)
+    fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
+    new_rows = ann.add(fresh, [f"f{i}" for i in range(4)])
+    ids, vals, rows = ann.search(fresh[2], k=3)
+    assert rows[0][0] == new_rows[2] and ids[0][0] == "f2"
+    assert vals[0][0] > 0.999  # fresh tail is scanned exactly
+
+
+def test_ivfpq_tombstone_and_filter(annpq):
+    ann, x = annpq
+    _, _, base = ann.search(x[40], k=3, nprobe=8)
+    ann.delete([f"c{int(base[0][0])}"])
+    ids, _, rows = ann.search(x[40], k=3, nprobe=8)
+    assert int(base[0][0]) not in set(int(r) for r in rows[0])
+    fm = np.zeros(ann.capacity, np.float32)
+    fm[100:110] = 1.0
+    _, _, r2 = ann.search(x[40], k=5, nprobe=8, filter_mask=fm)
+    assert all(100 <= int(r) < 110 for r in r2[0] if int(r) >= 0)
+
+
+def test_bootstrap_builds_ivfpq(tmp_path):
+    from archi_tpu.bin.bootstrap import _build_index
+    idx = _build_index(32, {"type": "ivfpq", "nlist": 8, "pq_m": 8,
+                            "pq_refine_m": 8, "dtype": "float32"})
+    assert isinstance(idx, AnnFlatIndex)
+    assert idx.snapshot_kind == "ivfpq" and idx.pq_m == 8
