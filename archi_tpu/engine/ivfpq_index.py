@@ -159,11 +159,21 @@ class IVFPQIndex:
                  refine_codes=None):
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.codec = codec
-        self.code_blocks = jnp.asarray(code_blocks).astype(jnp.uint8)
+        # avoid a same-dtype astype copy: at 100M rows the code blocks are
+        # ~5 GB and a transient duplicate is the difference between fitting
+        # and OOM (buffer donation is not honored through the tunnel)
+        if isinstance(code_blocks, jax.Array) and \
+                code_blocks.dtype == jnp.uint8:
+            self.code_blocks = code_blocks
+        else:
+            self.code_blocks = jnp.asarray(code_blocks).astype(jnp.uint8)
         self.block_rows = np.asarray(block_rows)   # [n_blocks, blk] (-1 pad)
-        self._block_rows_dev = jnp.asarray(self.block_rows, jnp.int32)
-        self.block_rows_valid = jnp.asarray(
-            (self.block_rows >= 0).astype(np.float32))
+        # int32 on host BEFORE upload (halves the transfer, skips the int64
+        # device buffer); validity mask derived on device, not re-uploaded
+        self._block_rows_dev = jnp.asarray(
+            self.block_rows.astype(np.int32, copy=False))
+        self.block_rows_valid = (self._block_rows_dev >= 0).astype(
+            jnp.float32)
         self.cell_blocks = jnp.asarray(cell_blocks, jnp.int32)
         self._ids = list(ids) if ids is not None else None
         self._n_rows = int((self.block_rows >= 0).sum()) if ids is None \
@@ -172,8 +182,13 @@ class IVFPQIndex:
         self.block = self.code_blocks.shape[1]
         self.dim = self.centroids.shape[1]
         self.refine_codec = refine_codec
-        self.refine_codes = (None if refine_codes is None
-                             else jnp.asarray(refine_codes).astype(jnp.uint8))
+        if refine_codes is None:
+            self.refine_codes = None
+        elif isinstance(refine_codes, jax.Array) and \
+                refine_codes.dtype == jnp.uint8:
+            self.refine_codes = refine_codes   # no astype copy (see above)
+        else:
+            self.refine_codes = jnp.asarray(refine_codes).astype(jnp.uint8)
 
     def _id_of(self, row: int):
         return self._ids[row] if self._ids is not None else row
