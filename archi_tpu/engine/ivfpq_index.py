@@ -378,8 +378,10 @@ class IVFPQIndex:
 
         # ---- pass C (refine only): regenerate blocks, decode the settled
         # stage-1 codes back (gather by dest position — no re-encode), PQ
-        # the leftover residual.  Per-block parts concatenate ONCE at the
-        # end, avoiding a second churning buffer.
+        # the leftover residual.  Parts are staged through HOST RAM
+        # (N*m2 bytes) and uploaded once: a device-side concatenate would
+        # put stage-1 codes + parts + output live simultaneously — over
+        # HBM at 100M.
         refine_codes = None
         if codec2 is not None:
             @jax.jit
@@ -390,16 +392,15 @@ class IVFPQIndex:
                                     codec2.codebooks, ksub=codec2.ksub)
                 return jnp.transpose(codes2).astype(jnp.uint8)
 
-            rparts = []
+            refine_host = np.empty((n, refine_m), np.uint8)
             for i in range(n_blocks):
                 s = i * block_rows
-                rparts.append(refine_block(
+                refine_host[s: s + block_rows] = np.asarray(refine_block(
                     code_flat, jnp.asarray(block_fn(i)),
                     jnp.asarray(assign_h[s: s + block_rows]),
                     jnp.asarray(dest[s: s + block_rows])))
-            refine_codes = (rparts[0] if len(rparts) == 1
-                            else jnp.concatenate(rparts))
-            del rparts
+            refine_codes = jnp.asarray(refine_host)
+            del refine_host
 
         code_blocks = code_flat.reshape(nb, block, m)
         block_rows_map = gather.reshape(nb, block)
