@@ -163,3 +163,17 @@ def test_adc_topk_tiling_invariance(setup):
     v2, i2 = adc_topk(luts, codes_t, bias, 2000, k=7, tile=256)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     assert (np.asarray(i1) == np.asarray(i2)).all()
+
+
+def test_pq_sweep_tool_runs():
+    """benchmarking/pq_sweep returns honest three-way recall entries."""
+    from archi_tpu.benchmarking.pq_sweep import run_pq_sweep
+    res = run_pq_sweep(n=2048, d=32, m=8, refine_m=8, nlist=8, block=128,
+                       nprobes=(2, 8), n_queries=8)
+    assert len(res) == 2
+    for e in res:
+        assert {"recall_strict", "recall_in_100", "self_top1", "qps",
+                "bytes_per_row"} <= set(e)
+        assert e["recall_in_100"] >= e["recall_strict"] - 1e-9
+    flat = run_pq_sweep(n=2048, d=32, m=8, nlist=8, flat=True, n_queries=8)
+    assert flat[0]["index"] == "pq_flat"
