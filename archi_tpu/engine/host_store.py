@@ -1,0 +1,137 @@
+"""Host-side full-precision vector tier: the exact-rerank companion to the
+PQ indexes.
+
+At PQ scale the chip holds only codes (96 B/row); the full vectors live
+where capacity is cheap — host RAM / disk via ``numpy.memmap`` (this rig:
+16 GB HBM vs 125 GB RAM).  Searches run entirely on-device over codes;
+the host tier only ever gathers the final top-C candidates (C ~ tens) and
+re-scores them exactly — O(C·D) per query, no scan.
+
+This mirrors how the reference keeps everything in Postgres (the vectors
+ARE host-side there, ``document_chunks.embedding``,
+``init.sql:266``) — except here the host copy is a *rerank tier* behind a
+device-resident ANN, not the primary index.
+
+Capacity math at 384-d f16: 1.3M rows/GB → 100M rows = 77 GB (fits this
+host), and disk-backed memmaps page in only the gathered rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class HostVectorStore:
+    """Append-only [N, D] f16 row store, RAM- or disk-backed.
+
+    path=None → in-RAM ndarray (tests, small corpora).  With a path, rows
+    live in a memmap that survives restarts; ``meta.json`` tracks the row
+    count for reopening.
+    """
+
+    def __init__(self, dim: int, *, path: str | None = None,
+                 capacity: int = 1 << 15, dtype=np.float16):
+        self.dim = int(dim)
+        self.path = path
+        self.dtype = np.dtype(dtype)
+        self._n = 0
+        self._cap = max(int(capacity), 1024)
+        if path is None:
+            self._buf = np.zeros((self._cap, self.dim), self.dtype)
+        else:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            meta = path + ".meta.json"
+            if os.path.exists(path) and os.path.exists(meta):
+                with open(meta) as f:
+                    m = json.load(f)
+                self._n = int(m["n_rows"])
+                self._cap = max(self._cap, int(m["capacity"]))
+                assert int(m["dim"]) == self.dim, "dim mismatch on reopen"
+                self._buf = np.memmap(path, dtype=self.dtype, mode="r+",
+                                      shape=(self._cap, self.dim))
+            else:
+                self._buf = np.memmap(path, dtype=self.dtype, mode="w+",
+                                      shape=(self._cap, self.dim))
+                self._write_meta()
+
+    def _write_meta(self) -> None:
+        if self.path is not None:
+            with open(self.path + ".meta.json", "w") as f:
+                json.dump({"n_rows": self._n, "capacity": self._cap,
+                           "dim": self.dim}, f)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _grow_to(self, need: int) -> None:
+        new_cap = self._cap
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == self._cap:
+            return
+        if self.path is None:
+            grown = np.zeros((new_cap, self.dim), self.dtype)
+            grown[: self._n] = self._buf[: self._n]
+            self._buf = grown
+        else:
+            old = np.array(self._buf[: self._n])   # snapshot before remap
+            del self._buf
+            self._buf = np.memmap(self.path, dtype=self.dtype, mode="w+",
+                                  shape=(new_cap, self.dim))
+            self._buf[: self._n] = old
+        self._cap = new_cap
+        self._write_meta()
+
+    def add(self, x) -> np.ndarray:
+        """Append rows → their row numbers (aligned with the device index's
+        physical rows when fed from the same ingest stream)."""
+        x = np.asarray(x, np.float32)
+        n_new = x.shape[0]
+        self._grow_to(self._n + n_new)
+        self._buf[self._n: self._n + n_new] = x.astype(self.dtype)
+        rows = np.arange(self._n, self._n + n_new)
+        self._n += n_new
+        self._write_meta()
+        return rows
+
+    def get(self, rows) -> np.ndarray:
+        """Gather rows (negative/dead ids → zero vectors) → [len, D] f32."""
+        rows = np.asarray(rows, np.int64)
+        safe = np.clip(rows, 0, max(self._n - 1, 0))
+        out = np.asarray(self._buf[safe], np.float32)
+        out[rows < 0] = 0.0
+        return out
+
+    def flush(self) -> None:
+        if self.path is not None:
+            self._buf.flush()
+            self._write_meta()
+
+
+def exact_rerank(store: HostVectorStore, queries, vals, rows, *, k: int,
+                 bias=None):
+    """Re-score candidate rows with exact inner products from the host tier.
+
+    queries [B, D] (normalized, pre-scaled for hybrid); vals/rows [B, C]
+    from the ANN (NEG_INF = dead, stays dead); bias: optional f32 by row
+    (the finite hybrid part rides into the exact score; tombstones are
+    already NEG_INF in vals).  → (vals [B, k], rows [B, k]).
+    """
+    queries = np.asarray(queries, np.float32)
+    vals = np.asarray(vals, np.float32)
+    rows = np.asarray(rows, np.int64)
+    b, c = rows.shape
+    flat = store.get(rows.reshape(-1)).reshape(b, c, -1)     # [B, C, D]
+    exact = np.einsum("bcd,bd->bc", flat, queries)
+    if bias is not None:
+        bias = np.asarray(bias, np.float32)
+        safe = np.clip(rows, 0, bias.shape[0] - 1)
+        exact = exact + np.where(rows >= 0, bias[safe], 0.0)
+    scores = np.where(vals > -1e29, exact, vals)
+    kk = min(k, c)
+    order = np.argsort(-scores, axis=1)[:, :kk]
+    return (np.take_along_axis(scores, order, axis=1),
+            np.take_along_axis(rows, order, axis=1))

@@ -461,12 +461,31 @@ class IVFPQIndex:
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,
                normalize_queries: bool = True,
-               vmem_budget_rows: int = 1 << 21):
-        """bias: f32 by ORIGINAL row — same contract as IVFIndex.search."""
+               vmem_budget_rows: int = 1 << 21,
+               rerank_store=None, rerank_overfetch: int = 4):
+        """bias: f32 by ORIGINAL row — same contract as IVFIndex.search.
+
+        rerank_store: optional ``HostVectorStore`` holding the full
+        vectors (row-aligned with this index).  When given, the device
+        returns ``rerank_overfetch * k`` ADC candidates and the host tier
+        re-scores them exactly — strict recall becomes exact-bound instead
+        of quantization-bound (``docs/pq_scale.md``)."""
+        k1 = k if rerank_store is None else max(k, rerank_overfetch * k)
         vals, rows = self.search_dispatch(
-            queries, k, nprobe=nprobe, bias=bias,
+            queries, k1, nprobe=nprobe, bias=bias,
             normalize_queries=normalize_queries,
             vmem_budget_rows=vmem_budget_rows)
+        if rerank_store is not None:
+            from archi_tpu.engine.host_store import exact_rerank
+
+            q = np.asarray(queries, np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if normalize_queries:
+                q = q / np.maximum(
+                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            vals, rows = exact_rerank(rerank_store, q, np.asarray(vals),
+                                      np.asarray(rows), k=k, bias=bias)
         vals = np.asarray(vals)
         rows_out = np.asarray(rows)
         ids_out = [

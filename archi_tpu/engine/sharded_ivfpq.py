@@ -62,21 +62,24 @@ class ShardedIVFPQIndex:
         return cls(shards, offsets, ids)
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,
-               refine_overfetch: int = 8):
+               refine_overfetch: int = 8, rerank_store=None,
+               rerank_overfetch: int = 4):
         """Fan out (async dispatch → shards search concurrently), merge the
         per-shard (vals, global rows) on the host.  bias: f32 by GLOBAL
-        row; each shard gets its contiguous slice."""
+        row; each shard gets its contiguous slice.  rerank_store: optional
+        global-row-aligned ``HostVectorStore`` for the exact final tier."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
         if bias is not None:
             bias = np.asarray(bias, np.float32)
+        k1 = k if rerank_store is None else max(k, rerank_overfetch * k)
 
         dispatched = []
         for shard, lo in zip(self.shards, self.offsets):
             sb = None if bias is None else bias[lo: lo + len(shard)]
             dispatched.append((lo, shard.search_dispatch(
-                queries, k=k, nprobe=nprobe, bias=sb,
+                queries, k=k1, nprobe=nprobe, bias=sb,
                 refine_overfetch=refine_overfetch)))
         all_vals = np.concatenate(
             [np.asarray(v) for _lo, (v, _r) in dispatched], axis=1)
@@ -85,9 +88,17 @@ class ShardedIVFPQIndex:
                      -1)
             for lo, (_v, r) in dispatched
         ], axis=1)                                            # [B, S*k]
-        order = np.argsort(-all_vals, axis=1)[:, :k]
-        vals = np.take_along_axis(all_vals, order, axis=1)
-        rows = np.take_along_axis(all_rows, order, axis=1)
+        if rerank_store is not None:
+            from archi_tpu.engine.host_store import exact_rerank
+
+            qn = queries / np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+            vals, rows = exact_rerank(rerank_store, qn, all_vals, all_rows,
+                                      k=k, bias=bias)
+        else:
+            order = np.argsort(-all_vals, axis=1)[:, :k]
+            vals = np.take_along_axis(all_vals, order, axis=1)
+            rows = np.take_along_axis(all_rows, order, axis=1)
         ids_out = [
             [(self._ids[int(r)] if self._ids is not None else int(r))
              if (v > -1e29 and r >= 0) else None
