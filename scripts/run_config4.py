@@ -176,7 +176,11 @@ def main() -> None:
         })
         print(json.dumps(sweep[-1]), flush=True)
 
-    best_cfg = max(sweep, key=lambda s: s["query_qps"] * s["self_top1"])
+    # headline = fastest config that still answers well (top1 >= 0.7);
+    # fall back to the best-recall config if none clears the bar
+    good = [s for s in sweep if s["self_top1"] >= 0.7]
+    best_cfg = (max(good, key=lambda s: s["query_qps"]) if good
+                else max(sweep, key=lambda s: s["self_top1"]))
     payload = {
         "config": "BASELINE config 4 on ONE v5e chip: 100M-chunk IVF-PQ "
                   "with refinement (m=48+48, 96 B/row, nlist=4096) — the "
