@@ -44,20 +44,28 @@ from archi_tpu.ops.pallas_topk import NEG_INF
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "group",
-                                              "with_bias"))
+                                              "with_bias", "adc_impl"))
 def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
                   cell_blocks, codebooks, bias_by_slot, *, k, nprobe,
-                  group=8, with_bias=False):
-    """queries [B, D] (B % group == 0); code_blocks [n_blocks, blk, m] u8;
+                  group=8, with_bias=False, adc_impl="xla"):
+    """queries [B, D] (B % group == 0); code_blocks [n_blocks, blk, mc] u8
+    where mc = m (8-bit codes) or m//2 (packed 4-bit nibbles, ksub=16);
     codebooks [m, ksub, ds]; rest as ``_ivf_search``.
     → (vals [B, k], flat candidate positions [B, k] = block_id*blk + slot).
 
     Score of a candidate = q·centroid(owning cell) + ADC(q, residual codes)
-    [+ bias].  ADC is a one-hot MXU contraction per subspace, shared across
-    the query group (each group member masks to the slots it probed).
+    [+ bias].  adc_impl:
+    - "xla": one-hot MXU contraction per subspace (any backend),
+    - "pallas": fused VMEM one-hot kernel (8-bit codes, TPU),
+    - "lut16": fused 4-bit kernel over packed nibbles (TPU) — 8x fewer
+      VPU compares at the same bytes/row.
     """
+    from archi_tpu.ops.pallas_adc import (adc_scores, adc_scores_lut16,
+                                          adc_scores_xla, unpack_nibbles)
+
     blk = code_blocks.shape[1]
     m, ksub, ds = codebooks.shape
+    packed = code_blocks.shape[2] == m // 2 and ksub == 16
     max_bpc = cell_blocks.shape[1]
     d = queries.shape[1]
     per_q = nprobe * max_bpc  # block slots owned by each query
@@ -71,24 +79,21 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
         valid_block = bids >= 0
         safe = jnp.where(valid_block, bids, 0)
         p = safe.shape[0]
-        cand = code_blocks[safe].reshape(p * blk, m).astype(jnp.int32)
+        cand = code_blocks[safe].reshape(p * blk, -1)        # [P*blk, mc] u8
 
-        # ADC over the gathered candidates: one [G, ksub] x [ksub, P*blk]
-        # matmul per subspace (one-hot built on the fly from the codes).
         luts = jnp.einsum(
             "gmd,mkd->mgk", qg.reshape(g_sz, m, ds), codebooks,
             preferred_element_type=jnp.float32)              # [m, G, ksub]
 
-        def step(acc, lut_codes):
-            lut_j, codes_j = lut_codes                       # [G,ksub],[P*blk]
-            oh = (codes_j[None, :] ==
-                  jax.lax.broadcasted_iota(
-                      jnp.int32, (ksub, codes_j.shape[0]), 0)
-                  ).astype(jnp.bfloat16)
-            return acc + jnp.dot(lut_j.astype(jnp.bfloat16), oh,
-                                 preferred_element_type=jnp.float32), None
-        acc0 = jnp.zeros((g_sz, p * blk), jnp.float32)
-        scores, _ = jax.lax.scan(step, acc0, (luts, jnp.transpose(cand)))
+        tile = 1024 if blk % 1024 == 0 else blk
+        if adc_impl == "lut16":
+            scores = adc_scores_lut16(luts, jnp.transpose(cand), tile=tile)
+        elif adc_impl == "pallas":
+            scores = adc_scores(luts, jnp.transpose(cand), tile=tile)
+        else:
+            codes_t = jnp.transpose(
+                unpack_nibbles(cand) if packed else cand)     # [m, P*blk]
+            scores = adc_scores_xla(luts, codes_t)
 
         # + q·centroid of the probed cell that owns each slot.  Flat block
         # slot s belongs to query s // per_q and its probe (s % per_q) //
@@ -119,18 +124,24 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
     return vals.reshape(b, -1), gpos.reshape(b, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _refine_rescore(vals, rows, luts2, refine_codes, *, k):
+@functools.partial(jax.jit, static_argnames=("k", "packed"))
+def _refine_rescore(vals, rows, luts2, refine_codes, *, k, packed=False):
     """Re-score stage-1 candidates with the refinement codebook.
 
     vals/rows [B, C] from stage 1 (rows are ORIGINAL row ids, -1 dead);
-    luts2 [B, m2, ksub]; refine_codes [N, m2] uint8 in original row order.
+    luts2 [B, m2, ksub]; refine_codes [N, m2] uint8 (or [N, m2//2] packed
+    nibbles when ksub=16) in original row order.
     → (vals [B, k], rows [B, k]).  Dead/tombstoned slots (NEG_INF) stay
     dead — adding a finite ADC term cannot resurrect them.
     """
     b, c = vals.shape
     safe = jnp.clip(rows, 0, refine_codes.shape[0] - 1)
-    rc = refine_codes[safe].astype(jnp.int32)              # [B, C, m2]
+    rc = refine_codes[safe]                                # [B, C, mc]
+    if packed:
+        from archi_tpu.ops.pallas_adc import unpack_nibbles
+
+        rc = unpack_nibbles(rc)
+    rc = rc.astype(jnp.int32)                              # [B, C, m2]
     adc2 = jnp.sum(
         jnp.take_along_axis(
             luts2[:, None, :, :],                          # [B, 1, m2, ksub]
@@ -181,6 +192,9 @@ class IVFPQIndex:
         self.nlist = self.centroids.shape[0]
         self.block = self.code_blocks.shape[1]
         self.dim = self.centroids.shape[1]
+        # packed 4-bit mode: ksub=16 codes stored two-per-byte
+        self.packed = (codec.ksub == 16 and
+                       self.code_blocks.shape[2] == codec.m // 2)
         self.refine_codec = refine_codec
         if refine_codes is None:
             self.refine_codes = None
@@ -240,18 +254,24 @@ class IVFPQIndex:
             ns=ns)
         del r_sample
 
+        from archi_tpu.ops.pallas_adc import pack_nibbles
+
+        pack4 = ksub == 16
+
         @jax.jit
         def encode_resid(xb, ab):
             rb = xb.astype(jnp.float32) - centroids[ab]
             codes = _pq_assign(_split_subspaces(rb, m), codec.codebooks,
                                ksub=codec.ksub)
             c1 = jnp.transpose(codes).astype(jnp.uint8)      # [Nb, m]
+            c1_out = pack_nibbles(c1) if pack4 else c1
             if codec2 is None:
-                return c1, c1
+                return c1_out, c1_out
             r2 = rb - codec.decode(c1)
             codes2 = _pq_assign(_split_subspaces(r2, refine_m),
                                 codec2.codebooks, ksub=codec2.ksub)
-            return c1, jnp.transpose(codes2).astype(jnp.uint8)
+            c2 = jnp.transpose(codes2).astype(jnp.uint8)
+            return c1_out, (pack_nibbles(c2) if pack4 else c2)
 
         parts, rparts = [], []
         for s in range(0, n, encode_block):
@@ -270,8 +290,9 @@ class IVFPQIndex:
         gather, cb = cell_block_layout(assign_h, nlist, block)
         n_blocks = gather.shape[0] // block
         safe = jnp.asarray(np.where(gather >= 0, gather, 0))
+        mc = int(codes.shape[1])   # m, or m//2 when nibble-packed
         code_blocks = jax.jit(
-            lambda cc, ss: cc[ss].reshape(n_blocks, block, m)
+            lambda cc, ss: cc[ss].reshape(n_blocks, block, mc)
         )(codes, safe)
         block_rows = gather.reshape(n_blocks, block)
         return cls(centroids, codec, code_blocks, block_rows, cb, ids,
@@ -354,20 +375,26 @@ class IVFPQIndex:
         dest[gather[alive]] = np.nonzero(alive)[0]
 
         # ---- pass B: stage-1 encode + scatter into final layout.
-        # The un-donated scatter double-buffers code_flat (2x N*m bytes
+        # The un-donated scatter double-buffers code_flat (2x N*mc bytes
         # transiently); nothing else big is live during this pass.
+        from archi_tpu.ops.pallas_adc import pack_nibbles, unpack_nibbles
+
+        pack4 = ksub == 16
+        mc = m // 2 if pack4 else m
+
         @jax.jit
         def encode1_block(xb, ab):
             rb = xb.astype(jnp.float32) - centroids[ab]
             codes = _pq_assign(_split_subspaces(rb, m), codec.codebooks,
                                ksub=codec.ksub)
-            return jnp.transpose(codes).astype(jnp.uint8)
+            c1 = jnp.transpose(codes).astype(jnp.uint8)
+            return pack_nibbles(c1) if pack4 else c1
 
         @jax.jit
         def scatter_codes(flat, c1, pos):
             return flat.at[pos].set(c1)
 
-        code_flat = jnp.zeros((nb * block, m), jnp.uint8)
+        code_flat = jnp.zeros((nb * block, mc), jnp.uint8)
         for i in range(n_blocks):
             s = i * block_rows
             ab = jnp.asarray(assign_h[s: s + block_rows])
@@ -387,12 +414,16 @@ class IVFPQIndex:
             @jax.jit
             def refine_block(flat, xb, ab, pos):
                 rb = xb.astype(jnp.float32) - centroids[ab]
-                r2 = rb - codec.decode(flat[pos])
+                c1 = flat[pos]
+                r2 = rb - codec.decode(
+                    unpack_nibbles(c1) if pack4 else c1)
                 codes2 = _pq_assign(_split_subspaces(r2, refine_m),
                                     codec2.codebooks, ksub=codec2.ksub)
-                return jnp.transpose(codes2).astype(jnp.uint8)
+                c2 = jnp.transpose(codes2).astype(jnp.uint8)
+                return pack_nibbles(c2) if pack4 else c2
 
-            refine_host = np.empty((n, refine_m), np.uint8)
+            refine_host = np.empty(
+                (n, refine_m // 2 if pack4 else refine_m), np.uint8)
             for i in range(n_blocks):
                 s = i * block_rows
                 refine_host[s: s + block_rows] = np.asarray(refine_block(
@@ -402,7 +433,7 @@ class IVFPQIndex:
             refine_codes = jnp.asarray(refine_host)
             del refine_host
 
-        code_blocks = code_flat.reshape(nb, block, m)
+        code_blocks = code_flat.reshape(nb, block, mc)
         block_rows_map = gather.reshape(nb, block)
         return cls(centroids, codec, code_blocks, block_rows_map, cb, ids,
                    refine_codec=codec2, refine_codes=refine_codes)
@@ -441,11 +472,15 @@ class IVFPQIndex:
         if self.refine_codec is not None:
             k1 = min(max(k * refine_overfetch, 64),
                      nprobe * max_bpc * self.block)
+        from archi_tpu.utils.hardware import on_tpu
+
+        adc_impl = ("lut16" if self.packed else "pallas") if on_tpu() \
+            else "xla"
         vals, gpos = _ivfpq_search(
             queries, self.centroids, self.code_blocks,
             self.block_rows_valid, self.cell_blocks, self.codec.codebooks,
             bias_by_slot, k=k1, nprobe=nprobe, group=group,
-            with_bias=bias is not None,
+            with_bias=bias is not None, adc_impl=adc_impl,
         )
         vals, gpos = vals[:b], gpos[:b]
         rows = jnp.where(
@@ -455,8 +490,11 @@ class IVFPQIndex:
         ).astype(jnp.int32)
         if self.refine_codec is not None:
             luts2 = self.refine_codec.luts(queries[:b])
-            vals, rows = _refine_rescore(vals, rows, luts2,
-                                         self.refine_codes, k=k)
+            vals, rows = _refine_rescore(
+                vals, rows, luts2, self.refine_codes, k=k,
+                packed=(self.refine_codec.ksub == 16 and
+                        self.refine_codes.shape[1]
+                        == self.refine_codec.m // 2))
         return vals, rows
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,

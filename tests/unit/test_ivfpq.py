@@ -222,3 +222,67 @@ def test_streaming_build_with_refine(setup):
     rs = _recall(idx.search(q, k=10, nprobe=32)[2], exact)
     rd = _recall(dev.search(q, k=10, nprobe=32)[2], exact)
     assert abs(rs - rd) < 0.1 and rs >= 0.7
+
+
+def test_packed_4bit_mode(setup, tmp_path):
+    """ksub=16 packs two codes per byte: same contract, better stage-1
+    recall per byte (the LUT16 kernel path on TPU)."""
+    _, x, q, _ = setup
+    idx4 = IVFPQIndex.build(x, nlist=32, block=256, m=32, ksub=16,
+                            refine_m=16, seed=0)
+    assert idx4.packed
+    assert idx4.code_blocks.shape[2] == 16          # 32 codes / 2
+    assert idx4.refine_codes.shape[1] == 8          # 16 codes / 2
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    _, _, rows = idx4.search(q, k=100, nprobe=32)
+    assert _recall(rows, exact) >= 0.9
+    # bias contract through the packed path
+    bias = np.zeros(len(x), np.float32)
+    bias[exact[0][0]] = NEG_INF
+    _, _, r2 = idx4.search(q[:1], k=10, nprobe=32, bias=bias)
+    assert exact[0][0] not in set(r2[0])
+    # save/load keeps packing
+    p = str(tmp_path / "pq4.npz")
+    idx4.save(p)
+    loaded = IVFPQIndex.load(p)
+    assert loaded.packed
+    va, ra = idx4.search_dispatch(q[:4], k=5, nprobe=8)
+    vb, rb = loaded.search_dispatch(q[:4], k=5, nprobe=8)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_packed_streaming_build(setup):
+    import jax.numpy as jnp
+    _, x, q, _ = setup
+    blocks = [jnp.asarray(x[i * 512:(i + 1) * 512]) for i in range(8)]
+    s4 = IVFPQIndex.build_streaming(
+        lambda i: blocks[i], 8, 512, nlist=32, block=256, m=32, ksub=16,
+        refine_m=16, seed=0, train_blocks=8)
+    d4 = IVFPQIndex.build(x, nlist=32, block=256, m=32, ksub=16,
+                          refine_m=16, seed=0)
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    rs = _recall(s4.search(q, k=10, nprobe=32)[2], exact)
+    rd = _recall(d4.search(q, k=10, nprobe=32)[2], exact)
+    assert abs(rs - rd) < 0.1
+
+
+def test_4bit_stage1_matches_8bit_at_equal_bytes():
+    """The reason LUT16 exists: at ds=4 (384-d, m=96) 4-bit codes match or
+    beat 8-bit ds=8 at the same bytes/row with 8x fewer ADC compares.
+    (At ds=2 the 16-centroid codebook loses — the engine keeps ksub
+    configurable for exactly this reason.)"""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((64, 384)).astype(np.float32)
+    x = centers[rng.integers(0, 64, 2048)] + \
+        0.3 * rng.standard_normal((2048, 384)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.choice(2048, 8, replace=False)] + \
+        0.05 * rng.standard_normal((8, 384)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    i8 = IVFPQIndex.build(x, nlist=16, block=256, m=48, ksub=256, seed=0)
+    i4 = IVFPQIndex.build(x, nlist=16, block=256, m=96, ksub=16, seed=0)
+    r8 = _recall(i8.search(q, k=10, nprobe=16)[2], exact)
+    r4 = _recall(i4.search(q, k=10, nprobe=16)[2], exact)
+    assert r4 >= r8 - 0.05, (r4, r8)
