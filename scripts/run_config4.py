@@ -88,7 +88,7 @@ def main() -> None:
     t0 = time.time()
     idx = IVFPQIndex.build_streaming(
         block_fn, N_BLOCKS, BLOCK_ROWS,
-        nlist=4096, block=1024, m=48, refine_m=48,
+        nlist=4096, block=1024, m=96, ksub=16, refine_m=96,
         train_blocks=1, train_sample=1 << 18, coarse_iters=8, pq_iters=10,
         seed=0)
     jax.block_until_ready(idx.code_blocks)
@@ -183,8 +183,9 @@ def main() -> None:
                 else max(sweep, key=lambda s: s["self_top1"]))
     payload = {
         "config": "BASELINE config 4 on ONE v5e chip: 100M-chunk IVF-PQ "
-                  "with refinement (m=48+48, 96 B/row, nlist=4096) — the "
-                  "corpus (77 GB bf16) never exists; codes are 9.6 GB",
+                  "with refinement (4-bit LUT16, m=96+96 packed = "
+                  "96 B/row, nlist=4096) — the corpus (77 GB bf16) never "
+                  "exists; codes are 9.8 GB",
         "rows": int(N), "dim": D,
         "corpus_equiv_gb": round(N * D * 2 / 1e9, 1),
         "codes_gb": round(code_gb, 2),
