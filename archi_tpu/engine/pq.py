@@ -219,7 +219,9 @@ def adc_topk(luts, codes_t, bias, n_active, *, k=10, tile=1 << 20,
       bias: [N_pad] f32 additive bias (NEG_INF = dead row).
       n_active: scalar; rows >= n_active are padding.
       k, tile: top-k size / corpus tile rows (tile must divide N_pad).
-      impl: "gather" (VPU takes) | "onehot" (MXU contraction).
+      impl: "gather" (VPU takes) | "onehot" (MXU contraction) | "pallas"
+        (fused VMEM one-hot kernel, ``ops/pallas_adc`` — the TPU default
+        via ``PQFlatIndex``).
     Returns: (vals [B, k] f32, idx [B, k] i32) — idx are physical rows.
     """
     b, m, ksub = luts.shape
@@ -251,8 +253,16 @@ def adc_topk(luts, codes_t, bias, n_active, *, k=10, tile=1 << 20,
         acc, _ = jax.lax.scan(step, acc0, (jnp.transpose(luts, (1, 0, 2)), ct))
         return acc
 
-    score_tile = (score_tile_onehot if impl == "onehot"
-                  else score_tile_gather)
+    def score_tile_pallas(codes_tile):
+        from archi_tpu.ops.pallas_adc import adc_scores
+
+        t = codes_tile.shape[1]
+        sub = 2048 if t % 2048 == 0 else (1024 if t % 1024 == 0 else t)
+        return adc_scores(jnp.transpose(luts, (1, 0, 2)), codes_tile,
+                          tile=sub)
+
+    score_tile = {"onehot": score_tile_onehot,
+                  "pallas": score_tile_pallas}.get(impl, score_tile_gather)
 
     def one_tile(i):
         start = i * tile
@@ -343,10 +353,15 @@ class PQFlatIndex:
 
     # --------------------------------------------------------------- search
     def search_dispatch(self, queries, k: int = 10, *, bias=None,
-                        normalize_queries: bool = True, impl="gather"):
+                        normalize_queries: bool = True, impl="auto"):
         """Device-only ADC top-k → (vals [B,k] f32 dev, rows [B,k] i32 dev).
         bias is indexed by physical row ([capacity] or [n_rows],
-        zero-padded here)."""
+        zero-padded here).  impl="auto": fused Pallas kernel on TPU,
+        gather elsewhere."""
+        if impl == "auto":
+            from archi_tpu.utils.hardware import on_tpu
+
+            impl = "pallas" if on_tpu() else "gather"
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -370,7 +385,7 @@ class PQFlatIndex:
                         tile=tile, impl=impl)
 
     def search(self, queries, k: int = 10, *, bias=None,
-               normalize_queries: bool = True, impl="gather"):
+               normalize_queries: bool = True, impl="auto"):
         """→ (ids [B][k], vals [B,k] np, rows [B,k] np; None id = dead)."""
         vals, rows = self.search_dispatch(
             queries, k, bias=bias, normalize_queries=normalize_queries,
