@@ -152,6 +152,13 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
                 index=index,
                 bm25=BM25Index(stemming=stemming),
             )
+    mb_cfg = (dm_cfg.get("serving") or {}).get("micro_batch") or {}
+    if mb_cfg.get("enabled"):
+        vectorstore.enable_micro_batching(
+            max_batch=mb_cfg.get("max_batch", 32),
+            max_wait_ms=mb_cfg.get("max_wait_ms", 4.0),
+            workers=mb_cfg.get("workers", 2),
+        )
     data_manager = DataManager(
         data_path=data_path,
         catalog=catalog,

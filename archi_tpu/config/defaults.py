@@ -53,6 +53,17 @@ DEFAULT_CONFIG: dict = {
             "hot_tail": False,
             "merge_rows": 65536,
         },
+        "serving": {
+            # coalesce concurrent hybrid queries into fused device batches
+            # (engine/batcher.py); bounded added latency (max_wait_ms),
+            # multiplicative throughput under load
+            "micro_batch": {
+                "enabled": False,
+                "max_batch": 32,
+                "max_wait_ms": 4.0,
+                "workers": 2,   # batches in flight (pipelines device RTT)
+            },
+        },
         "retrievers": {
             "hybrid_retriever": {
                 "num_documents_to_retrieve": 5,

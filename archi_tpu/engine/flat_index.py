@@ -238,8 +238,12 @@ class FlatIndex:
         row_bias = alive_to_bias(alive)
         if bias is not None:
             bb = jnp.asarray(bias, jnp.float32)
-            if bb.shape[0] < self.capacity:
-                bb = jnp.pad(bb, (0, self.capacity - bb.shape[0]))
+            # [N] shared or [B, N] per-query (batched hybrid) — pad the row
+            # axis to capacity; the [N]+[B,N] add broadcasts
+            if bb.shape[-1] < self.capacity:
+                pad = self.capacity - bb.shape[-1]
+                widths = ((0, 0), (0, pad)) if bb.ndim == 2 else ((0, pad),)
+                bb = jnp.pad(bb, widths)
             row_bias = row_bias + bb
         k_eff = min(k, max(len(self), 1))
         return topk_scores(

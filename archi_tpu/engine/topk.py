@@ -51,7 +51,8 @@ def xla_topk(queries, corpus, bias, n_active, *, k=10):
             queries.astype(corpus.dtype), corpus.T,
             preferred_element_type=jnp.float32,
         )
-    scores = scores + bias[None, :].astype(jnp.float32)
+    bias = bias.astype(jnp.float32)
+    scores = scores + (bias if bias.ndim == 2 else bias[None, :])
     col = jax.lax.broadcasted_iota(jnp.int32, (b, n_pad), 1)
     scores = jnp.where(col < jnp.asarray(n_active, jnp.int32), scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores, k)
@@ -85,8 +86,9 @@ def topk_scores(queries, corpus, bias, n_active, *, k=10, impl="auto",
     Args:
       queries: [B, D] float array (pre-scaled by semantic_weight for hybrid).
       corpus: [N_pad, D] padded corpus, N_pad ideally a multiple of tile_n.
-      bias: [N_pad] f32 additive per-row bias; NEG_INF disables a row
-        (tombstone / metadata filter), finite values carry lexical scores.
+      bias: [N_pad] (shared) or [B, N_pad] (per-query — batched hybrid) f32
+        additive bias; NEG_INF disables a row (tombstone / metadata
+        filter), finite values carry lexical scores.
       n_active: scalar int; rows >= n_active are padding.
       k: number of neighbors.
       impl: "auto" | "pallas" | "xla".

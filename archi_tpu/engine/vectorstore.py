@@ -190,6 +190,20 @@ class TpuVectorStore:
     def similarity_search(self, query: str, k: int = 4, **kw) -> list[Document]:
         return [d for d, _ in self.similarity_search_with_score(query, k, **kw)]
 
+    def enable_micro_batching(self, *, max_batch: int = 32,
+                              max_wait_ms: float = 4.0,
+                              workers: int = 2) -> None:
+        """Route concurrent ``hybrid_search`` calls through the
+        micro-batching scheduler (``engine/batcher.py``): requests arriving
+        within ``max_wait_ms`` of each other with compatible parameters run
+        as ONE fused device pass.  Config:
+        ``data_manager.serving.micro_batch``."""
+        from archi_tpu.engine.batcher import hybrid_batcher
+
+        self._batcher = hybrid_batcher(
+            self, max_batch=max_batch, max_wait_s=max_wait_ms / 1e3,
+            workers=workers)
+
     def hybrid_search(
         self,
         query: str,
@@ -200,7 +214,31 @@ class TpuVectorStore:
         filter: dict | None = None,
         enabled_ids: Optional[set] = None,
     ) -> list[tuple[Document, float]]:
-        """Fused semantic+BM25 ranking (reference ``hybrid_search:366-491``)."""
+        """Fused semantic+BM25 ranking (reference ``hybrid_search:366-491``).
+
+        With micro-batching enabled, concurrent calls coalesce into
+        ``hybrid_search_batch`` (identical results, one device pass)."""
+        batcher = getattr(self, "_batcher", None)
+        if batcher is not None and semantic_weight > 0.0 \
+                and len(self.index) > 0:
+            from archi_tpu.engine.batcher import hybrid_signature
+
+            return batcher.submit(query, hybrid_signature(
+                k, semantic_weight, bm25_weight, filter, enabled_ids))
+        return self._hybrid_search_impl(
+            query, k, semantic_weight=semantic_weight,
+            bm25_weight=bm25_weight, filter=filter, enabled_ids=enabled_ids)
+
+    def _hybrid_search_impl(
+        self,
+        query: str,
+        k: int = 4,
+        *,
+        semantic_weight: float = 0.7,
+        bm25_weight: float = 0.3,
+        filter: dict | None = None,
+        enabled_ids: Optional[set] = None,
+    ) -> list[tuple[Document, float]]:
         from archi_tpu.utils.metrics import METRICS
 
         METRICS.inc("archi_engine_queries", labels={"kind": "hybrid"})
@@ -242,6 +280,77 @@ class TpuVectorStore:
         # filter on UNSCALED scores (NEG_INF sentinel intact), then scale
         results = self._rows_to_results(rows[0], vals[0])
         return [(d, s * semantic_weight) for d, s in results]
+
+    def hybrid_search_batch(
+        self,
+        queries: Sequence[str],
+        k: int = 4,
+        *,
+        semantic_weight: float = 0.7,
+        bm25_weight: float = 0.3,
+        filter: dict | None = None,
+        enabled_ids: Optional[set] = None,
+    ) -> list[list[tuple[Document, float]]]:
+        """Batched hybrid search: ONE fused device pass for B queries.
+
+        Each query's BM25 dense scores become one row of a [B, N] per-query
+        bias (the fused kernel broadcasts shared bias, streams per-query
+        bias); the semantic matmul batches naturally.  Semantics match B
+        independent ``hybrid_search`` calls, including the per-query
+        semantic fallback when BM25 matches nothing.  This is the execution
+        path behind the micro-batching scheduler
+        (``engine/batcher.py``) — single-query serving wastes the batch-32
+        throughput headroom of the scan (~25k QPS vs ~1/RTT single).
+        """
+        from archi_tpu.utils.metrics import METRICS
+
+        queries = list(queries)
+        if not queries:
+            return []
+        METRICS.inc("archi_engine_queries", labels={"kind": "hybrid"},
+                    value=len(queries))
+        if len(self.index) == 0:
+            return [[] for _ in queries]
+        if semantic_weight <= 0.0:
+            # degenerate lexical-only path: direct impl (NOT hybrid_search —
+            # that would re-enter the batcher from its own worker)
+            return [self._hybrid_search_impl(
+                q, k, semantic_weight=semantic_weight,
+                bm25_weight=bm25_weight, filter=filter,
+                enabled_ids=enabled_ids) for q in queries]
+        cap = self.index.capacity
+        bm_rows = [self.bm25.scores(q, cap) for q in queries]
+        bm = jnp.stack(bm_rows)                                # [B, N]
+        bm_max = np.asarray(jnp.max(bm, axis=1))
+        embs = np.asarray(
+            self._embedding_function.embed_documents(queries), np.float32)
+        fm = self._filter_mask(filter, enabled_ids)
+        # pad the batch to a power-of-two bucket: each distinct B is a
+        # separate jit shape, and under a micro-batcher group sizes vary
+        # per tick — unpadded, every new size pays a full (remote) compile
+        nb = len(queries)
+        bucket = 1
+        while bucket < nb:
+            bucket *= 2
+        if bucket > nb:
+            embs = np.concatenate(
+                [embs, np.zeros((bucket - nb, embs.shape[1]), np.float32)])
+            bm = jnp.concatenate(
+                [bm, jnp.zeros((bucket - nb, bm.shape[1]), jnp.float32)])
+        ids, vals, rows = self.index.search(
+            embs, k=k, filter_mask=fm,
+            bias=bm * (bm25_weight / max(semantic_weight, 1e-9)),
+        )
+        out = []
+        for b in range(len(queries)):
+            results = self._rows_to_results(rows[b], vals[b])
+            if bm_max[b] <= 0.0:
+                # reference semantic-fallback semantics: report UNSCALED
+                # cosine scores when the lexical side matched nothing
+                out.append(results)
+            else:
+                out.append([(d, s * semantic_weight) for d, s in results])
+        return out
 
     def warmup(self) -> None:
         """Pre-trigger the jit compiles on the query path (embed + search +

@@ -68,7 +68,8 @@ def _fused_topk_kernel(
     n_active_ref,  # SMEM (1,) i32
     q_ref,         # VMEM [B, D]
     e_ref,         # VMEM [TILE_N, D] (current tile)
-    bias_ref,      # VMEM [1, TILE_N] f32 additive row bias (NEG_INF = dead)
+    bias_ref,      # VMEM [1 | B, TILE_N] f32 additive bias (NEG_INF = dead;
+                   # B rows = per-query bias, e.g. batched hybrid BM25)
     out_vals_ref,  # VMEM [B, LANES]
     out_idx_ref,   # VMEM [B, LANES]
     run_vals,      # scratch VMEM [B, LANES] f32
@@ -112,7 +113,8 @@ def _fused_topk_kernel(
     n_active = n_active_ref[0]
     # Additive bias folds in tombstones (NEG_INF) and hybrid lexical scores
     # (w_bm25 * bm25 per row) in one stream; padding masked via n_active.
-    scores = scores + bias_ref[0, :][None, :]
+    # bias_ref is [1, T] (shared) or [B, T] (per-query) — broadcast adds.
+    scores = scores + bias_ref[:]
     scores = jnp.where(col_global < n_active, scores, NEG_INF)
 
     # Threshold skip: no candidate in this tile can enter any query's top-k
@@ -143,7 +145,8 @@ def _fused_topk_kernel(
 def fused_topk(
     queries: jax.Array,   # [B, D] (any float dtype)
     corpus: jax.Array,    # [N_pad, D] (bf16/f32), N_pad % tile_n == 0
-    bias: jax.Array,      # [N_pad] f32 additive per-row bias (NEG_INF = dead)
+    bias: jax.Array,      # [N_pad] or [B, N_pad] f32 additive bias
+                          # (NEG_INF = dead; 2D = per-query, batched hybrid)
     n_active: jax.Array,  # scalar i32: rows < n_active are populated
     *,
     k: int = 10,
@@ -164,7 +167,12 @@ def fused_topk(
         ).astype(jnp.int8)
     else:
         queries = queries.astype(corpus.dtype)
-    bias2d = bias.reshape(1, n_pad).astype(jnp.float32)
+    if bias.ndim == 2:
+        assert bias.shape == (b, n_pad), (bias.shape, b, n_pad)
+        bias2d = bias.astype(jnp.float32)
+    else:
+        bias2d = bias.reshape(1, n_pad).astype(jnp.float32)
+    bias_rows = bias2d.shape[0]
     n_active_arr = jnp.asarray(n_active, jnp.int32).reshape(1)
 
     kernel = functools.partial(_fused_topk_kernel, k=k, tile_n=tile_n)
@@ -174,7 +182,8 @@ def fused_topk(
         in_specs=[
             pl.BlockSpec((b, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bias_rows, tile_n), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((b, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),

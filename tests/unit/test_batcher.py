@@ -1,0 +1,202 @@
+"""Micro-batching serving path: [B, N] per-query bias in the fused
+kernel, hybrid_search_batch parity with sequential calls, MicroBatcher
+coalescing/grouping/error fan-out under real threads."""
+
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from archi_tpu.engine.batcher import (MicroBatcher, hybrid_batcher,
+                                      hybrid_signature)
+from archi_tpu.engine.bm25 import analyze
+from archi_tpu.engine.topk import topk_scores, xla_topk
+from archi_tpu.engine.vectorstore import TpuVectorStore
+from tests.unit.test_vectorstore import FakeEmbeddings
+
+
+# -------------------------------------------------------- per-query bias
+def test_topk_2d_bias_matches_per_query_calls(rng):
+    corpus = rng.standard_normal((512, 32)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    bias = rng.uniform(0, 0.3, (4, 512)).astype(np.float32)
+    v2, i2 = topk_scores(jnp.asarray(q), jnp.asarray(corpus),
+                         jnp.asarray(bias), 512, k=5, impl="xla")
+    for b in range(4):
+        v1, i1 = topk_scores(jnp.asarray(q[b:b + 1]), jnp.asarray(corpus),
+                             jnp.asarray(bias[b]), 512, k=5, impl="xla")
+        np.testing.assert_allclose(np.asarray(v2)[b], np.asarray(v1)[0],
+                                   rtol=1e-5)
+        assert (np.asarray(i2)[b] == np.asarray(i1)[0]).all()
+
+
+def test_fused_kernel_2d_bias_interpret(rng):
+    """The Pallas kernel accepts per-query bias (interpret mode on CPU)."""
+    from archi_tpu.ops.pallas_topk import fused_topk
+
+    corpus = rng.standard_normal((256, 32)).astype(np.float32)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    bias = rng.uniform(0, 0.5, (3, 256)).astype(np.float32)
+    vf, idf = fused_topk(jnp.asarray(q), jnp.asarray(corpus),
+                         jnp.asarray(bias), 256, k=4, tile_n=64,
+                         interpret=True)
+    vx, idx = xla_topk(jnp.asarray(q), jnp.asarray(corpus),
+                       jnp.asarray(bias), 256, k=4)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vx), rtol=1e-4,
+                               atol=1e-5)
+    assert (np.asarray(idf) == np.asarray(idx)).all()
+
+
+# ------------------------------------------------------ batched hybrid
+@pytest.fixture
+def store():
+    s = TpuVectorStore(FakeEmbeddings(), dtype=np.float32)
+    texts = [f"document {i} about {'quantum chips' if i % 3 == 0 else 'web crawling spiders'} "
+             f"topic{i % 7}" for i in range(60)]
+    s.add_texts(texts, [{"source": f"d{i}.txt", "parity": str(i % 2)}
+                        for i in range(60)])
+    return s
+
+
+def test_hybrid_batch_matches_sequential(store):
+    queries = ["quantum chips", "web crawling", "topic3 document",
+               "nonexistent zebra watermelon"]
+    batched = store.hybrid_search_batch(queries, k=4)
+    for q, got in zip(queries, batched):
+        want = store.hybrid_search(q, k=4)
+        assert [(d.metadata["source"], round(s, 4)) for d, s in got] == \
+               [(d.metadata["source"], round(s, 4)) for d, s in want], q
+
+
+def test_hybrid_batch_respects_filters(store):
+    out = store.hybrid_search_batch(["quantum chips"] * 2, k=4,
+                                    filter={"parity": "0"})
+    for res in out:
+        assert res and all(d.metadata["parity"] == "0" for d, _ in res)
+
+
+# ---------------------------------------------------------- MicroBatcher
+def test_batcher_coalesces_concurrent_requests():
+    batch_sizes = []
+
+    def run(sig, payloads):
+        batch_sizes.append(len(payloads))
+        time.sleep(0.01)
+        return [p * 2 for p in payloads]
+
+    mb = MicroBatcher(run, max_batch=16, max_wait_s=0.05)
+    results = {}
+
+    def client(i):
+        results[i] = mb.submit(i)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert results == {i: i * 2 for i in range(12)}
+    assert max(batch_sizes) > 1          # actually coalesced
+    assert sum(batch_sizes) == 12
+
+
+def test_batcher_groups_by_signature():
+    seen = []
+
+    def run(sig, payloads):
+        seen.append((sig, sorted(payloads)))
+        return list(payloads)
+
+    mb = MicroBatcher(run, max_batch=8, max_wait_s=0.05)
+    out = {}
+
+    def client(i):
+        out[i] = mb.submit(i, signature=("k", i % 2))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert out == {i: i for i in range(8)}
+    for sig, payloads in seen:
+        assert {p % 2 for p in payloads} == {sig[1]}   # never mixed
+
+
+def test_batcher_error_fans_out_and_survives():
+    def run(sig, payloads):
+        if sig == "bad":
+            raise ValueError("boom")
+        return list(payloads)
+
+    mb = MicroBatcher(run, max_batch=4, max_wait_s=0.01)
+    with pytest.raises(ValueError):
+        mb.submit(1, signature="bad")
+    # worker must still serve afterwards
+    assert mb.submit(7, signature="good") == 7
+    mb.close()
+
+
+def test_hybrid_batcher_end_to_end(store):
+    mb = hybrid_batcher(store, max_wait_s=0.05)
+    sig = hybrid_signature(4, 0.7, 0.3, None, None)
+    results = {}
+
+    def client(q):
+        results[q] = mb.submit(q, signature=sig)
+
+    queries = ["quantum chips", "web crawling", "topic2", "topic5"]
+    threads = [threading.Thread(target=client, args=(q,)) for q in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    for q in queries:
+        want = store.hybrid_search(q, k=4)
+        assert [(d.metadata["source"], round(s, 4)) for d, s in results[q]] \
+            == [(d.metadata["source"], round(s, 4)) for d, s in want]
+
+
+def test_store_level_micro_batching_transparent(store):
+    """enable_micro_batching routes hybrid_search through the scheduler
+    with identical results, including concurrent callers."""
+    want = {q: store.hybrid_search(q, k=3)
+            for q in ("quantum chips", "web crawling")}
+    store.enable_micro_batching(max_wait_ms=30)
+    got = {}
+
+    def client(q):
+        got[q] = store.hybrid_search(q, k=3)
+
+    threads = [threading.Thread(target=client, args=(q,)) for q in want]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    store._batcher.close()
+    for q in want:
+        assert [(d.metadata["source"], round(s, 4)) for d, s in got[q]] == \
+               [(d.metadata["source"], round(s, 4)) for d, s in want[q]]
+
+
+def test_bootstrap_micro_batch_config(tmp_path):
+    import os
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from archi_tpu.bin.bootstrap import build_context
+    ctx = build_context(overrides={
+        "data_manager": {
+            "embedding_name": "hash",
+            "data_path": str(tmp_path / "data"),
+            "db_path": str(tmp_path / "cat.db"),
+            "serving": {"micro_batch": {"enabled": True, "max_wait_ms": 1}},
+        },
+    })
+    assert getattr(ctx.vectorstore, "_batcher", None) is not None
+    ctx.vectorstore._batcher.close()
