@@ -5,6 +5,25 @@ coalescing/grouping/error fan-out under real threads."""
 import threading
 import time
 
+
+def _tie_tolerant_eq(got, want):
+    """Batch-shaped and single-shaped matmuls can differ in the last ulp,
+    swapping equal-scored docs — compare scores numerically and sources as
+    rank-order-insensitive where scores tie."""
+    gs = [round(s, 4) for _, s in got]
+    ws = [round(s, 4) for _, s in want]
+    if gs != ws:
+        return False
+    gsrc = [d.metadata["source"] for d, _ in got]
+    wsrc = [d.metadata["source"] for d, _ in want]
+    for i, (g, w) in enumerate(zip(gsrc, wsrc)):
+        if g != w:
+            # allowed only if this rank's score ties with a neighbor rank
+            peers = {wsrc[j] for j in range(len(ws)) if ws[j] == ws[i]}
+            if g not in peers:
+                return False
+    return True
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -67,8 +86,7 @@ def test_hybrid_batch_matches_sequential(store):
     batched = store.hybrid_search_batch(queries, k=4)
     for q, got in zip(queries, batched):
         want = store.hybrid_search(q, k=4)
-        assert [(d.metadata["source"], round(s, 4)) for d, s in got] == \
-               [(d.metadata["source"], round(s, 4)) for d, s in want], q
+        assert _tie_tolerant_eq(got, want), q
 
 
 def test_hybrid_batch_respects_filters(store):
@@ -159,8 +177,7 @@ def test_hybrid_batcher_end_to_end(store):
     mb.close()
     for q in queries:
         want = store.hybrid_search(q, k=4)
-        assert [(d.metadata["source"], round(s, 4)) for d, s in results[q]] \
-            == [(d.metadata["source"], round(s, 4)) for d, s in want]
+        assert _tie_tolerant_eq(results[q], want), q
 
 
 def test_store_level_micro_batching_transparent(store):
@@ -181,8 +198,7 @@ def test_store_level_micro_batching_transparent(store):
         t.join()
     store._batcher.close()
     for q in want:
-        assert [(d.metadata["source"], round(s, 4)) for d, s in got[q]] == \
-               [(d.metadata["source"], round(s, 4)) for d, s in want[q]]
+        assert _tie_tolerant_eq(got[q], want[q]), q
 
 
 def test_bootstrap_micro_batch_config(tmp_path):
