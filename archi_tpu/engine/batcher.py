@@ -114,6 +114,14 @@ class MicroBatcher:
             if not group:
                 return
             try:
+                from archi_tpu.utils.metrics import METRICS
+
+                METRICS.inc("archi_micro_batches_total")
+                METRICS.inc("archi_micro_batched_requests_total",
+                            value=len(group))
+            except Exception:
+                pass
+            try:
                 results = self._run_batch(
                     group[0].signature, [r.payload for r in group])
                 if len(results) != len(group):

@@ -33,6 +33,13 @@ class MetricsRegistry:
         with self._lock:
             self._counters[k] = self._counters.get(k, 0.0) + value
 
+    def counter_value(self, name: str,
+                      labels: Optional[dict] = None) -> float:
+        """Current counter value (0.0 if never incremented) — tests and
+        internal consumers; the exposition path is /metrics."""
+        with self._lock:
+            return self._counters.get(self._key(name, labels), 0.0)
+
     def set_gauge(self, name: str, value: float,
                   labels: Optional[dict] = None) -> None:
         with self._lock:

@@ -1,0 +1,94 @@
+"""End-to-end micro-batched serving: concurrent HTTP queries against the
+data-manager's query API coalesce into fused device batches with results
+identical to an unbatched stack."""
+
+import threading
+
+import pytest
+import requests
+
+from archi_tpu.bin.bootstrap import build_context
+from archi_tpu.bin.service_data_manager import build_app as build_data
+
+
+@pytest.fixture(scope="module")
+def stacks(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mb")
+    corpus = tmp / "corpus"
+    corpus.mkdir()
+    for i in range(24):
+        (corpus / f"doc{i}.md").write_text(
+            f"document {i} about "
+            f"{'batch schedulers' if i % 2 else 'storage quotas'} "
+            f"cluster topic{i % 6} " * 8)
+
+    def make(enabled, sub):
+        ctx = build_context(overrides={
+            "data_manager": {
+                "embedding_name": "hash",
+                "data_path": str(tmp / sub / "data"),
+                "db_path": str(tmp / sub / "catalog.db"),
+                "sources": {"local_files": {"paths": [str(corpus)]}},
+                "serving": {"micro_batch": {
+                    "enabled": enabled, "max_wait_ms": 15, "workers": 2}},
+            },
+        })
+        ctx.data_manager.run_ingestion()
+        app, _ = build_data(ctx=ctx, initial_ingestion=False)
+        port = app.serve("127.0.0.1", 0, background=True)
+        return ctx, app, f"http://127.0.0.1:{port}"
+
+    ctx_b, app_b, url_b = make(True, "batched")
+    ctx_p, app_p, url_p = make(False, "plain")
+    yield {"batched": (ctx_b, url_b), "plain": (ctx_p, url_p)}
+    app_b.shutdown()
+    app_p.shutdown()
+    if getattr(ctx_b.vectorstore, "_batcher", None):
+        ctx_b.vectorstore._batcher.close()
+
+
+def _query(url, q):
+    r = requests.post(f"{url}/api/query/hybrid",
+                      json={"query": q, "k": 3}, timeout=30)
+    r.raise_for_status()
+    return r.json()   # list of {page_content, metadata, score}
+
+
+def test_concurrent_http_queries_coalesce(stacks):
+    ctx, url = stacks["batched"]
+    from archi_tpu.utils.metrics import METRICS
+
+    before_b = METRICS.counter_value("archi_micro_batches_total")
+    before_r = METRICS.counter_value("archi_micro_batched_requests_total")
+    queries = ["batch schedulers", "storage quotas", "topic3 cluster",
+               "document about topic1"] * 3
+    results = {}
+
+    def client(i, q):
+        results[i] = _query(url, q)
+
+    threads = [threading.Thread(target=client, args=(i, q))
+               for i, q in enumerate(queries)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == len(queries)
+    for i, q in enumerate(queries):
+        assert results[i], q
+    # the scheduler actually coalesced: fewer batches than requests
+    ran_b = METRICS.counter_value("archi_micro_batches_total") - before_b
+    ran_r = METRICS.counter_value(
+        "archi_micro_batched_requests_total") - before_r
+    assert ran_r >= len(queries)
+    assert ran_b < ran_r
+
+
+def test_batched_results_match_unbatched_stack(stacks):
+    _, url_b = stacks["batched"]
+    _, url_p = stacks["plain"]
+    for q in ("batch schedulers", "storage quotas", "topic2"):
+        rb = _query(url_b, q)
+        rp = _query(url_p, q)
+        assert [round(x["score"], 4) for x in rb] == \
+               [round(x["score"], 4) for x in rp], q
