@@ -59,6 +59,9 @@ class AnnFlatIndex(FlatIndex):
         degrades with staleness — only the exact-tail cost grows).
     """
 
+    # the IVF/IVFPQ snapshot's block-layout bias permute is per-row only
+    supports_batched_bias = False
+
     def __init__(self, dim: int, *, nlist: int = 1024, nprobe: int = 64,
                  min_snapshot_rows: int = 1 << 15,
                  refresh_fraction: float = 0.25,
@@ -155,6 +158,11 @@ class AnnFlatIndex(FlatIndex):
         row_bias = alive_to_bias(alive)
         if bias is not None:
             bb = jnp.asarray(bias, jnp.float32)
+            if bb.ndim != 1:
+                raise NotImplementedError(
+                    "AnnFlatIndex bias is per-row only ([N]); batched "
+                    "per-query bias is routed away via "
+                    "supports_batched_bias")
             if bb.shape[0] < self.capacity:
                 bb = jnp.pad(bb, (0, self.capacity - bb.shape[0]))
             row_bias = row_bias + bb

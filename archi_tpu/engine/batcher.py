@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Hashable, Sequence
 
@@ -96,9 +97,17 @@ class MicroBatcher:
                     self._cv.wait()
                 if self._closed and not self._queue:
                     return []
-                if len(self._queue) < self.max_batch:
-                    # linger: let concurrent callers join this batch
-                    self._cv.wait(timeout=self.max_wait_s)
+                # linger: let concurrent callers join this batch.  A single
+                # wait() would wake on the FIRST notify and take a 2-request
+                # group under bursts — re-wait until the window closes or
+                # the batch fills.
+                deadline = time.monotonic() + self.max_wait_s
+                while (len(self._queue) < self.max_batch
+                       and not self._closed):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
                 if not self._queue:
                     continue   # a sibling worker drained it during linger
                 sig = self._queue[0].signature

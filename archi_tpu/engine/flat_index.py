@@ -81,6 +81,11 @@ def _l2_normalize(x):
 class FlatIndex:
     """Exact cosine/IP index over a padded device array."""
 
+    #: accepts [B, N] per-query bias in search (batched hybrid); subclasses
+    #: whose bias plumbing is row-vector-only override this to False and
+    #: TpuVectorStore.hybrid_search_batch falls back to sequential calls
+    supports_batched_bias = True
+
     def __init__(
         self,
         dim: int,

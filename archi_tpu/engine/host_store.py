@@ -77,11 +77,16 @@ class HostVectorStore:
             grown[: self._n] = self._buf[: self._n]
             self._buf = grown
         else:
-            old = np.array(self._buf[: self._n])   # snapshot before remap
+            # grow the backing FILE in place and remap read-write: no
+            # in-RAM snapshot of the store (77 GB at the design scale) and
+            # no truncate-then-rewrite window that a crash would turn into
+            # total data loss
+            self._buf.flush()
             del self._buf
-            self._buf = np.memmap(self.path, dtype=self.dtype, mode="w+",
+            with open(self.path, "r+b") as f:
+                f.truncate(new_cap * self.dim * self.dtype.itemsize)
+            self._buf = np.memmap(self.path, dtype=self.dtype, mode="r+",
                                   shape=(new_cap, self.dim))
-            self._buf[: self._n] = old
         self._cap = new_cap
         self._write_meta()
 

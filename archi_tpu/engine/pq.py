@@ -226,7 +226,9 @@ def adc_topk(luts, codes_t, bias, n_active, *, k=10, tile=1 << 20,
     """
     b, m, ksub = luts.shape
     n_pad = codes_t.shape[1]
-    n_tiles = max(1, n_pad // tile)
+    tile = min(tile, n_pad)
+    assert n_pad % tile == 0, (n_pad, tile)  # silent floor would drop rows
+    n_tiles = n_pad // tile
     k = min(k, n_pad)
 
     def score_tile_gather(codes_tile):
@@ -240,18 +242,9 @@ def adc_topk(luts, codes_t, bias, n_active, *, k=10, tile=1 << 20,
         return acc
 
     def score_tile_onehot(codes_tile):
-        ct = codes_tile.astype(jnp.int32)                    # [m, T]
-        t = ct.shape[1]
-        def step(acc, j_lut_codes):
-            lut_j, codes_j = j_lut_codes
-            oh = (codes_j[None, :] ==
-                  jax.lax.broadcasted_iota(jnp.int32, (ksub, t), 0)
-                  ).astype(jnp.bfloat16)                     # [ksub, T]
-            return acc + jnp.dot(lut_j.astype(jnp.bfloat16), oh,
-                                 preferred_element_type=jnp.float32), None
-        acc0 = jnp.zeros((b, t), jnp.float32)
-        acc, _ = jax.lax.scan(step, acc0, (jnp.transpose(luts, (1, 0, 2)), ct))
-        return acc
+        from archi_tpu.ops.pallas_adc import adc_scores_xla
+
+        return adc_scores_xla(jnp.transpose(luts, (1, 0, 2)), codes_tile)
 
     def score_tile_pallas(codes_tile):
         from archi_tpu.ops.pallas_adc import adc_scores

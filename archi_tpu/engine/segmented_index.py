@@ -72,6 +72,9 @@ class _GlobalIdRows:
 class SegmentedFlatIndex:
     """FlatIndex-compatible surface over a cold MAIN + hot TAIL segment."""
 
+    # seg_vec slices are row-vector-only; batched hybrid routes away
+    supports_batched_bias = False
+
     def __init__(self, dim: int, *, dtype=jnp.bfloat16, tile_n: int = 4096,
                  normalize: bool = True, metric: str = "cosine",
                  merge_rows: int = 1 << 16, tail_tile_n: int = 512):

@@ -73,6 +73,10 @@ def _sharded_search(queries, emb, bias, n_rows, *, mesh, axis, k, tile_n, impl):
 class ShardedFlatIndex(FlatIndex):
     """FlatIndex whose corpus rows are sharded across a device mesh."""
 
+    # per-query [B, N] bias would need a 2-D sharded bias + kernel support;
+    # until then batched hybrid must not route here (review r2-cont #2)
+    supports_batched_bias = False
+
     def __init__(self, dim: int, *, mesh: Mesh | None = None,
                  axis: str = "data", **kw):
         self.mesh = mesh if mesh is not None else default_mesh(axis)
@@ -160,6 +164,11 @@ class ShardedFlatIndex(FlatIndex):
         row_bias = alive_to_bias(alive)
         if bias is not None:
             bb = jnp.asarray(bias, jnp.float32)
+            if bb.ndim != 1:
+                raise NotImplementedError(
+                    "ShardedFlatIndex bias is per-row only ([N]); batched "
+                    "per-query bias is routed away via "
+                    "supports_batched_bias")
             if bb.shape[0] < capacity_snap:
                 bb = jnp.pad(bb, (0, capacity_snap - bb.shape[0]))
             row_bias = row_bias + bb[:capacity_snap]

@@ -200,6 +200,9 @@ class TpuVectorStore:
         ``data_manager.serving.micro_batch``."""
         from archi_tpu.engine.batcher import hybrid_batcher
 
+        old = getattr(self, "_batcher", None)
+        if old is not None:
+            old.close()   # don't leak the previous scheduler's workers
         self._batcher = hybrid_batcher(
             self, max_batch=max_batch, max_wait_s=max_wait_ms / 1e3,
             workers=workers)
@@ -311,6 +314,14 @@ class TpuVectorStore:
                     value=len(queries))
         if len(self.index) == 0:
             return [[] for _ in queries]
+        if not getattr(self.index, "supports_batched_bias", False):
+            # ANN/sharded/segmented bias plumbing is per-row only — run
+            # sequentially rather than crash on a [B, N] bias (the batched
+            # embedding win is index-independent future work)
+            return [self._hybrid_search_impl(
+                q, k, semantic_weight=semantic_weight,
+                bm25_weight=bm25_weight, filter=filter,
+                enabled_ids=enabled_ids) for q in queries]
         if semantic_weight <= 0.0:
             # degenerate lexical-only path: direct impl (NOT hybrid_search —
             # that would re-enter the batcher from its own worker)
@@ -322,8 +333,13 @@ class TpuVectorStore:
         bm_rows = [self.bm25.scores(q, cap) for q in queries]
         bm = jnp.stack(bm_rows)                                # [B, N]
         bm_max = np.asarray(jnp.max(bm, axis=1))
+        # embed as QUERIES: e5/bge/Qwen3-style embedders prepend an
+        # instruction prefix to queries only (embed_query) — batching must
+        # not silently drop it
+        prefix = getattr(self._embedding_function, "instruction_prefix", "")
+        q_texts = [prefix + q for q in queries] if prefix else queries
         embs = np.asarray(
-            self._embedding_function.embed_documents(queries), np.float32)
+            self._embedding_function.embed_documents(q_texts), np.float32)
         fm = self._filter_mask(filter, enabled_ids)
         # pad the batch to a power-of-two bucket: each distinct B is a
         # separate jit shape, and under a micro-batcher group sizes vary

@@ -216,3 +216,50 @@ def test_bootstrap_micro_batch_config(tmp_path):
     })
     assert getattr(ctx.vectorstore, "_batcher", None) is not None
     ctx.vectorstore._batcher.close()
+
+
+class PrefixEmbeddings(FakeEmbeddings):
+    """e5/bge-style: queries get an instruction prefix, documents don't."""
+    instruction_prefix = "query: "
+
+    def embed_query(self, text):
+        return self._vec(self.instruction_prefix + text).tolist()
+
+
+def test_hybrid_batch_applies_query_instruction_prefix():
+    s = TpuVectorStore(PrefixEmbeddings(), dtype=np.float32)
+    s.add_texts([f"text number {i} about subject{i % 5}" for i in range(30)],
+                [{"source": f"s{i}"} for i in range(30)])
+    for q in ("subject2", "text number 7"):
+        got = s.hybrid_search_batch([q], k=3)[0]
+        want = s.hybrid_search(q, k=3)
+        assert [(d.metadata["source"], round(v, 4)) for d, v in got] == \
+               [(d.metadata["source"], round(v, 4)) for d, v in want], q
+
+
+def test_batch_falls_back_on_non_batched_bias_index():
+    """ANN/sharded/segmented indexes are per-row-bias only: the batched
+    path must run sequentially instead of crashing on a [B, N] bias."""
+    from archi_tpu.engine.ann_index import AnnFlatIndex
+
+    idx = AnnFlatIndex(64, dtype=np.float32, tile_n=256, nlist=4,
+                       min_snapshot_rows=16)
+    s = TpuVectorStore(FakeEmbeddings(), index=idx)
+    s.add_texts([f"doc {i} about area{i % 4}" for i in range(64)],
+                [{"source": f"a{i}"} for i in range(64)])
+    idx.refresh_ann()
+    assert idx._ivf is not None           # the snapshot path IS active
+    out = s.hybrid_search_batch(["area2 doc", "area1"], k=3)
+    for q, got in zip(("area2 doc", "area1"), out):
+        want = s.hybrid_search(q, k=3)
+        assert [(d.metadata["source"], round(v, 4)) for d, v in got] == \
+               [(d.metadata["source"], round(v, 4)) for d, v in want]
+
+
+def test_enable_micro_batching_twice_closes_old_batcher(store):
+    store.enable_micro_batching(max_wait_ms=1)
+    first = store._batcher
+    store.enable_micro_batching(max_wait_ms=1)
+    assert store._batcher is not first
+    assert all(not w.is_alive() for w in first._workers)
+    store._batcher.close()

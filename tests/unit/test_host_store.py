@@ -123,3 +123,20 @@ def test_sharded_rerank_global_rows(data):
                           rerank_overfetch=10)
     assert _recall(rr, exact) >= _recall(base, exact)
     assert _recall(rr, exact) >= 0.85
+
+
+def test_store_memmap_growth_preserves_rows(tmp_path):
+    """Disk-backed growth extends the file in place — no data loss, no
+    full-store RAM copy."""
+    p = str(tmp_path / "grow.f16")
+    store = HostVectorStore(8, path=p, capacity=1024)
+    x = np.random.default_rng(1).standard_normal((100, 8)).astype(np.float32)
+    store.add(x)
+    store.add(np.ones((3000, 8), np.float32))    # forces growth past 1024
+    assert len(store) == 3100
+    np.testing.assert_allclose(store.get([42]), x[42:43], atol=2e-3)
+    np.testing.assert_allclose(store.get([3050]), 1.0, atol=1e-3)
+    store.flush()
+    re = HostVectorStore(8, path=p)
+    assert len(re) == 3100
+    np.testing.assert_allclose(re.get([42]), x[42:43], atol=2e-3)
