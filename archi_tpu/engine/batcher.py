@@ -152,13 +152,20 @@ class MicroBatcher:
 def hybrid_batcher(store, *, max_batch: int = 32,
                    max_wait_s: float = 0.004,
                    workers: int = 2) -> MicroBatcher:
-    """A MicroBatcher wired to ``store.hybrid_search_batch``.
+    """A MicroBatcher wired to the store's batched search paths.
 
-    Signature = (k, weights, filter-items, enabled-ids) — requests differing
-    in any of those run in separate fused calls.
+    The signature's first element is the search kind ("hybrid" or
+    "semantic"); the rest are the parameters that must be uniform within
+    one fused call (k, weights, filter-items, enabled-ids).
     """
     def run(sig, payloads):
-        k, sw, bw, filt, eids = sig
+        if sig[0] == "semantic":
+            _, k, filt, eids = sig
+            return store.similarity_search_batch(
+                list(payloads), k,
+                filter=dict(filt) if filt else None,
+                enabled_ids=set(eids) if eids is not None else None)
+        _, k, sw, bw, filt, eids = sig
         return store.hybrid_search_batch(
             list(payloads), k,
             semantic_weight=sw, bm25_weight=bw,
@@ -166,12 +173,18 @@ def hybrid_batcher(store, *, max_batch: int = 32,
             enabled_ids=set(eids) if eids is not None else None)
 
     return MicroBatcher(run, max_batch=max_batch, max_wait_s=max_wait_s,
-                        workers=workers, name="hybrid")
+                        workers=workers, name="query")
+
+
+def _filt_key(filter, enabled_ids):
+    return (tuple(sorted(filter.items())) if filter else (),
+            tuple(sorted(enabled_ids)) if enabled_ids is not None else None)
 
 
 def hybrid_signature(k, semantic_weight, bm25_weight, filter, enabled_ids):
-    return (
-        int(k), float(semantic_weight), float(bm25_weight),
-        tuple(sorted(filter.items())) if filter else (),
-        tuple(sorted(enabled_ids)) if enabled_ids is not None else None,
-    )
+    return ("hybrid", int(k), float(semantic_weight), float(bm25_weight),
+            *_filt_key(filter, enabled_ids))
+
+
+def semantic_signature(k, filter, enabled_ids):
+    return ("semantic", int(k), *_filt_key(filter, enabled_ids))

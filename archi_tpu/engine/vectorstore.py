@@ -184,11 +184,58 @@ class TpuVectorStore:
     def similarity_search_with_score(
         self, query: str, k: int = 4, **kw
     ) -> list[tuple[Document, float]]:
+        batcher = getattr(self, "_batcher", None)
+        if batcher is not None and len(self.index) > 0 \
+                and set(kw) <= {"filter", "enabled_ids"}:
+            from archi_tpu.engine.batcher import semantic_signature
+
+            return batcher.submit(query, semantic_signature(
+                k, kw.get("filter"), kw.get("enabled_ids")))
+        return self._similarity_search_impl(query, k, **kw)
+
+    def _similarity_search_impl(self, query: str, k: int = 4, **kw):
+        """Direct (unbatched) semantic search — also the only form safe to
+        call from INSIDE a batcher worker (the public method would re-enter
+        the scheduler and deadlock at workers=1)."""
         emb = self._embedding_function.embed_query(query)
         return self.similarity_search_by_vector_with_score(emb, k, **kw)
 
     def similarity_search(self, query: str, k: int = 4, **kw) -> list[Document]:
         return [d for d, _ in self.similarity_search_with_score(query, k, **kw)]
+
+    def similarity_search_batch(
+        self, queries: Sequence[str], k: int = 4, *,
+        filter: dict | None = None, enabled_ids: Optional[set] = None,
+    ) -> list[list[tuple[Document, float]]]:
+        """Batched semantic search: one device pass for B queries.
+
+        The bias stays a shared row vector (tombstones + filters), so this
+        path works on EVERY index type — including ANN and mesh-sharded
+        indexes that cannot take the hybrid path's per-query bias.
+        """
+        from archi_tpu.utils.metrics import METRICS
+
+        queries = list(queries)
+        if not queries:
+            return []
+        METRICS.inc("archi_engine_queries", labels={"kind": "semantic"},
+                    value=len(queries))
+        if len(self.index) == 0:
+            return [[] for _ in queries]
+        prefix = getattr(self._embedding_function, "instruction_prefix", "")
+        q_texts = [prefix + q for q in queries] if prefix else queries
+        embs = np.asarray(
+            self._embedding_function.embed_documents(q_texts), np.float32)
+        nb = len(queries)
+        bucket = 1
+        while bucket < nb:       # pad: each batch size is a jit shape
+            bucket *= 2
+        if bucket > nb:
+            embs = np.concatenate(
+                [embs, np.zeros((bucket - nb, embs.shape[1]), np.float32)])
+        fm = self._filter_mask(filter, enabled_ids)
+        ids, vals, rows = self.index.search(embs, k=k, filter_mask=fm)
+        return [self._rows_to_results(rows[b], vals[b]) for b in range(nb)]
 
     def enable_micro_batching(self, *, max_batch: int = 32,
                               max_wait_ms: float = 4.0,
@@ -267,7 +314,9 @@ class TpuVectorStore:
         bm = self.bm25.scores(query, self.index.capacity)
         if float(jnp.max(bm)) <= 0.0:
             # Reference behavior: BM25 found nothing → pure semantic scores.
-            return self.similarity_search_with_score(
+            # Direct impl: this may run inside a batcher worker (sequential
+            # fallback), where the public method would re-enter the queue.
+            return self._similarity_search_impl(
                 query, k, filter=filter, enabled_ids=enabled_ids
             )
         emb = np.asarray(self._embedding_function.embed_query(query), np.float32)

@@ -263,3 +263,83 @@ def test_enable_micro_batching_twice_closes_old_batcher(store):
     assert store._batcher is not first
     assert all(not w.is_alive() for w in first._workers)
     store._batcher.close()
+
+
+def test_semantic_batch_matches_sequential(store):
+    queries = ["quantum chips", "web crawling", "topic4"]
+    batched = store.similarity_search_batch(queries, k=4)
+    for q, got in zip(queries, batched):
+        want = store.similarity_search_with_score(q, k=4)
+        assert _tie_tolerant_eq(got, want), q
+
+
+def test_semantic_batch_on_ann_index():
+    """Semantic batching keeps a SHARED bias, so it runs fused even on
+    indexes that reject the hybrid path's per-query bias."""
+    from archi_tpu.engine.ann_index import AnnFlatIndex
+
+    idx = AnnFlatIndex(64, dtype=np.float32, tile_n=256, nlist=4,
+                       min_snapshot_rows=16)
+    s = TpuVectorStore(FakeEmbeddings(), index=idx)
+    s.add_texts([f"doc {i} about area{i % 4}" for i in range(64)],
+                [{"source": f"a{i}"} for i in range(64)])
+    idx.refresh_ann()
+    out = s.similarity_search_batch(["area2 doc", "area1"], k=3)
+    for q, got in zip(("area2 doc", "area1"), out):
+        want = s.similarity_search_with_score(q, k=3)
+        assert _tie_tolerant_eq(got, want), q
+
+
+def test_semantic_routes_through_batcher(store):
+    """Concurrent semantic calls coalesce (and hybrid + semantic requests
+    never mix in one group: different signature kinds)."""
+    from archi_tpu.utils.metrics import METRICS
+
+    want_s = store.similarity_search_with_score("quantum chips", k=3)
+    want_h = store.hybrid_search("web crawling", k=3)
+    store.enable_micro_batching(max_wait_ms=30)
+    before = METRICS.counter_value("archi_micro_batches_total")
+    got = {}
+
+    def sem():
+        got["s"] = store.similarity_search_with_score("quantum chips", k=3)
+
+    def hyb():
+        got["h"] = store.hybrid_search("web crawling", k=3)
+
+    threads = [threading.Thread(target=f) for f in (sem, sem, hyb, hyb)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    store._batcher.close()
+    assert _tie_tolerant_eq(got["s"], want_s)
+    assert _tie_tolerant_eq(got["h"], want_h)
+    ran = METRICS.counter_value("archi_micro_batches_total") - before
+    assert 2 <= ran <= 4   # at least one group per kind, never mixed
+
+
+def test_hybrid_sequential_fallback_inside_worker_no_deadlock():
+    """workers=1 + an index without batched-bias support + a BM25-miss
+    query: the fallback path must not re-enter the batcher (deadlock)."""
+    from archi_tpu.engine.ann_index import AnnFlatIndex
+
+    idx = AnnFlatIndex(64, dtype=np.float32, tile_n=256, nlist=4,
+                       min_snapshot_rows=16)
+    s = TpuVectorStore(FakeEmbeddings(), index=idx)
+    s.add_texts([f"doc {i} about area{i % 4}" for i in range(64)])
+    idx.refresh_ann()
+    s.enable_micro_batching(max_wait_ms=1, workers=1)
+    done = {}
+
+    def client():
+        # a query no BM25 term matches → semantic fallback inside the
+        # hybrid impl, running on the single batcher worker
+        done["r"] = s.hybrid_search("zzzqqq nonexistent", k=2)
+
+    t = threading.Thread(target=client)
+    t.start()
+    t.join(timeout=20)
+    assert not t.is_alive(), "deadlocked in batcher re-entry"
+    assert "r" in done
+    s._batcher.close()
