@@ -225,7 +225,7 @@ class IVFIndex:
     # ----------------------------------------------------------------- search
     def search_dispatch(self, queries, k: int = 10, *, nprobe: int = 64,
                         bias=None, normalize_queries: bool = True,
-                        vmem_budget_rows: int = 1 << 21):
+                        vmem_budget_rows: int = 1 << 17):
         """Device-only: → (vals [B, k] f32 dev, original_rows [B, k] i32 dev
         with -1 for dead slots).  Callers combining with other scans (the
         ANN fresh-tail) stay on device until one final pull."""
@@ -237,8 +237,12 @@ class IVFIndex:
         # group size bounded so a group's gathered candidates stay within
         # the HBM scratch budget: rows_per_group = G * nprobe * max_bpc * blk
         max_bpc = int(self.cell_blocks.shape[1])
+        # measured v5e optimum (8.4M, nlist=4096): candidate work scales
+        # ~G^2 per group (each member re-scores the whole group's gathered
+        # blocks), so small groups win — target ~128k candidate slots per
+        # group, never more than 4 queries
         rows_per_q = max(nprobe * max_bpc * self.block, 1)
-        group = max(1, min(16, vmem_budget_rows // rows_per_q, b))
+        group = max(1, min(4, vmem_budget_rows // rows_per_q, b))
         pad = (-b) % group
         if pad:
             queries = jnp.concatenate(
@@ -270,7 +274,7 @@ class IVFIndex:
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64,
                bias=None, normalize_queries: bool = True,
-               vmem_budget_rows: int = 1 << 21):
+               vmem_budget_rows: int = 1 << 17):
         """bias: optional f32 vector indexed by ORIGINAL row (the flat
         index's physical rows when built via from_flat/prefix) — carries
         tombstones/filters as NEG_INF and hybrid BM25 as finite values,

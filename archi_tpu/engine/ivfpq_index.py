@@ -441,7 +441,7 @@ class IVFPQIndex:
     # ----------------------------------------------------------------- search
     def search_dispatch(self, queries, k: int = 10, *, nprobe: int = 64,
                         bias=None, normalize_queries: bool = True,
-                        vmem_budget_rows: int = 1 << 21,
+                        vmem_budget_rows: int = 1 << 17,
                         refine_overfetch: int = 8):
         """Device-only: → (vals [B, k] f32 dev, original rows [B, k] i32 dev,
         -1 for dead slots).  With a refinement stage, stage 1 over-fetches
@@ -453,8 +453,12 @@ class IVFPQIndex:
         b = queries.shape[0]
         nprobe = min(nprobe, self.nlist)
         max_bpc = int(self.cell_blocks.shape[1])
+        # measured v5e optimum (8.4M, nlist=4096): candidate work scales
+        # ~G^2 per group (each member re-scores the whole group's gathered
+        # blocks), so small groups win — target ~128k candidate slots per
+        # group, never more than 4 queries
         rows_per_q = max(nprobe * max_bpc * self.block, 1)
-        group = max(1, min(16, vmem_budget_rows // rows_per_q, b))
+        group = max(1, min(4, vmem_budget_rows // rows_per_q, b))
         pad = (-b) % group
         if pad:
             queries = jnp.concatenate(
@@ -499,7 +503,7 @@ class IVFPQIndex:
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,
                normalize_queries: bool = True,
-               vmem_budget_rows: int = 1 << 21,
+               vmem_budget_rows: int = 1 << 17,
                rerank_store=None, rerank_overfetch: int = 4):
         """bias: f32 by ORIGINAL row — same contract as IVFIndex.search.
 
