@@ -46,7 +46,10 @@ def build_app(config_paths=(), overrides=None, ctx=None,
                     pass
             # pre-compile the query path (first jit through a remote-compile
             # tunnel can take minutes; don't make the first user pay it)
-            ctx.vectorstore.warmup()
+            ctx.vectorstore.warmup(
+                k=ctx.config.get("data_manager", {}).get(
+                    "retrievers", {}).get("hybrid_retriever", {}).get(
+                    "num_documents_to_retrieve", 5))
 
         threading.Thread(target=ingest_then_warm, daemon=True,
                          name="initial-ingestion").start()

@@ -417,15 +417,32 @@ class TpuVectorStore:
                 out.append([(d, s * semantic_weight) for d, s in results])
         return out
 
-    def warmup(self) -> None:
+    def warmup(self, k: int = 5) -> None:
         """Pre-trigger the jit compiles on the query path (embed + search +
         hybrid) so the first user request doesn't pay them while holding the
-        chat lock.  Call from a background thread at service startup."""
+        chat lock.  Call from a background thread at service startup with
+        the configured retriever k (each k is a distinct jit shape).
+
+        With micro-batching enabled, also warm every power-of-two batch
+        bucket the scheduler can produce — an unwarmed bucket pays its
+        (possibly remote) compile on the first live batch that lands on
+        it."""
         try:
             if len(self.index) == 0:
                 return
-            self.hybrid_search("warmup probe query", k=1)
-            self.similarity_search_with_score("warmup probe query", k=1)
+            if getattr(self, "_batcher", None) is not None:
+                mb = self._batcher.max_batch
+                sizes, b = [], 1
+                while b < mb:
+                    sizes.append(b)
+                    b *= 2
+                sizes.append(mb)
+                probes = [f"warmup probe query {i}" for i in range(mb)]
+                for sz in sizes:
+                    self.hybrid_search_batch(probes[:sz], k=k)
+                    self.similarity_search_batch(probes[:sz], k=k)
+            self._hybrid_search_impl("warmup probe query", k=k)
+            self._similarity_search_impl("warmup probe query", k=k)
         except Exception:
             pass
 
