@@ -36,11 +36,14 @@ def default_mesh(axis: str = "data", devices=None) -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "tile_n", "impl"),
+    static_argnames=("mesh", "axis", "k", "tile_n", "impl", "bias2d"),
 )
-def _sharded_search(queries, emb, bias, n_rows, *, mesh, axis, k, tile_n, impl):
-    """queries [B, D] replicated; emb [N_pad, D] and bias [N_pad] sharded on
-    rows.  Returns replicated (vals [B, k], global_rows [B, k])."""
+def _sharded_search(queries, emb, bias, n_rows, *, mesh, axis, k, tile_n,
+                    impl, bias2d=False):
+    """queries [B, D] replicated; emb [N_pad, D] sharded on rows; bias
+    [N_pad] (shared) or [B, N_pad] (per-query, bias2d=True — batched
+    hybrid) sharded on the row axis.  Returns replicated (vals [B, k],
+    global_rows [B, k])."""
     n_shards = mesh.shape[axis]
     shard_cap = emb.shape[0] // n_shards
 
@@ -64,7 +67,8 @@ def _sharded_search(queries, emb, bias, n_rows, *, mesh, axis, k, tile_n, impl):
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P()),
+        in_specs=(P(), P(axis, None),
+                  P(None, axis) if bias2d else P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )(queries, emb, bias, n_rows)
@@ -73,9 +77,9 @@ def _sharded_search(queries, emb, bias, n_rows, *, mesh, axis, k, tile_n, impl):
 class ShardedFlatIndex(FlatIndex):
     """FlatIndex whose corpus rows are sharded across a device mesh."""
 
-    # per-query [B, N] bias would need a 2-D sharded bias + kernel support;
-    # until then batched hybrid must not route here (review r2-cont #2)
-    supports_batched_bias = False
+    #: per-query [B, N] bias shards over the row axis (P(None, "data"))
+    #: and rides the same shard_map — batched hybrid works on the mesh
+    supports_batched_bias = True
 
     def __init__(self, dim: int, *, mesh: Mesh | None = None,
                  axis: str = "data", **kw):
@@ -84,6 +88,7 @@ class ShardedFlatIndex(FlatIndex):
         self.n_shards = self.mesh.shape[axis]
         self._row_sharding = NamedSharding(self.mesh, P(axis, None))
         self._vec_sharding = NamedSharding(self.mesh, P(axis))
+        self._vec2d_sharding = NamedSharding(self.mesh, P(None, axis))
         super().__init__(dim, **kw)
 
     def _min_capacity(self) -> int:
@@ -164,15 +169,14 @@ class ShardedFlatIndex(FlatIndex):
         row_bias = alive_to_bias(alive)
         if bias is not None:
             bb = jnp.asarray(bias, jnp.float32)
-            if bb.ndim != 1:
-                raise NotImplementedError(
-                    "ShardedFlatIndex bias is per-row only ([N]); batched "
-                    "per-query bias is routed away via "
-                    "supports_batched_bias")
-            if bb.shape[0] < capacity_snap:
-                bb = jnp.pad(bb, (0, capacity_snap - bb.shape[0]))
-            row_bias = row_bias + bb[:capacity_snap]
-        row_bias = jax.device_put(row_bias, self._vec_sharding)
+            if bb.shape[-1] < capacity_snap:
+                pad = capacity_snap - bb.shape[-1]
+                widths = ((0, 0), (0, pad)) if bb.ndim == 2 else ((0, pad),)
+                bb = jnp.pad(bb, widths)
+            row_bias = row_bias + bb[..., :capacity_snap]
+        bias2d = row_bias.ndim == 2
+        row_bias = jax.device_put(
+            row_bias, self._vec2d_sharding if bias2d else self._vec_sharding)
 
         k_eff = min(k, max(len(self), 1))
         impl_eff = impl
@@ -184,7 +188,7 @@ class ShardedFlatIndex(FlatIndex):
             queries, emb_snap, row_bias,
             jnp.asarray(n_rows_snap, jnp.int32),
             mesh=self.mesh, axis=self.axis, k=k_eff, tile_n=self.tile_n,
-            impl=impl_eff,
+            impl=impl_eff, bias2d=bias2d,
         )
         vals = np.asarray(vals)
         rows = np.asarray(rows)

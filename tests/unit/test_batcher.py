@@ -343,3 +343,20 @@ def test_hybrid_sequential_fallback_inside_worker_no_deadlock():
     assert not t.is_alive(), "deadlocked in batcher re-entry"
     assert "r" in done
     s._batcher.close()
+
+
+def test_hybrid_batch_on_sharded_mesh():
+    """Per-query bias shards over the mesh row axis: batched hybrid is one
+    fused shard_map pass on the 8-device CPU mesh."""
+    from archi_tpu.engine.sharded_index import ShardedFlatIndex
+
+    idx = ShardedFlatIndex(64, dtype=np.float32, tile_n=256)
+    s = TpuVectorStore(FakeEmbeddings(), index=idx)
+    s.add_texts([f"shard doc {i} about region{i % 5}" for i in range(96)],
+                [{"source": f"r{i}"} for i in range(96)])
+    assert idx.supports_batched_bias
+    queries = ["region3 doc", "shard doc 7", "region1"]
+    batched = s.hybrid_search_batch(queries, k=4)
+    for q, got in zip(queries, batched):
+        want = s._hybrid_search_impl(q, k=4)
+        assert _tie_tolerant_eq(got, want), q
