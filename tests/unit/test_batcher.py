@@ -360,3 +360,44 @@ def test_hybrid_batch_on_sharded_mesh():
     for q, got in zip(queries, batched):
         want = s._hybrid_search_impl(q, k=4)
         assert _tie_tolerant_eq(got, want), q
+
+
+def test_batched_queries_under_concurrent_ingest():
+    """Micro-batched searches racing a live ingest stream must never
+    crash or return rows the metadata plane doesn't know (snapshot
+    isolation holds through the batch path)."""
+    s = TpuVectorStore(FakeEmbeddings(), dtype=np.float32)
+    s.add_texts([f"seed doc {i} about theme{i % 4}" for i in range(64)],
+                [{"source": f"seed{i}"} for i in range(64)])
+    s.enable_micro_batching(max_wait_ms=5, workers=2)
+    stop = threading.Event()
+    errors = []
+
+    def ingester():
+        i = 0
+        while not stop.is_set():
+            s.add_texts([f"live doc {i} about theme{i % 4} extra words"],
+                        [{"source": f"live{i}"}])
+            i += 1
+
+    def querier(qid):
+        try:
+            for j in range(15):
+                res = s.hybrid_search(f"theme{j % 4} doc", k=3)
+                for d, v in res:
+                    assert d.metadata["source"], "empty metadata"
+                    assert v > -1e29
+        except Exception as e:   # noqa: BLE001
+            errors.append(e)
+
+    ing = threading.Thread(target=ingester)
+    qs = [threading.Thread(target=querier, args=(i,)) for i in range(4)]
+    ing.start()
+    for t in qs:
+        t.start()
+    for t in qs:
+        t.join()
+    stop.set()
+    ing.join()
+    s._batcher.close()
+    assert not errors, errors
