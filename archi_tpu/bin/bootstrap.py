@@ -75,6 +75,7 @@ def _build_index(dim: int, index_cfg: dict):
             snapshot_kind=index_type,
             pq_m=index_cfg.get("pq_m", 48),
             pq_refine_m=index_cfg.get("pq_refine_m", 48),
+            async_refresh=index_cfg.get("async_refresh", True),
             **kw)
     if index_cfg.get("hot_tail"):
         from archi_tpu.engine.segmented_index import SegmentedFlatIndex

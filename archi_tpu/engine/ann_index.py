@@ -66,12 +66,17 @@ class AnnFlatIndex(FlatIndex):
                  min_snapshot_rows: int = 1 << 15,
                  refresh_fraction: float = 0.25,
                  snapshot_kind: str = "ivf", pq_m: int = 48,
-                 pq_refine_m: int = 48, **kw):
+                 pq_refine_m: int = 48, async_refresh: bool = True, **kw):
         """snapshot_kind: "ivf" (full-precision cells — pgvector-IVFFlat
         analog) or "ivfpq" (PQ-coded residual cells + refinement — 16x
         smaller snapshot, for corpora beyond bf16 HBM scale; see
         ``engine/ivfpq_index.py``).  pq_m / pq_refine_m only apply to
-        "ivfpq"."""
+        "ivfpq".
+
+        async_refresh: rebuild the snapshot on a background thread instead
+        of inline in the search path — an IVF build is seconds-to-minutes
+        at scale, and the staleness is harmless (fresh rows are scanned
+        exactly, so only the exact-tail cost grows until the swap)."""
         super().__init__(dim, **kw)
         if snapshot_kind not in ("ivf", "ivfpq"):
             raise ValueError(f"unknown snapshot_kind {snapshot_kind!r}")
@@ -82,9 +87,11 @@ class AnnFlatIndex(FlatIndex):
         self.snapshot_kind = snapshot_kind
         self.pq_m = int(pq_m)
         self.pq_refine_m = int(pq_refine_m)
+        self.async_refresh = bool(async_refresh)
         self._ivf = None  # IVFIndex | IVFPQIndex
         self._n_snap = 0
         self._ann_lock = threading.Lock()
+        self._refresh_thread: threading.Thread | None = None
 
     # ---------------------------------------------------------------- refresh
     def _needs_refresh(self) -> bool:
@@ -129,11 +136,27 @@ class AnnFlatIndex(FlatIndex):
             self._ivf = None
             self._n_snap = 0
 
+    def _kick_refresh(self) -> None:
+        """Start a background snapshot rebuild if one isn't running."""
+        t = self._refresh_thread
+        if t is not None and t.is_alive():
+            return
+        t = threading.Thread(target=self.refresh_ann,
+                             name="ann-refresh", daemon=True)
+        self._refresh_thread = t
+        t.start()
+
     # ---------------------------------------------------------------- search
     def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
                impl="auto", nprobe: int | None = None):
         if self._needs_refresh():
-            self.refresh_ann()
+            if self.async_refresh:
+                # serve from the stale snapshot (or the exact flat path if
+                # none exists yet) + exact fresh tail while the rebuild
+                # runs off the query path (p99 protection)
+                self._kick_refresh()
+            else:
+                self.refresh_ann()
         with self._ann_lock:
             ivf, n_snap = self._ivf, self._n_snap
         if ivf is None:

@@ -199,3 +199,36 @@ def test_bootstrap_builds_ivfpq(tmp_path):
                             "pq_refine_m": 8, "dtype": "float32"})
     assert isinstance(idx, AnnFlatIndex)
     assert idx.snapshot_kind == "ivfpq" and idx.pq_m == 8
+
+
+def test_async_refresh_keeps_serving(rng):
+    """With async_refresh (default) a search never blocks on the snapshot
+    build: results stay exact (flat or stale-snapshot + fresh tail) while
+    the rebuild completes in the background."""
+    import time as _time
+
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8, nprobe=8,
+                       min_snapshot_rows=256, refresh_fraction=0.1)
+    assert ann.async_refresh
+    x = _clustered(rng)
+    ann.add(x, [f"c{i}" for i in range(len(x))])
+    # first search kicks the background build and serves exactly meanwhile
+    ids, vals, rows = ann.search(x[7], k=3)
+    assert rows[0][0] == 7
+    # wait for the background snapshot
+    for _ in range(100):
+        if ann._ivf is not None:
+            break
+        _time.sleep(0.05)
+    assert ann._ivf is not None
+    ids2, _, rows2 = ann.search(x[7], k=3, nprobe=8)
+    assert rows2[0][0] == 7
+
+
+def test_sync_refresh_mode(rng):
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8,
+                       min_snapshot_rows=256, async_refresh=False)
+    x = _clustered(rng)
+    ann.add(x, [f"c{i}" for i in range(len(x))])
+    ann.search(x[3], k=2)        # inline build
+    assert ann._ivf is not None
