@@ -72,8 +72,9 @@ class _GlobalIdRows:
 class SegmentedFlatIndex:
     """FlatIndex-compatible surface over a cold MAIN + hot TAIL segment."""
 
-    # seg_vec slices are row-vector-only; batched hybrid routes away
-    supports_batched_bias = False
+    #: seg_vec slices the row axis of [N] or [B, N] bias alike, and both
+    #: segments are FlatIndexes — batched hybrid runs fused
+    supports_batched_bias = True
 
     def __init__(self, dim: int, *, dtype=jnp.bfloat16, tile_n: int = 4096,
                  normalize: bool = True, metric: str = "cosine",
@@ -216,8 +217,9 @@ class SegmentedFlatIndex:
             if vec is None:
                 return None
             v = np.asarray(vec)
-            out = v[start: start + seg_cap]
-            return out
+            # row-vector [N] or per-query [B, N] (batched hybrid): the
+            # segment slice is always along the LAST (row) axis
+            return v[..., start: start + seg_cap]
 
         # Dispatch BOTH segment scans before blocking on either: the device
         # (or relay) round-trips overlap instead of serializing.

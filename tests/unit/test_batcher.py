@@ -401,3 +401,25 @@ def test_batched_queries_under_concurrent_ingest():
     ing.join()
     s._batcher.close()
     assert not errors, errors
+
+
+def test_hybrid_batch_on_hot_tail_index():
+    """Per-query bias slices per segment: batched hybrid is fused on the
+    streaming hot-tail configuration too."""
+    from archi_tpu.engine.segmented_index import SegmentedFlatIndex
+
+    idx = SegmentedFlatIndex(64, dtype=np.float32, tile_n=256,
+                             merge_rows=64)
+    s = TpuVectorStore(FakeEmbeddings(), index=idx)
+    s.add_texts([f"cold doc {i} about zone{i % 5}" for i in range(96)],
+                [{"source": f"c{i}"} for i in range(96)])
+    idx.merge()
+    s.add_texts([f"hot doc {i} about zone{i % 5}" for i in range(24)],
+                [{"source": f"h{i}"} for i in range(24)])
+    assert idx.supports_batched_bias
+    assert len(idx.tail) > 0            # hot tail actually populated
+    queries = ["zone3 doc", "hot doc 5", "cold doc 11"]
+    batched = s.hybrid_search_batch(queries, k=4)
+    for q, got in zip(queries, batched):
+        want = s._hybrid_search_impl(q, k=4)
+        assert _tie_tolerant_eq(got, want), q
