@@ -59,8 +59,9 @@ class AnnFlatIndex(FlatIndex):
         degrades with staleness — only the exact-tail cost grows).
     """
 
-    # the IVF/IVFPQ snapshot's block-layout bias permute is per-row only
-    supports_batched_bias = False
+    #: per-query [B, N] bias permutes into block layout per query and
+    #: slices per segment — batched hybrid runs fused over the snapshot
+    supports_batched_bias = True
 
     def __init__(self, dim: int, *, nlist: int = 1024, nprobe: int = 64,
                  min_snapshot_rows: int = 1 << 15,
@@ -181,13 +182,10 @@ class AnnFlatIndex(FlatIndex):
         row_bias = alive_to_bias(alive)
         if bias is not None:
             bb = jnp.asarray(bias, jnp.float32)
-            if bb.ndim != 1:
-                raise NotImplementedError(
-                    "AnnFlatIndex bias is per-row only ([N]); batched "
-                    "per-query bias is routed away via "
-                    "supports_batched_bias")
-            if bb.shape[0] < self.capacity:
-                bb = jnp.pad(bb, (0, self.capacity - bb.shape[0]))
+            if bb.shape[-1] < self.capacity:
+                pad = self.capacity - bb.shape[-1]
+                widths = ((0, 0), (0, pad)) if bb.ndim == 2 else ((0, pad),)
+                bb = jnp.pad(bb, widths)
             row_bias = row_bias + bb
 
         k_eff = min(k, max(len(self), 1))
@@ -199,7 +197,7 @@ class AnnFlatIndex(FlatIndex):
         # EXACT scan of the fresh rows [n_snap, n_rows) — static shapes per
         # snapshot (recompiles only at refresh)
         f_vals, f_rows = topk_scores(
-            queries, emb_snap[n_snap:], row_bias[n_snap:],
+            queries, emb_snap[n_snap:], row_bias[..., n_snap:],
             jnp.asarray(n_rows - n_snap, jnp.int32),
             k=k_eff, impl="xla", tile_n=self.tile_n)
         # merge ON DEVICE and pull once (each host pull is a full relay

@@ -39,9 +39,10 @@ def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
                 bias_by_slot, *, k, nprobe, group=8, with_bias=False):
     """queries [B, D] (B % group == 0); blocks [n_blocks, blk, D];
     block_rows_valid [n_blocks, blk]; cell_blocks [nlist, max_bpc] i32;
-    bias_by_slot [n_blocks, blk] f32 (per-row additive bias in BLOCK layout
-    — tombstones/filters as NEG_INF, hybrid BM25 as finite values; ignored
-    unless with_bias).
+    bias_by_slot [n_blocks, blk] f32 — or [B, n_blocks, blk] for per-query
+    bias (batched hybrid) — additive bias in BLOCK layout (tombstones /
+    filters as NEG_INF, hybrid BM25 as finite values; ignored unless
+    with_bias).
     → (vals [B, k], flat candidate positions [B, k] = block_id*blk + slot).
 
     Queries are processed in groups of ``group``: one [G, P*blk] matmul per
@@ -54,8 +55,10 @@ def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
     max_bpc = cell_blocks.shape[1]
     d = queries.shape[1]
     per_q = nprobe * max_bpc  # block slots owned by each query
+    bias2d = with_bias and bias_by_slot.ndim == 3
 
-    def one_group(qg):  # [G, D]
+    def one_group(args):  # qg [G, D], bias_g [G, nb, blk] | unused
+        qg, bias_g = args
         g_sz = qg.shape[0]
         cscores = jnp.dot(qg, centroids.T,
                           preferred_element_type=jnp.float32)
@@ -66,7 +69,10 @@ def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
         cand = blocks[safe].reshape(-1, d)                   # [P*blk, D]
         scores = jnp.dot(qg, cand.T,
                          preferred_element_type=jnp.float32)  # [G, P*blk]
-        if with_bias:
+        if with_bias and bias2d:
+            bb = bias_g[:, safe, :]                          # [G, P, blk]
+            scores = scores + bb.reshape(g_sz, -1)
+        elif with_bias:
             scores = scores + bias_by_slot[safe].reshape(-1)[None, :]
         # ownership: block slot p was probed by query p // per_q; each query
         # scores only its own slots (duplicates across queries are scored
@@ -84,8 +90,14 @@ def _ivf_search(queries, centroids, blocks, block_rows_valid, cell_blocks,
         return vals, g.astype(jnp.int32)
 
     b = queries.shape[0]
-    qs = queries.reshape(b // group, group, d)
-    vals, gpos = jax.lax.map(one_group, qs)
+    n_groups = b // group
+    qs = queries.reshape(n_groups, group, d)
+    if bias2d:
+        bias_gs = bias_by_slot.reshape(
+            n_groups, group, *bias_by_slot.shape[1:])
+    else:   # placeholder rides along so the map xs structure is static
+        bias_gs = jnp.zeros((n_groups, group, 1, 1), jnp.float32)
+    vals, gpos = jax.lax.map(one_group, (qs, bias_gs))
     return vals.reshape(b, -1), gpos.reshape(b, -1)
 
 
@@ -115,9 +127,12 @@ def cell_block_layout(assign_h: np.ndarray, nlist: int, block: int):
 
 @jax.jit
 def _bias_to_block_layout(bias, block_rows, block_rows_valid):
-    """[N?] original-row bias → [n_blocks, blk] block-layout bias (one
-    device gather; pad rows get 0 — they're masked by block_rows_valid)."""
-    safe_rows = jnp.clip(block_rows, 0, bias.shape[0] - 1)
+    """[N] (or per-query [B, N]) original-row bias → [n_blocks, blk]
+    (resp. [B, n_blocks, blk]) block-layout bias (one device gather; pad
+    rows get 0 — they're masked by block_rows_valid)."""
+    safe_rows = jnp.clip(block_rows, 0, bias.shape[-1] - 1)
+    if bias.ndim == 2:
+        return bias[:, safe_rows] * block_rows_valid[None]
     return bias[safe_rows] * block_rows_valid
 
 

@@ -69,8 +69,10 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
     max_bpc = cell_blocks.shape[1]
     d = queries.shape[1]
     per_q = nprobe * max_bpc  # block slots owned by each query
+    bias2d = with_bias and bias_by_slot.ndim == 3
 
-    def one_group(qg):  # [G, D]
+    def one_group(args):  # qg [G, D], bias_g [G, nb, blk] | placeholder
+        qg, bias_g = args
         g_sz = qg.shape[0]
         cscores = jnp.dot(qg, centroids.T,
                           preferred_element_type=jnp.float32)
@@ -110,7 +112,9 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
         slot_ok = mine & valid_block[None, :]
         row_ok = block_rows_valid[safe].reshape(-1) > 0.5     # [P*blk]
         mask = jnp.repeat(slot_ok, blk, axis=1) & row_ok[None, :]
-        if with_bias:
+        if with_bias and bias2d:
+            scores = scores + bias_g[:, safe, :].reshape(g_sz, -1)
+        elif with_bias:
             scores = scores + bias_by_slot[safe].reshape(-1)[None, :]
         scores = jnp.where(mask, scores, NEG_INF)
         kk = min(k, scores.shape[1])
@@ -119,8 +123,14 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
         return vals, g.astype(jnp.int32)
 
     b = queries.shape[0]
-    qs = queries.reshape(b // group, group, d)
-    vals, gpos = jax.lax.map(one_group, qs)
+    n_groups = b // group
+    qs = queries.reshape(n_groups, group, d)
+    if bias2d:
+        bias_gs = bias_by_slot.reshape(
+            n_groups, group, *bias_by_slot.shape[1:])
+    else:
+        bias_gs = jnp.zeros((n_groups, group, 1, 1), jnp.float32)
+    vals, gpos = jax.lax.map(one_group, (qs, bias_gs))
     return vals.reshape(b, -1), gpos.reshape(b, -1)
 
 

@@ -423,3 +423,26 @@ def test_hybrid_batch_on_hot_tail_index():
     for q, got in zip(queries, batched):
         want = s._hybrid_search_impl(q, k=4)
         assert _tie_tolerant_eq(got, want), q
+
+
+def test_hybrid_batch_fused_on_ann_index():
+    """Per-query bias rides the block-layout permute: batched hybrid is
+    now FUSED on the ANN snapshot path too (ivf and ivfpq)."""
+    from archi_tpu.engine.ann_index import AnnFlatIndex
+
+    for kind in ("ivf", "ivfpq"):
+        kw = {} if kind == "ivf" else {"pq_m": 8, "pq_refine_m": 8}
+        idx = AnnFlatIndex(64, dtype=np.float32, tile_n=256, nlist=4,
+                           min_snapshot_rows=16, snapshot_kind=kind,
+                           async_refresh=False, **kw)
+        assert idx.supports_batched_bias
+        s = TpuVectorStore(FakeEmbeddings(), index=idx)
+        s.add_texts([f"doc {i} about field{i % 4}" for i in range(64)],
+                    [{"source": f"a{i}"} for i in range(64)])
+        idx.refresh_ann()
+        assert idx._ivf is not None
+        queries = ["field2 doc", "field1", "doc 17"]
+        batched = s.hybrid_search_batch(queries, k=3)
+        for q, got in zip(queries, batched):
+            want = s._hybrid_search_impl(q, k=3)
+            assert _tie_tolerant_eq(got, want), (kind, q)
