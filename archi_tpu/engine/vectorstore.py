@@ -364,9 +364,8 @@ class TpuVectorStore:
         if len(self.index) == 0:
             return [[] for _ in queries]
         if not getattr(self.index, "supports_batched_bias", False):
-            # ANN/sharded/segmented bias plumbing is per-row only — run
-            # sequentially rather than crash on a [B, N] bias (the batched
-            # embedding win is index-independent future work)
+            # every built-in index takes [B, N] bias now; this guard keeps
+            # exotic/custom indexes correct (sequential) instead of crashed
             return [self._hybrid_search_impl(
                 q, k, semantic_weight=semantic_weight,
                 bm25_weight=bm25_weight, filter=filter,
