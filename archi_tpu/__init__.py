@@ -18,6 +18,9 @@ __all__ = [
     "Archi", "PipelineOutput",
     # engine
     "FlatIndex", "ShardedFlatIndex", "IVFIndex", "ShardedIVFIndex",
+    "PQCodec", "PQFlatIndex", "IVFPQIndex", "ShardedIVFPQIndex",
+    "HostVectorStore", "AnnFlatIndex", "SegmentedFlatIndex",
+    "MicroBatcher",
     "TpuVectorStore",
     "BM25Index", "MaxSimReranker",
     # models
@@ -39,6 +42,14 @@ _LAZY = {
     "IVFIndex": "archi_tpu.engine.ivf_index",
     "ShardedIVFIndex": "archi_tpu.engine.sharded_ivf",
     "TpuVectorStore": "archi_tpu.engine.vectorstore",
+    "PQCodec": "archi_tpu.engine.pq",
+    "PQFlatIndex": "archi_tpu.engine.pq",
+    "IVFPQIndex": "archi_tpu.engine.ivfpq_index",
+    "ShardedIVFPQIndex": "archi_tpu.engine.sharded_ivfpq",
+    "HostVectorStore": "archi_tpu.engine.host_store",
+    "AnnFlatIndex": "archi_tpu.engine.ann_index",
+    "SegmentedFlatIndex": "archi_tpu.engine.segmented_index",
+    "MicroBatcher": "archi_tpu.engine.batcher",
     "BM25Index": "archi_tpu.engine.bm25",
     "MaxSimReranker": "archi_tpu.engine.reranker",
     "RerankingRetriever": "archi_tpu.engine.reranker",
