@@ -134,14 +134,34 @@ def build_context(config_paths=(), overrides: Optional[dict] = None,
             # corpus (the catalog diff-sync reconciles any drift after load)
             try:
                 index_cls = None
-                if index_cfg.get("hot_tail"):
+                index_loader = None
+                itype = index_cfg.get("type", "flat")
+                if itype in ("ivf", "ivfpq"):
+                    # restart keeps the configured ANN mode (and reuses the
+                    # checkpointed snapshot sidecar when present, skipping
+                    # the rebuild)
+                    from archi_tpu.engine.ann_index import AnnFlatIndex
+
+                    def index_loader(p, _cfg=index_cfg, _t=itype):
+                        return AnnFlatIndex.load(
+                            p,
+                            nlist=_cfg.get("nlist", 1024),
+                            nprobe=_cfg.get("nprobe", 64),
+                            min_snapshot_rows=_cfg.get(
+                                "min_snapshot_rows", 1 << 15),
+                            snapshot_kind=_t,
+                            pq_m=_cfg.get("pq_m", 48),
+                            pq_refine_m=_cfg.get("pq_refine_m", 48),
+                            async_refresh=_cfg.get("async_refresh", True))
+                elif index_cfg.get("hot_tail"):
                     from archi_tpu.engine.segmented_index import (
                         SegmentedFlatIndex,
                     )
 
                     index_cls = SegmentedFlatIndex
                 vectorstore = TpuVectorStore.load(
-                    checkpoint_dir, embedder, index_cls=index_cls)
+                    checkpoint_dir, embedder, index_cls=index_cls,
+                    index_loader=index_loader)
             except Exception:
                 vectorstore = None
         else:

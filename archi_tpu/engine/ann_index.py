@@ -137,6 +137,54 @@ class AnnFlatIndex(FlatIndex):
             self._ivf = None
             self._n_snap = 0
 
+    # ------------------------------------------------------------- persist
+    def save(self, path: str) -> None:
+        """Checkpoint rows (FlatIndex) + the ANN snapshot when it is safe
+        to reuse: ``load`` compacts tombstones (physical rows renumber),
+        so the snapshot sidecar is written only for tombstone-free saves
+        — at 100M rows that skips an ~18-minute rebuild on restart."""
+        import json as _json
+        import os as _os
+
+        super().save(path)
+        with self._ann_lock:
+            ivf, n_snap = self._ivf, self._n_snap
+        if ivf is not None and self._n_dead == 0:
+            ivf.save(path + ".ann.npz")
+            with open(path + ".ann.json", "w") as f:
+                _json.dump({"n_snap": int(n_snap),
+                            "kind": self.snapshot_kind}, f)
+        else:
+            for sfx in (".ann.npz", ".ann.json"):  # stale sidecars
+                try:
+                    _os.remove(path + sfx)
+                except FileNotFoundError:
+                    pass
+
+    @classmethod
+    def load(cls, path: str, **extra) -> "AnnFlatIndex":
+        import json as _json
+        import os as _os
+
+        idx = super().load(path, **extra)
+        meta_p, snap_p = path + ".ann.json", path + ".ann.npz"
+        if _os.path.exists(meta_p) and _os.path.exists(snap_p):
+            try:
+                with open(meta_p) as f:
+                    m = _json.load(f)
+                if m.get("kind") == idx.snapshot_kind                         and m.get("n_snap", 0) <= idx.n_rows:
+                    if idx.snapshot_kind == "ivfpq":
+                        from archi_tpu.engine.ivfpq_index import IVFPQIndex
+
+                        idx._ivf = IVFPQIndex.load(snap_p)
+                    else:
+                        idx._ivf = IVFIndex.load(snap_p)
+                    idx._n_snap = int(m["n_snap"])
+            except Exception:
+                logger.exception("ANN snapshot sidecar unreadable; "
+                                 "will rebuild")
+        return idx
+
     def _kick_refresh(self) -> None:
         """Start a background snapshot rebuild if one isn't running."""
         t = self._refresh_thread

@@ -312,12 +312,14 @@ class FlatIndex:
         )
 
     @classmethod
-    def load(cls, path: str) -> "FlatIndex":
+    def load(cls, path: str, **extra) -> "FlatIndex":
+        """extra: subclass constructor kwargs (e.g. AnnFlatIndex's
+        nlist/nprobe/snapshot_kind on a typed restart)."""
         z = np.load(path, allow_pickle=False)
         meta = json.loads(str(z["meta"]))
         idx = cls(
             meta["dim"], dtype=meta["dtype"], tile_n=meta["tile_n"],
-            metric=meta["metric"],
+            metric=meta["metric"], **extra,
         )
         emb = z["emb"]
         alive = z["alive"]

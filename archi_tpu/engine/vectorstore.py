@@ -468,17 +468,22 @@ class TpuVectorStore:
 
     @classmethod
     def load(cls, directory: str, embedding_function, *,
-             index_cls=None, **kw) -> "TpuVectorStore":
+             index_cls=None, index_loader=None, **kw) -> "TpuVectorStore":
         """index_cls: FlatIndex (default) or SegmentedFlatIndex — a hot-tail
-        deployment passes the latter so restarts keep the append path."""
+        deployment passes the latter so restarts keep the append path.
+        index_loader: callable(path) -> index, for index types needing
+        constructor config on restart (AnnFlatIndex's nlist/nprobe/...)."""
         import json
         import os
 
         from archi_tpu.engine.bm25 import BM25Index
         from archi_tpu.engine.flat_index import FlatIndex
 
-        index_cls = index_cls or FlatIndex
-        index = index_cls.load(os.path.join(directory, "index.npz"))
+        path = os.path.join(directory, "index.npz")
+        if index_loader is not None:
+            index = index_loader(path)
+        else:
+            index = (index_cls or FlatIndex).load(path)
         bm25 = BM25Index.load(os.path.join(directory, "bm25.json"))
         with open(os.path.join(directory, "rows.json")) as f:
             state = json.load(f)

@@ -232,3 +232,74 @@ def test_sync_refresh_mode(rng):
     ann.add(x, [f"c{i}" for i in range(len(x))])
     ann.search(x[3], k=2)        # inline build
     assert ann._ivf is not None
+
+
+def test_ann_checkpoint_restores_snapshot(tmp_path, rng):
+    """Tombstone-free saves persist the ANN snapshot: restart serves ANN
+    immediately (no rebuild) in the configured mode."""
+    x = _clustered(rng)
+    for kind, kw in (("ivf", {}), ("ivfpq", {"pq_m": 8, "pq_refine_m": 8})):
+        ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8,
+                           min_snapshot_rows=256, snapshot_kind=kind,
+                           async_refresh=False, **kw)
+        ann.add(x, [f"c{i}" for i in range(len(x))])
+        ann.refresh_ann()
+        p = str(tmp_path / f"{kind}.npz")
+        ann.save(p)
+        re = AnnFlatIndex.load(p, nlist=8, min_snapshot_rows=256,
+                               snapshot_kind=kind, async_refresh=False,
+                               **kw)
+        assert re._ivf is not None and re._n_snap == ann._n_snap, kind
+        ids, _, rows = re.search(x[33], k=3, nprobe=8)
+        assert int(rows[0][0]) == 33 and ids[0][0] == "c33"
+
+
+def test_ann_checkpoint_drops_snapshot_on_tombstones(tmp_path, rng):
+    """load() compacts tombstones (rows renumber) — a stale snapshot
+    sidecar must NOT be reused."""
+    x = _clustered(rng)
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8,
+                       min_snapshot_rows=256, async_refresh=False)
+    ann.add(x, [f"c{i}" for i in range(len(x))])
+    ann.refresh_ann()
+    p = str(tmp_path / "tomb.npz")
+    ann.save(p)                      # writes the sidecar
+    ann.delete(["c5"])
+    ann.save(p)                      # tombstoned save must remove it
+    re = AnnFlatIndex.load(p, nlist=8, min_snapshot_rows=256,
+                           async_refresh=False)
+    assert re._ivf is None           # rebuilds instead of stale mapping
+    ids, _, rows = re.search(x[40], k=3)
+    assert ids[0][0] == "c40"
+
+
+def test_bootstrap_restart_keeps_ann_mode(tmp_path):
+    """index.type: ivfpq survives a service restart (was: silently
+    downgraded to a flat index on checkpoint reload)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from archi_tpu.bin.bootstrap import build_context
+
+    overrides = {
+        "data_manager": {
+            "embedding_name": "hash",
+            "data_path": str(tmp_path / "data"),
+            "db_path": str(tmp_path / "cat.db"),
+            "index": {"type": "ivfpq", "nlist": 8, "pq_m": 8,
+                      "pq_refine_m": 8, "min_snapshot_rows": 16,
+                      "dtype": "float32", "async_refresh": False},
+        },
+    }
+    ctx = build_context(overrides=overrides)
+    ctx.vectorstore.add_texts([f"doc {i} about item{i % 4}"
+                               for i in range(40)])
+    ctx.vectorstore.index.refresh_ann()
+    import os
+    ckpt = os.path.join(str(tmp_path / "data"), "engine_checkpoint")
+    ctx.vectorstore.save(ckpt)
+    ctx2 = build_context(overrides=overrides)
+    assert isinstance(ctx2.vectorstore.index, AnnFlatIndex)
+    assert ctx2.vectorstore.index.snapshot_kind == "ivfpq"
+    assert ctx2.vectorstore.index._ivf is not None   # snapshot reused
+    res = ctx2.vectorstore.hybrid_search("item2 doc", k=3)
+    assert res
