@@ -91,8 +91,11 @@ class AnnFlatIndex(FlatIndex):
         self.async_refresh = bool(async_refresh)
         self._ivf = None  # IVFIndex | IVFPQIndex
         self._n_snap = 0
-        self._ann_lock = threading.Lock()
+        self._ann_lock = threading.Lock()     # guards (_ivf, _n_snap) swaps
+        self._build_lock = threading.Lock()   # serializes rebuilds
+        self._compact_epoch = 0
         self._refresh_thread: threading.Thread | None = None
+        self._kick_lock = threading.Lock()
 
     # ---------------------------------------------------------------- refresh
     def _needs_refresh(self) -> bool:
@@ -103,11 +106,21 @@ class AnnFlatIndex(FlatIndex):
                            0 if self._ivf is None else 1)
 
     def refresh_ann(self) -> None:
-        """Rebuild the IVF snapshot from the current corpus prefix."""
-        with self._ann_lock:
+        """Rebuild the IVF snapshot from the current corpus prefix.
+
+        The BUILD runs outside ``_ann_lock`` — it is seconds-to-minutes at
+        scale and searches read ``(_ivf, _n_snap)`` under that lock, so
+        holding it across the build would stall every query for the whole
+        rebuild (review r2-cont finding).  ``_build_lock`` serializes
+        concurrent rebuild attempts; only the swap takes ``_ann_lock``.
+        A compact() racing the build bumps ``_compact_epoch`` — the stale
+        snapshot (old row numbering) is discarded instead of swapped in.
+        """
+        with self._build_lock:
             n = self.n_rows
             if n < self.min_snapshot_rows:
                 return
+            epoch = self._compact_epoch
             with self._buf_lock:
                 emb_snap = self.emb
             x = emb_snap[:n]
@@ -124,7 +137,12 @@ class AnnFlatIndex(FlatIndex):
                     x, nlist=min(self.nlist, n), block=512,
                     dtype=self.dtype if self.dtype != jnp.int8
                     else jnp.bfloat16)
-            self._ivf, self._n_snap = ivf, n
+            with self._ann_lock:
+                if self._compact_epoch != epoch:
+                    logger.info("ANN snapshot discarded: compaction "
+                                "renumbered rows during the build")
+                    return
+                self._ivf, self._n_snap = ivf, n
             logger.info("ANN snapshot refreshed (%s): %d rows, nlist=%d",
                         self.snapshot_kind, n, ivf.nlist)
 
@@ -136,6 +154,7 @@ class AnnFlatIndex(FlatIndex):
         with self._ann_lock:
             self._ivf = None
             self._n_snap = 0
+            self._compact_epoch += 1
 
     # ------------------------------------------------------------- persist
     def save(self, path: str) -> None:
@@ -146,6 +165,14 @@ class AnnFlatIndex(FlatIndex):
         import json as _json
         import os as _os
 
+        # stale sidecars go FIRST: a crash after super().save() wrote a
+        # tombstoned npz but before the removal would leave a sidecar whose
+        # row map silently mismatches the compacted reload
+        for sfx in (".ann.npz", ".ann.json"):
+            try:
+                _os.remove(path + sfx)
+            except FileNotFoundError:
+                pass
         super().save(path)
         with self._ann_lock:
             ivf, n_snap = self._ivf, self._n_snap
@@ -154,12 +181,6 @@ class AnnFlatIndex(FlatIndex):
             with open(path + ".ann.json", "w") as f:
                 _json.dump({"n_snap": int(n_snap),
                             "kind": self.snapshot_kind}, f)
-        else:
-            for sfx in (".ann.npz", ".ann.json"):  # stale sidecars
-                try:
-                    _os.remove(path + sfx)
-                except FileNotFoundError:
-                    pass
 
     @classmethod
     def load(cls, path: str, **extra) -> "AnnFlatIndex":
@@ -186,14 +207,17 @@ class AnnFlatIndex(FlatIndex):
         return idx
 
     def _kick_refresh(self) -> None:
-        """Start a background snapshot rebuild if one isn't running."""
-        t = self._refresh_thread
-        if t is not None and t.is_alive():
-            return
-        t = threading.Thread(target=self.refresh_ann,
-                             name="ann-refresh", daemon=True)
-        self._refresh_thread = t
-        t.start()
+        """Start a background snapshot rebuild if one isn't running
+        (atomic check-and-spawn: concurrent searches — e.g. 2 batcher
+        workers — must not double a minutes-long rebuild)."""
+        with self._kick_lock:
+            t = self._refresh_thread
+            if t is not None and t.is_alive():
+                return
+            t = threading.Thread(target=self.refresh_ann,
+                                 name="ann-refresh", daemon=True)
+            self._refresh_thread = t
+            t.start()
 
     # ---------------------------------------------------------------- search
     def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
@@ -229,12 +253,9 @@ class AnnFlatIndex(FlatIndex):
             alive = alive * fm
         row_bias = alive_to_bias(alive)
         if bias is not None:
-            bb = jnp.asarray(bias, jnp.float32)
-            if bb.shape[-1] < self.capacity:
-                pad = self.capacity - bb.shape[-1]
-                widths = ((0, 0), (0, pad)) if bb.ndim == 2 else ((0, pad),)
-                bb = jnp.pad(bb, widths)
-            row_bias = row_bias + bb
+            from archi_tpu.engine.topk import pad_bias_rows
+
+            row_bias = row_bias + pad_bias_rows(bias, self.capacity)
 
         k_eff = min(k, max(len(self), 1))
         # ANN over the snapshot (bias permuted to block layout internally;

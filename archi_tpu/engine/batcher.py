@@ -177,8 +177,14 @@ def hybrid_batcher(store, *, max_batch: int = 32,
 
 
 def _filt_key(filter, enabled_ids):
-    return (tuple(sorted(filter.items())) if filter else (),
-            tuple(sorted(enabled_ids)) if enabled_ids is not None else None)
+    # enabled_ids may mix int chunk ids and str resource hashes — plain
+    # sorted() raises on mixed types that the unbatched path accepts
+    def _k(x):
+        return (type(x).__name__, str(x))
+
+    return (tuple(sorted(filter.items(), key=_k)) if filter else (),
+            tuple(sorted(enabled_ids, key=_k))
+            if enabled_ids is not None else None)
 
 
 def hybrid_signature(k, semantic_weight, bm25_weight, filter, enabled_ids):

@@ -242,14 +242,10 @@ class FlatIndex:
             alive = alive * fm
         row_bias = alive_to_bias(alive)
         if bias is not None:
-            bb = jnp.asarray(bias, jnp.float32)
-            # [N] shared or [B, N] per-query (batched hybrid) — pad the row
-            # axis to capacity; the [N]+[B,N] add broadcasts
-            if bb.shape[-1] < self.capacity:
-                pad = self.capacity - bb.shape[-1]
-                widths = ((0, 0), (0, pad)) if bb.ndim == 2 else ((0, pad),)
-                bb = jnp.pad(bb, widths)
-            row_bias = row_bias + bb
+            # [N] shared or [B, N] per-query (batched hybrid); broadcasts
+            from archi_tpu.engine.topk import pad_bias_rows
+
+            row_bias = row_bias + pad_bias_rows(bias, self.capacity)
         k_eff = min(k, max(len(self), 1))
         return topk_scores(
             queries, emb_snap, row_bias, n_rows_snap, k=k_eff, impl=impl,

@@ -121,9 +121,10 @@ def exact_rerank(store: HostVectorStore, queries, vals, rows, *, k: int,
     """Re-score candidate rows with exact inner products from the host tier.
 
     queries [B, D] (normalized, pre-scaled for hybrid); vals/rows [B, C]
-    from the ANN (NEG_INF = dead, stays dead); bias: optional f32 by row
-    (the finite hybrid part rides into the exact score; tombstones are
-    already NEG_INF in vals).  → (vals [B, k], rows [B, k]).
+    from the ANN (NEG_INF = dead, stays dead); bias: optional f32 by row —
+    [N] shared or [B, N] per-query (batched hybrid; the finite part rides
+    into the exact score; tombstones are already NEG_INF in vals).
+    → (vals [B, k], rows [B, k]).
     """
     queries = np.asarray(queries, np.float32)
     vals = np.asarray(vals, np.float32)
@@ -133,8 +134,12 @@ def exact_rerank(store: HostVectorStore, queries, vals, rows, *, k: int,
     exact = np.einsum("bcd,bd->bc", flat, queries)
     if bias is not None:
         bias = np.asarray(bias, np.float32)
-        safe = np.clip(rows, 0, bias.shape[0] - 1)
-        exact = exact + np.where(rows >= 0, bias[safe], 0.0)
+        safe = np.clip(rows, 0, bias.shape[-1] - 1)
+        if bias.ndim == 2:
+            picked = np.take_along_axis(bias, safe, axis=1)  # [B, C]
+        else:
+            picked = bias[safe]
+        exact = exact + np.where(rows >= 0, picked, 0.0)
     scores = np.where(vals > -1e29, exact, vals)
     kk = min(k, c)
     order = np.argsort(-scores, axis=1)[:, :kk]

@@ -268,8 +268,15 @@ class IVFIndex:
         else:
             qn = queries
         if bias is not None:
+            bb = jnp.asarray(bias, jnp.float32)
+            if bb.ndim == 2 and pad:
+                # queries were padded to a group multiple — the per-query
+                # bias batch axis must pad with them (reshape into groups
+                # crashes otherwise)
+                bb = jnp.concatenate(
+                    [bb, jnp.zeros((pad, bb.shape[1]), jnp.float32)], axis=0)
             bias_by_slot = _bias_to_block_layout(
-                jnp.asarray(bias, jnp.float32), self._block_rows_dev,
+                bb, self._block_rows_dev,
                 self.block_rows_valid)
         else:
             bias_by_slot = self.block_rows_valid  # placeholder, unused

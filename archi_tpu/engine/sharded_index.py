@@ -168,12 +168,9 @@ class ShardedFlatIndex(FlatIndex):
             alive = alive * fm[:capacity_snap]
         row_bias = alive_to_bias(alive)
         if bias is not None:
-            bb = jnp.asarray(bias, jnp.float32)
-            if bb.shape[-1] < capacity_snap:
-                pad = capacity_snap - bb.shape[-1]
-                widths = ((0, 0), (0, pad)) if bb.ndim == 2 else ((0, pad),)
-                bb = jnp.pad(bb, widths)
-            row_bias = row_bias + bb[..., :capacity_snap]
+            from archi_tpu.engine.topk import pad_bias_rows
+
+            row_bias = row_bias + pad_bias_rows(bias, capacity_snap)
         bias2d = row_bias.ndim == 2
         row_bias = jax.device_put(
             row_bias, self._vec2d_sharding if bias2d else self._vec_sharding)

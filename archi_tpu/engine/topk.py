@@ -31,6 +31,25 @@ def alive_to_bias(alive: jax.Array) -> jax.Array:
     return jnp.where(alive > 0.5, 0.0, NEG_INF).astype(jnp.float32)
 
 
+def pad_bias_rows(bias, capacity: int):
+    """Zero-pad the ROW axis of a [N] or per-query [B, N] bias to
+    ``capacity`` (shared by every index class — keep the ndim handling in
+    one place)."""
+    bb = jnp.asarray(bias, jnp.float32)
+    if bb.shape[-1] < capacity:
+        pad = capacity - bb.shape[-1]
+        widths = ((0, 0), (0, pad)) if bb.ndim == 2 else ((0, pad),)
+        bb = jnp.pad(bb, widths)
+    return bb[..., :capacity]
+
+
+def next_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def xla_topk(queries, corpus, bias, n_active, *, k=10):
     """Reference/fallback implementation. Same semantics as fused_topk."""

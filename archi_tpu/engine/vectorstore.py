@@ -30,6 +30,10 @@ from archi_tpu.engine.bm25 import BM25Index
 from archi_tpu.engine.flat_index import FlatIndex
 from archi_tpu.utils.documents import Document
 
+#: device-memory budget for the batched-hybrid [B, capacity] f32 bias
+#: (patchable in tests; ~12.8 GB unbounded at 100M rows x B=32)
+BIAS_BUDGET_BYTES = 1 << 30
+
 
 class TpuVectorStore:
     def __init__(
@@ -359,13 +363,14 @@ class TpuVectorStore:
         queries = list(queries)
         if not queries:
             return []
-        METRICS.inc("archi_engine_queries", labels={"kind": "hybrid"},
-                    value=len(queries))
         if len(self.index) == 0:
+            METRICS.inc("archi_engine_queries", labels={"kind": "hybrid"},
+                        value=len(queries))
             return [[] for _ in queries]
         if not getattr(self.index, "supports_batched_bias", False):
             # every built-in index takes [B, N] bias now; this guard keeps
             # exotic/custom indexes correct (sequential) instead of crashed
+            # (each _hybrid_search_impl call increments the query metric)
             return [self._hybrid_search_impl(
                 q, k, semantic_weight=semantic_weight,
                 bm25_weight=bm25_weight, filter=filter,
@@ -378,6 +383,21 @@ class TpuVectorStore:
                 bm25_weight=bm25_weight, filter=filter,
                 enabled_ids=enabled_ids) for q in queries]
         cap = self.index.capacity
+        # bound the [B, capacity] f32 device bias (~12.8 GB at 100M rows x
+        # B=32 — an OOM next to the corpus): split oversized batches; each
+        # slice is still one fused pass
+        max_b = max(1, int(BIAS_BUDGET_BYTES // max(cap * 4, 1)))
+        if len(queries) > max_b:
+            out = []
+            for s0 in range(0, len(queries), max_b):
+                out.extend(self.hybrid_search_batch(
+                    queries[s0:s0 + max_b], k,
+                    semantic_weight=semantic_weight,
+                    bm25_weight=bm25_weight, filter=filter,
+                    enabled_ids=enabled_ids))
+            return out
+        METRICS.inc("archi_engine_queries", labels={"kind": "hybrid"},
+                    value=len(queries))
         bm_rows = [self.bm25.scores(q, cap) for q in queries]
         bm = jnp.stack(bm_rows)                                # [B, N]
         bm_max = np.asarray(jnp.max(bm, axis=1))

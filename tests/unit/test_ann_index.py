@@ -59,7 +59,8 @@ def test_ivf_bias_matches_flat_exactly_at_full_probe(rng):
 @pytest.fixture
 def ann_pair(rng):
     ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8, nprobe=8,
-                       min_snapshot_rows=256, refresh_fraction=0.5)
+                       min_snapshot_rows=256, refresh_fraction=0.5,
+                       async_refresh=False)
     flat = FlatIndex(32, dtype=np.float32, tile_n=256)
     x = _clustered(rng)  # 512 rows
     ids = [f"c{i}" for i in range(len(x))]
@@ -118,7 +119,8 @@ def test_ann_through_vectorstore_hybrid():
     from tests.unit.test_vectorstore import FakeEmbeddings
 
     ann = AnnFlatIndex(FakeEmbeddings.dim, dtype=np.float32, tile_n=256,
-                       nlist=4, nprobe=4, min_snapshot_rows=4)
+                       nlist=4, nprobe=4, min_snapshot_rows=4,
+                       async_refresh=False)
     store = TpuVectorStore(FakeEmbeddings(), index=ann)
     store.add_texts(
         ["the quick brown fox", "lazy dog sleeps", "fox runs in forest",
@@ -139,7 +141,8 @@ def test_ann_compact_invalidates_snapshot(rng):
     """Compaction renumbers rows; a stale ANN snapshot would return wrong
     ids. The snapshot must be rebuilt from the compacted corpus."""
     ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=4, nprobe=4,
-                       min_snapshot_rows=64, refresh_fraction=10.0)
+                       min_snapshot_rows=64, refresh_fraction=10.0,
+                       async_refresh=False)
     x = _clustered(rng, n_clusters=4, per=32)  # 128 rows
     ids = [f"c{i}" for i in range(len(x))]
     ann.add(x, ids)

@@ -446,3 +446,47 @@ def test_hybrid_batch_fused_on_ann_index():
         for q, got in zip(queries, batched):
             want = s._hybrid_search_impl(q, k=3)
             assert _tie_tolerant_eq(got, want), (kind, q)
+
+
+def test_hybrid_batch_nondivisible_group_on_ann():
+    """Review r2-cont finding 1 (repro'd crash): when queries pad to a
+    group multiple, the per-query bias must pad with them — an odd batch
+    size through the IVF/IVFPQ grouped search must not reshape-crash."""
+    from archi_tpu.engine.ann_index import AnnFlatIndex
+
+    idx = AnnFlatIndex(64, dtype=np.float32, tile_n=256, nlist=4,
+                       min_snapshot_rows=16, async_refresh=False)
+    s = TpuVectorStore(FakeEmbeddings(), index=idx)
+    s.add_texts([f"doc {i} about part{i % 4}" for i in range(64)],
+                [{"source": f"a{i}"} for i in range(64)])
+    idx.refresh_ann()
+    for nb in (1, 3, 5, 7):   # odd sizes exercise the query pad path
+        out = s.hybrid_search_batch([f"part{j % 4} doc" for j in range(nb)],
+                                    k=3)
+        assert len(out) == nb and all(out)
+
+
+def test_mixed_type_enabled_ids_through_batcher(store):
+    """int + str enabled_ids must not break signature construction."""
+    store.enable_micro_batching(max_wait_ms=1)
+    try:
+        res = store.hybrid_search("quantum chips", k=3,
+                                  enabled_ids={"d3.txt", 42})
+        assert isinstance(res, list)
+    finally:
+        store._batcher.close()
+
+
+def test_hybrid_batch_splits_oversized_bias(store, monkeypatch):
+    """The [B, capacity] bias is budget-bounded: oversized batches split
+    into sub-batches with unchanged results."""
+    import archi_tpu.engine.vectorstore as vs_mod
+
+    queries = ["quantum chips", "web crawling", "topic1", "topic5"]
+    want = store.hybrid_search_batch(queries, k=3)
+    # budget of 2 bias rows → the 4-query batch must split (and recurse)
+    monkeypatch.setattr(vs_mod, "BIAS_BUDGET_BYTES",
+                        2 * store.index.capacity * 4)
+    got = store.hybrid_search_batch(queries, k=3)
+    for g, w in zip(got, want):
+        assert _tie_tolerant_eq(g, w)
