@@ -230,10 +230,10 @@ class TpuVectorStore:
         q_texts = [prefix + q for q in queries] if prefix else queries
         embs = np.asarray(
             self._embedding_function.embed_documents(q_texts), np.float32)
+        from archi_tpu.engine.topk import next_pow2
+
         nb = len(queries)
-        bucket = 1
-        while bucket < nb:       # pad: each batch size is a jit shape
-            bucket *= 2
+        bucket = next_pow2(nb)   # pad: each batch size is a jit shape
         if bucket > nb:
             embs = np.concatenate(
                 [embs, np.zeros((bucket - nb, embs.shape[1]), np.float32)])
@@ -412,10 +412,10 @@ class TpuVectorStore:
         # pad the batch to a power-of-two bucket: each distinct B is a
         # separate jit shape, and under a micro-batcher group sizes vary
         # per tick — unpadded, every new size pays a full (remote) compile
+        from archi_tpu.engine.topk import next_pow2
+
         nb = len(queries)
-        bucket = 1
-        while bucket < nb:
-            bucket *= 2
+        bucket = next_pow2(nb)
         if bucket > nb:
             embs = np.concatenate(
                 [embs, np.zeros((bucket - nb, embs.shape[1]), np.float32)])
