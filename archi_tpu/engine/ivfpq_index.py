@@ -46,11 +46,14 @@ from archi_tpu.ops.pallas_topk import NEG_INF
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "group",
                                               "with_bias", "adc_impl"))
 def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
-                  cell_blocks, codebooks, bias_by_slot, *, k, nprobe,
+                  cell_blocks, codebooks, rot1, bias_by_slot, *, k, nprobe,
                   group=8, with_bias=False, adc_impl="xla"):
     """queries [B, D] (B % group == 0); code_blocks [n_blocks, blk, mc] u8
     where mc = m (8-bit codes) or m//2 (packed 4-bit nibbles, ksub=16);
-    codebooks [m, ksub, ds]; rest as ``_ivf_search``.
+    codebooks [m, ksub, ds]; rot1 [D, D] — the stage-1 OPQ rotation
+    (identity when OPQ is off), applied to the LUT query stream only (the
+    coarse centroid scores use the unrotated query); rest as
+    ``_ivf_search``.
     → (vals [B, k], flat candidate positions [B, k] = block_id*blk + slot).
 
     Score of a candidate = q·centroid(owning cell) + ADC(q, residual codes)
@@ -83,8 +86,9 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
         p = safe.shape[0]
         cand = code_blocks[safe].reshape(p * blk, -1)        # [P*blk, mc] u8
 
+        qg_r = jnp.dot(qg, rot1, preferred_element_type=jnp.float32)
         luts = jnp.einsum(
-            "gmd,mkd->mgk", qg.reshape(g_sz, m, ds), codebooks,
+            "gmd,mkd->mgk", qg_r.reshape(g_sz, m, ds), codebooks,
             preferred_element_type=jnp.float32)              # [m, G, ksub]
 
         tile = 1024 if blk % 1024 == 0 else blk
@@ -222,16 +226,21 @@ class IVFPQIndex:
 
     # ------------------------------------------------------------------ build
     @staticmethod
-    def _train_codecs(r_sample, m, refine_m, *, ksub, pq_iters, seed, ns):
-        """Stage-1 codec on coarse residuals; optional refinement codec on
-        what stage 1 leaves behind."""
+    def _train_codecs(r_sample, m, refine_m, *, ksub, pq_iters, seed, ns,
+                      opq_iters=0):
+        """Stage-1 codec on coarse residuals (optionally OPQ-rotated);
+        optional refinement codec on what stage 1 leaves behind.  The
+        leftover r2 = r - decode(encode(r)) is computed in the ORIGINAL
+        space (decode un-rotates), so the refine codec can learn its own
+        rotation independently."""
         codec = PQCodec.train(r_sample, m, ksub=ksub, iters=pq_iters,
-                              seed=seed, sample=ns)
+                              seed=seed, sample=ns, opq_iters=opq_iters)
         codec2 = None
         if refine_m:
             r2 = r_sample - codec.decode(codec.encode(r_sample))
             codec2 = PQCodec.train(r2, refine_m, ksub=ksub, iters=pq_iters,
-                                   seed=seed + 1, sample=ns)
+                                   seed=seed + 1, sample=ns,
+                                   opq_iters=opq_iters)
         return codec, codec2
 
     @classmethod
@@ -240,7 +249,7 @@ class IVFPQIndex:
                      coarse_iters: int = 10, pq_iters: int = 12,
                      seed: int = 0, train_sample: int = 1 << 18,
                      encode_block: int = 1 << 20,
-                     refine_m: int = 0) -> "IVFPQIndex":
+                     refine_m: int = 0, opq_iters: int = 0) -> "IVFPQIndex":
         """Build from a DEVICE-resident normalized corpus ``x [N, D]``.
 
         Only the 4-byte/row assignment vector round-trips the host (for the
@@ -261,7 +270,7 @@ class IVFPQIndex:
         r_sample = x[rows].astype(jnp.float32) - centroids[assign[rows]]
         codec, codec2 = cls._train_codecs(
             r_sample, m, refine_m, ksub=ksub, pq_iters=pq_iters, seed=seed,
-            ns=ns)
+            ns=ns, opq_iters=opq_iters)
         del r_sample
 
         from archi_tpu.ops.pallas_adc import pack_nibbles
@@ -271,14 +280,15 @@ class IVFPQIndex:
         @jax.jit
         def encode_resid(xb, ab):
             rb = xb.astype(jnp.float32) - centroids[ab]
-            codes = _pq_assign(_split_subspaces(rb, m), codec.codebooks,
-                               ksub=codec.ksub)
+            codes = _pq_assign(_split_subspaces(codec._rotate(rb), m),
+                               codec.codebooks, ksub=codec.ksub)
             c1 = jnp.transpose(codes).astype(jnp.uint8)      # [Nb, m]
             c1_out = pack_nibbles(c1) if pack4 else c1
             if codec2 is None:
                 return c1_out, c1_out
-            r2 = rb - codec.decode(c1)
-            codes2 = _pq_assign(_split_subspaces(r2, refine_m),
+            r2 = rb - codec.decode(c1)   # decode un-rotates: original space
+            codes2 = _pq_assign(_split_subspaces(codec2._rotate(r2),
+                                                 refine_m),
                                 codec2.codebooks, ksub=codec2.ksub)
             c2 = jnp.transpose(codes2).astype(jnp.uint8)
             return c1_out, (pack_nibbles(c2) if pack4 else c2)
@@ -322,7 +332,8 @@ class IVFPQIndex:
                         pq_iters: int = 10, seed: int = 0,
                         train_blocks: int = 2,
                         train_sample: int = 1 << 18,
-                        refine_m: int = 0) -> "IVFPQIndex":
+                        refine_m: int = 0,
+                        opq_iters: int = 0) -> "IVFPQIndex":
         """Build when the corpus can NEVER be fully device-resident
         (config 4: 100M x 384 bf16 = 77 GB vs 16 GB HBM).
 
@@ -361,7 +372,7 @@ class IVFPQIndex:
         resid = sample - centroids[s_assign]
         codec, codec2 = cls._train_codecs(
             resid, m, refine_m, ksub=ksub, pq_iters=pq_iters, seed=seed,
-            ns=ns)
+            ns=ns, opq_iters=opq_iters)
         del sample, resid, tb
 
         # ---- pass A: assignments only (host keeps 4 B/row)
@@ -395,8 +406,8 @@ class IVFPQIndex:
         @jax.jit
         def encode1_block(xb, ab):
             rb = xb.astype(jnp.float32) - centroids[ab]
-            codes = _pq_assign(_split_subspaces(rb, m), codec.codebooks,
-                               ksub=codec.ksub)
+            codes = _pq_assign(_split_subspaces(codec._rotate(rb), m),
+                               codec.codebooks, ksub=codec.ksub)
             c1 = jnp.transpose(codes).astype(jnp.uint8)
             return pack_nibbles(c1) if pack4 else c1
 
@@ -427,7 +438,8 @@ class IVFPQIndex:
                 c1 = flat[pos]
                 r2 = rb - codec.decode(
                     unpack_nibbles(c1) if pack4 else c1)
-                codes2 = _pq_assign(_split_subspaces(r2, refine_m),
+                codes2 = _pq_assign(_split_subspaces(codec2._rotate(r2),
+                                                     refine_m),
                                     codec2.codebooks, ksub=codec2.ksub)
                 c2 = jnp.transpose(codes2).astype(jnp.uint8)
                 return pack_nibbles(c2) if pack4 else c2
@@ -497,10 +509,12 @@ class IVFPQIndex:
 
         adc_impl = ("lut16" if self.packed else "pallas") if on_tpu() \
             else "xla"
+        rot1 = (self.codec.rotation if self.codec.rotation is not None
+                else jnp.eye(self.dim, dtype=jnp.float32))
         vals, gpos = _ivfpq_search(
             queries, self.centroids, self.code_blocks,
             self.block_rows_valid, self.cell_blocks, self.codec.codebooks,
-            bias_by_slot, k=k1, nprobe=nprobe, group=group,
+            rot1, bias_by_slot, k=k1, nprobe=nprobe, group=group,
             with_bias=bias is not None, adc_impl=adc_impl,
         )
         vals, gpos = vals[:b], gpos[:b]
@@ -560,6 +574,9 @@ class IVFPQIndex:
         if self.refine_codec is not None:
             extra["refine_codebooks"] = np.asarray(
                 self.refine_codec.codebooks)
+            if self.refine_codec.rotation is not None:
+                extra["refine_rotation"] = np.asarray(
+                    self.refine_codec.rotation)
             extra["refine_codes"] = np.asarray(self.refine_codes)
         np.savez_compressed(
             path,
@@ -577,10 +594,15 @@ class IVFPQIndex:
     def load(cls, path: str) -> "IVFPQIndex":
         z = np.load(path, allow_pickle=False)
         meta = json.loads(str(z["meta"]))
-        codec = PQCodec.from_arrays({"codebooks": z["codebooks"]})
+        codec = PQCodec.from_arrays(
+            {"codebooks": z["codebooks"],
+             **({"rotation": z["rotation"]} if "rotation" in z else {})})
         codec2 = refine_codes = None
         if "refine_codebooks" in z:
-            codec2 = PQCodec.from_arrays({"codebooks": z["refine_codebooks"]})
+            codec2 = PQCodec.from_arrays(
+                {"codebooks": z["refine_codebooks"],
+                 **({"rotation": z["refine_rotation"]}
+                    if "refine_rotation" in z else {})})
             refine_codes = z["refine_codes"]
         return cls(z["centroids"], codec, z["code_blocks"], z["block_rows"],
                    z["cell_blocks"], meta["ids"], refine_codec=codec2,

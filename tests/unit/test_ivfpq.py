@@ -286,3 +286,39 @@ def test_4bit_stage1_matches_8bit_at_equal_bytes():
     r8 = _recall(i8.search(q, k=10, nprobe=16)[2], exact)
     r4 = _recall(i4.search(q, k=10, nprobe=16)[2], exact)
     assert r4 >= r8 - 0.05, (r4, r8)
+
+
+def test_opq_through_ivfpq(tmp_path):
+    """opq_iters rotates both codec stages; contract + save/load hold."""
+    rng = np.random.default_rng(31)
+    basis = np.linalg.qr(rng.standard_normal((64, 64)))[0].astype(np.float32)
+    z = rng.standard_normal((4096, 6)).astype(np.float32) * 3.0
+    x = z @ basis[:6] + 0.1 * rng.standard_normal((4096, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.choice(4096, 16, replace=False)] + \
+        0.05 * rng.standard_normal((16, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+
+    plain = IVFPQIndex.build(x, nlist=32, block=256, m=8, refine_m=8, seed=0)
+    opq = IVFPQIndex.build(x, nlist=32, block=256, m=8, refine_m=8, seed=0,
+                           opq_iters=4)
+    assert opq.codec.rotation is not None
+    r_plain = _recall(plain.search(q, k=10, nprobe=32)[2], exact)
+    r_opq = _recall(opq.search(q, k=10, nprobe=32)[2], exact)
+    assert r_opq >= r_plain - 0.02, (r_opq, r_plain)
+
+    # bias contract through the rotated path
+    bias = np.zeros(len(x), np.float32)
+    bias[exact[0][0]] = NEG_INF
+    _, _, rows = opq.search(q[:1], k=10, nprobe=32, bias=bias)
+    assert exact[0][0] not in set(rows[0])
+
+    p = str(tmp_path / "opq_ivfpq.npz")
+    opq.save(p)
+    loaded = IVFPQIndex.load(p)
+    assert loaded.codec.rotation is not None
+    va, ra = opq.search_dispatch(q[:4], k=5, nprobe=8)
+    vb, rb = loaded.search_dispatch(q[:4], k=5, nprobe=8)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()

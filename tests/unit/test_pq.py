@@ -177,3 +177,74 @@ def test_pq_sweep_tool_runs():
         assert e["recall_in_100"] >= e["recall_strict"] - 1e-9
     flat = run_pq_sweep(n=2048, d=32, m=8, nlist=8, flat=True, n_queries=8)
     assert flat[0]["index"] == "pq_flat"
+
+
+# ------------------------------------------------------------------- OPQ
+def _anisotropic(rng, n=2048, d=64, rank=6):
+    """Variance concentrated in few directions (what real text embeddings
+    look like — the fixture corpus puts 76% of variance in 16/384)."""
+    basis = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+    z = rng.standard_normal((n, rank)).astype(np.float32) * 3.0
+    x = z @ basis[:rank] + 0.1 * rng.standard_normal((n, d)).astype(
+        np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_opq_rotation_learned_and_orthogonal():
+    rng = np.random.default_rng(21)
+    x = _anisotropic(rng)
+    codec = PQCodec.train(x, m=16, iters=6, seed=0, opq_iters=4)
+    assert codec.rotation is not None
+    r = np.asarray(codec.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(64), atol=1e-4)
+
+
+def test_opq_cuts_reconstruction_error():
+    rng = np.random.default_rng(21)
+    x = _anisotropic(rng)
+    plain = PQCodec.train(x, m=16, iters=8, seed=0)
+    opq = PQCodec.train(x, m=16, iters=8, seed=0, opq_iters=4)
+    def mse(c):
+        rec = np.asarray(c.decode(c.encode(x)))
+        return float(np.mean(np.sum((rec - x) ** 2, axis=1)))
+    assert mse(opq) < 0.75 * mse(plain), (mse(opq), mse(plain))
+
+
+def test_opq_improves_flat_recall_on_anisotropic():
+    rng = np.random.default_rng(22)
+    x = _anisotropic(rng)
+    q = _anisotropic(rng, n=16)
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    def recall(idx):
+        _, _, rows = idx.search(q, k=10)
+        return np.mean([len(set(rows[b]) & set(exact[b])) / 10
+                        for b in range(16)])
+    plain = PQFlatIndex.build(x, m=16, seed=0, tile=1024)
+    opq_codec = PQCodec.train(x, m=16, iters=8, seed=0, opq_iters=4)
+    rotated = PQFlatIndex.build(x, codec=opq_codec, tile=1024)
+    assert recall(rotated) >= recall(plain)
+
+
+def test_opq_lut_consistency_and_save_load(tmp_path):
+    """ADC scores through the rotated codec still equal q·decode(codes),
+    and the rotation survives save/load."""
+    rng = np.random.default_rng(23)
+    x = _anisotropic(rng, n=512)
+    q = _anisotropic(rng, n=4)
+    codec = PQCodec.train(x, m=16, iters=6, seed=0, opq_iters=3)
+    codes = codec.encode(x[:64])
+    luts = np.asarray(codec.luts(q))
+    c = np.asarray(codes).astype(int)
+    adc = np.stack([luts[b, np.arange(16), c].sum(axis=1) for b in range(4)])
+    exact_hat = np.asarray(codec.decode(codes)) @ np.asarray(q).T
+    np.testing.assert_allclose(adc, exact_hat.T, rtol=1e-3, atol=1e-3)
+
+    idx = PQFlatIndex.build(x, codec=codec, tile=512)
+    p = str(tmp_path / "opq.npz")
+    idx.save(p)
+    loaded = PQFlatIndex.load(p)
+    assert loaded.codec.rotation is not None
+    va, ra = idx.search_dispatch(q, k=5)
+    vb, rb = loaded.search_dispatch(q, k=5)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
