@@ -24,18 +24,38 @@ import numpy as np
 from archi_tpu.benchmarking.ivf_sweep import synthetic_corpus
 
 
+def fixture_embeddings():
+    """The deterministic quality-fixture corpus through the hashed-ngram
+    embedder — the most realistic (anisotropic) corpus available offline;
+    OPQ gains show here, not on isotropic synthetics."""
+    from archi_tpu.benchmarking.fixture import fixture_corpus
+    from archi_tpu.models.hashed_embedder import HashedNgramEmbedder
+
+    docs, _q = fixture_corpus()
+    emb = HashedNgramEmbedder(384)
+    x = np.asarray(emb.embed_documents([t for _n, t, _m in docs]),
+                   np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
 def run_pq_sweep(n: int = 1 << 18, d: int = 384, *, m: int = 48,
                  refine_m: int = 0, ksub: int = 256, nlist: int = 512,
                  block: int = 512, nprobes=(4, 16, 64), n_queries: int = 64,
                  k: int = 10, clustered: bool = True, seed: int = 0,
-                 flat: bool = False) -> list[dict]:
-    x = synthetic_corpus(n, d, clustered=clustered, seed=seed)
+                 flat: bool = False, opq_iters: int = 0,
+                 corpus=None) -> list[dict]:
+    if corpus is not None:
+        x = np.asarray(corpus, np.float32)
+        n, d = x.shape
+    else:
+        x = synthetic_corpus(n, d, clustered=clustered, seed=seed)
     rng = np.random.default_rng(seed + 1)
+    n_queries = min(n_queries, n)
     q_idx = rng.choice(n, n_queries, replace=False)
     queries = x[q_idx] + 0.05 * rng.standard_normal(
         (n_queries, d)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-    ref_top = np.argsort(-(queries @ x.T), axis=1)[:, :k]
+    ref_top = np.argsort(-(queries @ x.T), axis=1)[:, :min(k, n)]
 
     bytes_per_row = m + (refine_m if refine_m else 0)
     compression = d * 2 / bytes_per_row     # vs bf16
@@ -45,7 +65,13 @@ def run_pq_sweep(n: int = 1 << 18, d: int = 384, *, m: int = 48,
         from archi_tpu.engine.pq import PQFlatIndex
 
         t0 = time.time()
-        idx = PQFlatIndex.build(x, m=m, ksub=ksub, seed=seed)
+        codec = None
+        if opq_iters:
+            from archi_tpu.engine.pq import PQCodec
+
+            codec = PQCodec.train(x, m, ksub=ksub, seed=seed,
+                                  opq_iters=opq_iters)
+        idx = PQFlatIndex.build(x, m=m, ksub=ksub, seed=seed, codec=codec)
         build_s = time.time() - t0
         probe_cfgs = [None]
     else:
@@ -53,7 +79,8 @@ def run_pq_sweep(n: int = 1 << 18, d: int = 384, *, m: int = 48,
 
         t0 = time.time()
         idx = IVFPQIndex.build(x, nlist=nlist, block=block, m=m,
-                               ksub=ksub, refine_m=refine_m, seed=seed)
+                               ksub=ksub, refine_m=refine_m, seed=seed,
+                               opq_iters=opq_iters)
         build_s = time.time() - t0
         probe_cfgs = [min(p, nlist) for p in nprobes]
 
@@ -76,6 +103,7 @@ def run_pq_sweep(n: int = 1 << 18, d: int = 384, *, m: int = 48,
             "bytes_per_row": bytes_per_row,
             "compression_vs_bf16": round(compression, 1),
             "index": "pq_flat" if flat else "ivfpq",
+            "opq_iters": opq_iters,
             **({} if nprobe is None else {"nlist": nlist, "nprobe": nprobe}),
             "recall_strict": round(strict, 4),
             "recall_in_100": round(in100, 4),
@@ -102,13 +130,19 @@ def main() -> None:
     ap.add_argument("--uniform", action="store_true")
     ap.add_argument("--flat", action="store_true",
                     help="flat PQ (exhaustive ADC) instead of IVF-PQ")
+    ap.add_argument("--opq", type=int, default=0,
+                    help="OPQ rotation iterations (0 = off)")
+    ap.add_argument("--fixture", action="store_true",
+                    help="use the quality-fixture corpus (anisotropic "
+                         "hashed-ngram embeddings) instead of synthetic")
     args = ap.parse_args()
     run_pq_sweep(
         args.n, args.d, m=args.m, refine_m=args.refine_m,
         nlist=args.nlist, block=args.block,
         nprobes=tuple(int(p) for p in args.nprobe.split(",")),
         n_queries=args.queries, k=args.k, clustered=not args.uniform,
-        flat=args.flat)
+        flat=args.flat, opq_iters=args.opq,
+        corpus=fixture_embeddings() if args.fixture else None)
 
 
 if __name__ == "__main__":
