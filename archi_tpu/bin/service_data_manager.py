@@ -36,20 +36,30 @@ def build_app(config_paths=(), overrides=None, ctx=None,
         )
 
         def ingest_then_warm():
-            result = dm.run_ingestion()
-            if result.get("added") or result.get("removed") or \
-                    not os.path.isdir(checkpoint_dir):
-                # checkpoint so a restart resumes without re-embedding
-                try:
-                    ctx.vectorstore.save(checkpoint_dir)
-                except Exception:
-                    pass
-            # pre-compile the query path (first jit through a remote-compile
-            # tunnel can take minutes; don't make the first user pay it)
-            ctx.vectorstore.warmup(
-                k=ctx.config.get("data_manager", {}).get(
-                    "retrievers", {}).get("hybrid_retriever", {}).get(
-                    "num_documents_to_retrieve", 5))
+            # hold the reported status at "warming" until the query path is
+            # compiled: clients (the chat proxy, benchmarks, smoke) gate on
+            # status == "done", and a first query stacked behind minutes of
+            # remote-tunnel compiles otherwise times out at the remote-store
+            # client (observed: smoke chat turn 500s on a cold deployment)
+            dm.hold_status("warming")
+            try:
+                result = dm.run_ingestion()
+                if result.get("added") or result.get("removed") or \
+                        not os.path.isdir(checkpoint_dir):
+                    # checkpoint so a restart resumes without re-embedding
+                    try:
+                        ctx.vectorstore.save(checkpoint_dir)
+                    except Exception:
+                        pass
+                # pre-compile the query path (first jit through a
+                # remote-compile tunnel can take minutes; don't make the
+                # first user pay it)
+                ctx.vectorstore.warmup(
+                    k=ctx.config.get("data_manager", {}).get(
+                        "retrievers", {}).get("hybrid_retriever", {}).get(
+                        "num_documents_to_retrieve", 5))
+            finally:
+                dm.release_status()
 
         threading.Thread(target=ingest_then_warm, daemon=True,
                          name="initial-ingestion").start()

@@ -56,10 +56,23 @@ class DataManager:
         self._lock = threading.RLock()
         self.last_ingestion: Optional[dict] = None
         self._status = "idle"  # idle|collecting|embedding|done|failed
+        # an override reported INSTEAD of a terminal status while the
+        # service finishes startup work (query-path warmup compiles) —
+        # clients gate readiness on status == "done"
+        self._status_hold: Optional[str] = None
+
+    def hold_status(self, label: str) -> None:
+        self._status_hold = label
+
+    def release_status(self) -> None:
+        self._status_hold = None
 
     @property
     def status(self) -> dict:
-        st = {"status": self._status}
+        reported = self._status
+        if self._status_hold is not None and reported in ("done", "idle"):
+            reported = self._status_hold
+        st = {"status": reported}
         if self.last_ingestion:
             st.update(self.last_ingestion)
         st.update(self.catalog.stats())

@@ -18,7 +18,7 @@ from archi_tpu.utils.documents import Document
 
 
 class RemoteVectorStore:
-    def __init__(self, base_url: str, *, timeout: float = 120.0,
+    def __init__(self, base_url: str, *, timeout: float = 600.0,
                  auth_token: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
