@@ -264,3 +264,20 @@ def test_admin_db_console(stack):
                        json={"sql": "SELECT 1"},
                        headers={"X-User-Email": "pleb@test"})
     assert r3.status_code == 403
+
+
+def test_status_hold_gates_readiness(stack):
+    """Cold-start fix: while a hold is active, terminal statuses report
+    the hold label (clients gate on status == 'done'); transitional
+    statuses pass through unchanged."""
+    dm = stack["ctx"].data_manager
+    assert dm.status["status"] == "done"
+    dm.hold_status("warming")
+    try:
+        assert dm.status["status"] == "warming"
+        dm._status = "embedding"          # transitional: not masked
+        assert dm.status["status"] == "embedding"
+        dm._status = "done"
+    finally:
+        dm.release_status()
+    assert dm.status["status"] == "done"
