@@ -55,9 +55,17 @@ QUERIES = [
 
 
 def main() -> None:
+    import os
+
     corpus_dir = sys.argv[1] if len(sys.argv) > 1 else \
         "/root/reference/docs/docs"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "CONFIG1_r02.json"
+    if not os.path.isdir(corpus_dir):
+        # the classic footgun: passing only the OUTPUT path makes the
+        # collector ingest that file as a one-document corpus
+        raise SystemExit(
+            f"corpus_dir {corpus_dir!r} is not a directory "
+            "(usage: run_config1.py [corpus_dir] [out.json])")
     import tempfile
 
     from archi_tpu.benchmarking.harness import Benchmarker
