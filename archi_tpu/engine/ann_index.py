@@ -77,7 +77,14 @@ class AnnFlatIndex(FlatIndex):
         async_refresh: rebuild the snapshot on a background thread instead
         of inline in the search path — an IVF build is seconds-to-minutes
         at scale, and the staleness is harmless (fresh rows are scanned
-        exactly, so only the exact-tail cost grows until the swap)."""
+        exactly, so only the exact-tail cost grows until the swap).
+
+        Caveat measured on the tunneled single-chip rig: median query
+        latency stays ~0.1 s during a background build, but individual
+        queries can stall behind the build's non-preemptible device/compile
+        stretches (one ~170 s spike observed during a 196 s build at 256k
+        rows; co-located deployments compile in seconds, shrinking the
+        worst case accordingly).  True isolation needs a second chip."""
         super().__init__(dim, **kw)
         if snapshot_kind not in ("ivf", "ivfpq"):
             raise ValueError(f"unknown snapshot_kind {snapshot_kind!r}")
@@ -137,6 +144,19 @@ class AnnFlatIndex(FlatIndex):
                     x, nlist=min(self.nlist, n), block=512,
                     dtype=self.dtype if self.dtype != jnp.int8
                     else jnp.bfloat16)
+            # warm the NEW snapshot's search program BEFORE swapping it in:
+            # the first post-swap query otherwise pays the compile (measured
+            # 169 s through the remote-compile tunnel at 256k rows) on a
+            # caller thread.  k=10 covers the dominant program; other k
+            # values share most of it.
+            try:
+                probe = jnp.zeros((1, self.dim), jnp.float32)
+                v, _r = ivf.search_dispatch(probe, k=10,
+                                            nprobe=self.nprobe)
+                jax.block_until_ready(v)
+            except Exception:
+                logger.exception("ANN snapshot warmup failed (serving "
+                                 "continues; first query will compile)")
             with self._ann_lock:
                 if self._compact_epoch != epoch:
                     logger.info("ANN snapshot discarded: compaction "
