@@ -15,8 +15,9 @@ groups via the supplied batch function, and wakes each caller with its
 slice.  The first request in an empty queue waits at most ``max_wait_s``
 for companions — bounded added latency, multiplicative throughput.
 Measured on v5e (1M-row fused hybrid scan, 256 concurrent clients):
-591 QPS request-at-a-time → 2068 QPS micro-batched (3.5x; the gap widens
-without this rig's ~35 ms relay RTT, which dominates both sides).
+591 QPS request-at-a-time → 2547 QPS micro-batched (4.3x, mean batch
+30/32; the gap widens without this rig's ~35 ms relay RTT, which
+dominates both sides).
 
 Failure isolation: a batch-function exception fans out to exactly the
 requests in that group (callers re-raise); the worker never dies.
