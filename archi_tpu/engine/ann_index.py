@@ -230,11 +230,21 @@ class AnnFlatIndex(FlatIndex):
         """Start a background snapshot rebuild if one isn't running
         (atomic check-and-spawn: concurrent searches — e.g. 2 batcher
         workers — must not double a minutes-long rebuild)."""
+        def guarded():
+            try:
+                self.refresh_ann()
+            except Exception:
+                # a failed rebuild must not crash the thread loudly or
+                # wedge anything: serving continues on the exact path /
+                # stale snapshot, and the next search re-kicks
+                logger.exception("background ANN refresh failed; "
+                                 "serving continues, will retry")
+
         with self._kick_lock:
             t = self._refresh_thread
             if t is not None and t.is_alive():
                 return
-            t = threading.Thread(target=self.refresh_ann,
+            t = threading.Thread(target=guarded,
                                  name="ann-refresh", daemon=True)
             self._refresh_thread = t
             t.start()

@@ -306,3 +306,37 @@ def test_bootstrap_restart_keeps_ann_mode(tmp_path):
     assert ctx2.vectorstore.index._ivf is not None   # snapshot reused
     res = ctx2.vectorstore.hybrid_search("item2 doc", k=3)
     assert res
+
+
+def test_failed_background_refresh_recovers(rng, monkeypatch):
+    """A refresh that raises must not wedge serving: the thread dies, the
+    next search re-kicks, and a later successful build lands."""
+    import time as _time
+
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8,
+                       min_snapshot_rows=256, refresh_fraction=0.1)
+    x = _clustered(rng)
+    ann.add(x, [f"c{i}" for i in range(len(x))])
+    orig = AnnFlatIndex.refresh_ann
+    calls = {"n": 0}
+
+    def flaky(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected build failure")
+        return orig(self)
+
+    monkeypatch.setattr(AnnFlatIndex, "refresh_ann", flaky)
+    ids, _, rows = ann.search(x[7], k=3)     # kicks the failing build
+    assert int(rows[0][0]) == 7              # exact path still serves
+    for _ in range(100):
+        if not (ann._refresh_thread and ann._refresh_thread.is_alive()):
+            break
+        _time.sleep(0.02)
+    ids2, _, rows2 = ann.search(x[9], k=3)   # re-kick (successful now)
+    assert int(rows2[0][0]) == 9
+    for _ in range(200):
+        if ann._ivf is not None:
+            break
+        _time.sleep(0.05)
+    assert calls["n"] >= 2 and ann._ivf is not None

@@ -490,3 +490,22 @@ def test_hybrid_batch_splits_oversized_bias(store, monkeypatch):
     got = store.hybrid_search_batch(queries, k=3)
     for g, w in zip(got, want):
         assert _tie_tolerant_eq(g, w)
+
+
+def test_warmup_covers_all_buckets(store, monkeypatch):
+    """warmup() with micro-batching enabled must exercise every
+    power-of-two bucket at the configured k (each is a jit shape)."""
+    seen = []
+    orig = store.hybrid_search_batch
+
+    def spy(queries, k=4, **kw):
+        seen.append((len(queries), k))
+        return orig(queries, k, **kw)
+
+    monkeypatch.setattr(store, "hybrid_search_batch", spy)
+    store.enable_micro_batching(max_batch=8, max_wait_ms=1)
+    try:
+        store.warmup(k=3)
+    finally:
+        store._batcher.close()
+    assert {(1, 3), (2, 3), (4, 3), (8, 3)} <= set(seen), seen
