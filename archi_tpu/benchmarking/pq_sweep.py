@@ -8,7 +8,7 @@ Usage:
 Sweeps nprobe for IVF-PQ (or tile-scan for flat PQ with ``--flat``),
 printing recall vs the exact scan, code memory vs bf16 corpus memory, and
 QPS as JSON lines.  Honesty: recall is reported three ways — strict@k,
-@k-in-10k (over-fetch), and self-top1 for noisy-copy queries — because PQ
+@k-in-100 (over-fetch), and self-top1 for noisy-copy queries — because PQ
 strict recall is resolution-bounded on near-duplicate-dense corpora (see
 ``docs/pq_scale.md``).
 """

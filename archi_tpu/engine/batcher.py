@@ -48,14 +48,23 @@ class MicroBatcher:
 
     def __init__(self, run_batch: Callable[[Hashable, Sequence[Any]], list],
                  *, max_batch: int = 32, max_wait_s: float = 0.004,
-                 workers: int = 2, name: str = "query"):
+                 workers: int = 2, name: str = "query",
+                 submit_timeout_s: float | None = None):
         """workers: batches in flight concurrently.  One worker serializes
         every batch behind the device round-trip; with a high-latency link
         (this rig's ~35 ms relay) 2-4 workers pipeline the RTT while the
-        device interleaves the scans."""
+        device interleaves the scans.
+
+        submit_timeout_s: upper bound on how long a caller blocks in
+        ``submit`` (None = forever).  If ``run_batch`` wedges — a hung
+        device call, a stuck relay — serving threads would otherwise be
+        stranded with no recourse (``close()`` only joins workers for 5 s).
+        """
         self._run_batch = run_batch
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
+        self.submit_timeout_s = (
+            None if submit_timeout_s is None else float(submit_timeout_s))
         self._queue: list[_Request] = []
         self._cv = threading.Condition()
         self._closed = False
@@ -68,15 +77,30 @@ class MicroBatcher:
             w.start()
 
     # ------------------------------------------------------------------ API
-    def submit(self, payload: Any, signature: Hashable = ()) -> Any:
-        """Block until the batched result for this payload is available."""
+    def submit(self, payload: Any, signature: Hashable = (),
+               timeout: float | None = None) -> Any:
+        """Block until the batched result for this payload is available.
+
+        Raises TimeoutError after ``timeout`` (default: the batcher's
+        ``submit_timeout_s``) if the batch never completes.  A timed-out
+        request may still be executed by a worker later; its result is
+        dropped.
+        """
         req = _Request(payload, signature)
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher closed")
             self._queue.append(req)
             self._cv.notify()
-        req.done.wait()
+        if timeout is None:
+            timeout = self.submit_timeout_s
+        if not req.done.wait(timeout):
+            # best-effort dequeue so an untaken request doesn't execute
+            with self._cv:
+                if req in self._queue:
+                    self._queue.remove(req)
+            raise TimeoutError(
+                f"micro-batch result not ready within {timeout}s")
         if req.error is not None:
             raise req.error
         return req.result

@@ -55,6 +55,19 @@ def _bucket(n: int) -> int:
     return int(2 ** np.ceil(np.log2(n)))
 
 
+def jsonable_ids(ids):
+    """Serialize row ids preserving int/str types.
+
+    Stringifying integer ids on save broke delete-by-id after reload (the
+    caller's int key no longer matched the loaded str id) — every index
+    serializer must round-trip ids through this helper.
+    """
+    return [
+        i if (i is None or isinstance(i, (str, int))) else str(i)
+        for i in ids
+    ]
+
+
 # NOTE: no buffer donation here.  Donating the old buffer invalidates it for
 # queries already in flight (XLA raises "Buffer has been deleted or donated"
 # under concurrent ingest + search — BASELINE config 5).  Functional updates
@@ -296,13 +309,7 @@ class FlatIndex:
                     "dtype": self.dtype.name,
                     "tile_n": self.tile_n,
                     "metric": self.metric,
-                    # preserve id types (int/str) — stringifying broke
-                    # delete-by-id after reload for integer ids
-                    "ids": [
-                        i if (i is None or isinstance(i, (str, int)))
-                        else str(i)
-                        for i in self._ids
-                    ],
+                    "ids": jsonable_ids(self._ids),
                 }
             ),
         )

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from archi_tpu.engine.flat_index import jsonable_ids
 from archi_tpu.engine.ivf_index import _bias_to_block_layout, cell_block_layout
 from archi_tpu.engine.kmeans import kmeans
 from archi_tpu.engine.pq import PQCodec, _split_subspaces, _pq_assign
@@ -587,7 +588,7 @@ class IVFPQIndex:
             **self.codec.save_arrays(),
             **extra,
             meta=json.dumps({"ids": None if self._ids is None
-                             else [str(i) for i in self._ids]}),
+                             else jsonable_ids(self._ids)}),
         )
 
     @classmethod

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from archi_tpu.engine.flat_index import jsonable_ids
 from archi_tpu.ops.pallas_topk import NEG_INF
 
 
@@ -445,7 +446,7 @@ class PQFlatIndex:
             **self.codec.save_arrays(),
             meta=json.dumps({
                 "n_rows": self.n_rows, "tile": self.tile,
-                "ids": [str(i) for i in self._ids],
+                "ids": jsonable_ids(self._ids),
             }),
         )
 

@@ -204,6 +204,26 @@ class TpuVectorStore:
         emb = self._embedding_function.embed_query(query)
         return self.similarity_search_by_vector_with_score(emb, k, **kw)
 
+    def _embed_queries(self, queries: Sequence[str]) -> np.ndarray:
+        """Embed a batch of QUERIES (not documents).
+
+        An embedder that declares ``instruction_prefix`` (even "") promises
+        ``embed_query(q) == embed_documents([prefix + q])[0]`` — for those we
+        take one batched ``embed_documents`` pass.  Embedders without that
+        attribute may implement a richer ``embed_query`` (pooling mode,
+        normalization, API query-type flag); batching through
+        ``embed_documents`` would silently diverge from the unbatched path,
+        so we call ``embed_query`` per query instead.
+        """
+        emb = self._embedding_function
+        try:
+            prefix = emb.instruction_prefix
+        except AttributeError:
+            return np.asarray(
+                [emb.embed_query(q) for q in queries], np.float32)
+        q_texts = [prefix + q for q in queries] if prefix else list(queries)
+        return np.asarray(emb.embed_documents(q_texts), np.float32)
+
     def similarity_search(self, query: str, k: int = 4, **kw) -> list[Document]:
         return [d for d, _ in self.similarity_search_with_score(query, k, **kw)]
 
@@ -226,10 +246,7 @@ class TpuVectorStore:
                     value=len(queries))
         if len(self.index) == 0:
             return [[] for _ in queries]
-        prefix = getattr(self._embedding_function, "instruction_prefix", "")
-        q_texts = [prefix + q for q in queries] if prefix else queries
-        embs = np.asarray(
-            self._embedding_function.embed_documents(q_texts), np.float32)
+        embs = self._embed_queries(queries)
         from archi_tpu.engine.topk import next_pow2
 
         nb = len(queries)
@@ -404,10 +421,7 @@ class TpuVectorStore:
         # embed as QUERIES: e5/bge/Qwen3-style embedders prepend an
         # instruction prefix to queries only (embed_query) — batching must
         # not silently drop it
-        prefix = getattr(self._embedding_function, "instruction_prefix", "")
-        q_texts = [prefix + q for q in queries] if prefix else queries
-        embs = np.asarray(
-            self._embedding_function.embed_documents(q_texts), np.float32)
+        embs = self._embed_queries(queries)
         fm = self._filter_mask(filter, enabled_ids)
         # pad the batch to a power-of-two bucket: each distinct B is a
         # separate jit shape, and under a micro-batcher group sizes vary

@@ -40,6 +40,11 @@ class HashedNgramEmbedder:
     weighted feature overlap.
     """
 
+    #: embed_query(q) == embed_documents([q])[0] — declaring the (empty)
+    #: prefix opts this embedder into the store's batched-embed contract
+    #: (TpuVectorStore._embed_queries).
+    instruction_prefix = ""
+
     def __init__(self, dim: int = 384, *, char_weight: float = 0.4):
         self.dim = dim
         self.char_weight = char_weight
