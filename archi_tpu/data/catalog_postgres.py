@@ -170,18 +170,97 @@ def connect_with_retry(dsn: str, *, attempts: int = 5,
     raise ConnectionError(f"postgres unreachable after {attempts} tries: {last}")
 
 
+class _EagerRows:
+    """Cursor results materialized before a pooled connection is released
+    (a lazy cursor would touch a connection another thread now owns)."""
+
+    def __init__(self, rows, rowcount):
+        self._rows = rows
+        self.rowcount = rowcount
+        self.lastrowid = None
+
+    def fetchone(self):
+        return self._rows[0] if self._rows else None
+
+    def fetchall(self):
+        return list(self._rows)
+
+    def __iter__(self):
+        return iter(self._rows)
+
+
+class _PooledParamStyleConnection:
+    """The _ParamStyleConnection surface over a ConnectionPool: each call
+    checks out a healthy connection (``SELECT 1``-probed when idle past
+    the interval, reconnected on failure) and returns it before the call
+    completes.  Statements are one-per-transaction (real connections are
+    autocommit), so per-call checkout preserves today's semantics while
+    removing the single shared socket as a serialization point and a
+    single point of permanent failure."""
+
+    def __init__(self, pool):
+        self._pool = pool
+
+    def execute(self, sql: str, params=()):
+        with self._pool.acquire() as raw:
+            wrapped = _ParamStyleConnection(raw)
+            cur = wrapped.execute(sql, params)
+            try:
+                rows = cur.fetchall()
+            except Exception:
+                rows = []       # writes: nothing to fetch
+            wrapped.commit()
+            return _EagerRows(rows, cur.rowcount)
+
+    def executescript(self, script: str):
+        with self._pool.acquire() as raw:
+            wrapped = _ParamStyleConnection(raw)
+            cur = wrapped.executescript(script)
+            wrapped.commit()
+            return cur
+
+    def commit(self):
+        pass                     # per-call commit above
+
+    def close(self):
+        self._pool.close_all()
+
+    @property
+    def row_factory(self):
+        return None
+
+    @row_factory.setter
+    def row_factory(self, _v):
+        pass
+
+
 class PostgresCatalogService(CatalogService):
     """CatalogService over Postgres.  Requires psycopg2 (gated — not in the
     base image); pass ``connection`` to supply any dict-row DBAPI connection
-    (used by tests with a sqlite shim)."""
+    (used by tests with a sqlite shim), or ``pool`` /default-dsn for the
+    pooled mode (reference ``src/utils/connection_pool.py:34``)."""
 
-    def __init__(self, dsn: str = "", *, connection=None):
+    def __init__(self, dsn: str = "", *, connection=None, pool=None,
+                 max_conns: int = 8):
         import threading
 
-        if connection is None:
-            connection = connect_with_retry(dsn)
-        self._conn = _ParamStyleConnection(connection)
+        if connection is not None:
+            self._conn = _ParamStyleConnection(connection)
+        else:
+            if pool is None:
+                from archi_tpu.utils.connection_pool import ConnectionPool
+
+                pool = ConnectionPool(dsn, min_conns=1,
+                                      max_conns=max_conns,
+                                      connect=lambda d:
+                                      connect_with_retry(d))
+            self._pool = pool
+            self._conn = _PooledParamStyleConnection(pool)
         self._lock = threading.RLock()
         with self._lock:
             self._conn.executescript(_PG_SCHEMA)
             self._conn.commit()
+
+    def pool_stats(self) -> dict | None:
+        pool = getattr(self, "_pool", None)
+        return None if pool is None else pool.snapshot()

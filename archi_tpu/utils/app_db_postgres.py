@@ -210,23 +210,99 @@ class _PgConnection:
         pass
 
 
+class _EagerCursor:
+    """Cursor results materialized before the pooled connection goes back
+    to the pool — .fetchall()/.lastrowid after release would otherwise
+    touch a connection another thread now owns."""
+
+    def __init__(self, rows, rowcount, lastrowid):
+        self._rows = rows
+        self.rowcount = rowcount
+        self.lastrowid = lastrowid
+
+    def fetchone(self):
+        return self._rows[0] if self._rows else None
+
+    def fetchall(self):
+        return list(self._rows)
+
+    def __iter__(self):
+        return iter(self._rows)
+
+
 class PostgresAppDatabase(AppDatabase):
-    def __init__(self, dsn: str = "", *, connection=None):
-        if connection is None:
-            connection = connect_with_retry(dsn)
-        self.conn = _PgConnection(connection)
+    """App DB over Postgres.
+
+    Default mode pools connections (reference
+    ``src/utils/connection_pool.py:34``: bounded ThreadedConnectionPool,
+    ``SELECT 1`` health checks, reconnect on failure) — the single shared
+    connection of earlier rounds serialized every service behind one
+    socket and died permanently with it.  ``connection=`` keeps the
+    unpooled single-connection mode (tests / injected fakes).
+    """
+
+    def __init__(self, dsn: str = "", *, connection=None, pool=None,
+                 max_conns: int = 8):
         self.lock = threading.RLock()
-        with self.lock:
-            self.conn.executescript(_PG_SCHEMA)
-            self.conn.commit()
+        self._pool = None
+        if connection is not None:
+            self.conn = _PgConnection(connection)
+            with self.lock:
+                self.conn.executescript(_PG_SCHEMA)
+                self.conn.commit()
+            return
+        if pool is None:
+            from archi_tpu.utils.connection_pool import ConnectionPool
+
+            pool = ConnectionPool(dsn, min_conns=1, max_conns=max_conns,
+                                  connect=lambda d: connect_with_retry(d))
+        self._pool = pool
+        self.conn = None
+        with pool.acquire() as raw:
+            wrapped = _PgConnection(raw)
+            wrapped.executescript(_PG_SCHEMA)
+            wrapped.commit()
+
+    def pool_stats(self) -> dict | None:
+        return None if self._pool is None else self._pool.snapshot()
+
+    def execute(self, sql: str, params=()):
+        if self._pool is None:
+            return super().execute(sql, params)
+        with self._pool.acquire() as raw:
+            wrapped = _PgConnection(raw)
+            cur = wrapped.execute(sql, params)
+            try:
+                rows = cur.fetchall()
+            except Exception:
+                rows = []        # INSERT/UPDATE without RETURNING
+            lastrowid = None
+            if sql.lstrip()[:6].upper() == "INSERT":
+                # only after inserts: lastval() errors when no sequence
+                # was touched this session, and on a non-autocommit
+                # connection that error would abort (and lose) the write
+                try:
+                    lastrowid = cur.lastrowid
+                except Exception:
+                    lastrowid = None
+            wrapped.commit()
+            return _EagerCursor(rows, cur.rowcount, lastrowid)
 
     def query(self, sql: str, params=()):
+        if self._pool is not None:
+            return self.execute(sql, params).fetchall()
         # End the implicit transaction after reads so non-autocommit
         # connections don't sit idle-in-transaction between requests.
         with self.lock:
             rows = self.conn.execute(sql, params).fetchall()
             self.conn.commit()
             return rows
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.close_all()
+        elif self.conn is not None:
+            self.conn.close()
 
 
 def open_app_database(path_or_dsn: str) -> AppDatabase:

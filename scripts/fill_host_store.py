@@ -1,0 +1,93 @@
+"""Fill the host full-precision tier for BASELINE config 4.
+
+The 100M-row synthetic corpus is generated ON DEVICE (the relay is too
+slow to upload 77 GB, so ``run_config4.py`` builds from device-resident
+blocks).  The host exact-rerank tier (``engine/host_store.py``) needs the
+same rows host-side — this script regenerates each block with the shared
+generator and downloads it through the relay into a bf16 memmap, row-
+aligned with the device index's original row numbering (block-major).
+
+bf16 (not f16) on the host so rerank scores are computed from the exact
+bits the device's ground-truth scan saw — same-cluster score gaps here
+are ~0.002, and an f16 recast would re-blur what the rerank exists to
+resolve.
+
+Relay throughput is per-connection-bound (~11 MB/s single stream);
+4 parallel range downloads measured 37 MB/s, so each block is split into
+quarter-slices fetched by a thread pool.  Resumable: progress = the
+store's persisted row count; re-running continues at the next block.
+
+Usage:
+  python scripts/fill_host_store.py [--blocks 96] [--threads 4] \
+      [--out /tmp/archi_host_store/config4.bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=96)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/archi_host_store/config4.bf16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/archi_tpu_jax_cache")
+
+    from archi_tpu.benchmarking.synth_corpus import (BLOCK_ROWS, D,
+                                                     make_block_fn)
+    from archi_tpu.engine.host_store import HostVectorStore
+
+    n_total = args.blocks * BLOCK_ROWS
+    store = HostVectorStore(D, path=args.out, capacity=n_total,
+                            dtype=ml_dtypes.bfloat16)
+    start_block = len(store) // BLOCK_ROWS
+    if len(store) % BLOCK_ROWS:
+        print(f"store row count {len(store)} is not block-aligned; "
+              f"refusing to resume", file=sys.stderr)
+        sys.exit(1)
+    print(f"filling blocks {start_block}..{args.blocks - 1} "
+          f"({(args.blocks - start_block) * BLOCK_ROWS * D * 2 / 1e9:.0f} GB "
+          f"to download)", flush=True)
+
+    block_fn = make_block_fn(jax.random.PRNGKey(0), args.blocks)
+    nt = max(1, args.threads)
+    step = BLOCK_ROWS // nt
+    t_start = time.time()
+    for i in range(start_block, args.blocks):
+        t0 = time.time()
+        blk = block_fn(i)
+        # device-side slice copies so each thread downloads an
+        # independent buffer (range requests through the relay)
+        slices = [jnp.copy(blk[s * step:(s + 1) * step]) for s in range(nt)]
+        jax.block_until_ready(slices)
+        with cf.ThreadPoolExecutor(nt) as ex:
+            parts = list(ex.map(np.asarray, slices))
+        host_block = np.concatenate(parts, axis=0)
+        assert host_block.shape == (BLOCK_ROWS, D)
+        store.add(host_block)
+        store.flush()
+        dt = time.time() - t0
+        done = i - start_block + 1
+        rate = done / (time.time() - t_start)
+        eta = (args.blocks - 1 - i) / max(rate, 1e-9) / 60
+        print(f"block {i}: {dt:.1f}s "
+              f"({BLOCK_ROWS * D * 2 / 1e6 / dt:.0f} MB/s), "
+              f"eta {eta:.0f} min", flush=True)
+    print(f"done: {len(store)} rows in {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,41 +1,81 @@
-"""BASELINE config 4 — 100M synthetic chunks, IVF, nprobe recall/QPS sweep.
+"""BASELINE config 4 — 100M synthetic chunks, IVF-PQ, recall/QPS sweep,
+WITH the host exact-rerank tier closing strict recall.
 
 The baseline envisioned this on a v5e POD SLICE (100M x 384 bf16 = 77 GB
 corpus, sharded).  This run does something stronger with the ONE chip this
 rig has: IVF-PQ with a refinement stage (``archi_tpu.engine.ivfpq_index``)
-puts all 100M rows in ~9.6 GB of uint8 codes — the corpus itself is never
-resident; blocks are generated, coarse-assigned, and residual-encoded in a
-two-pass stream.
+puts all 100M rows in ~9.8 GB of uint8 codes — the corpus itself is never
+device-resident; blocks are generated, coarse-assigned, and residual-
+encoded in a two-pass stream.
+
+Production-shaped rerank tier (the analog of the reference keeping full
+vectors in Postgres, ``src/cli/templates/init.sql:266``): the same rows
+live host-side in a 77 GB bf16 memmap (``scripts/fill_host_store.py``),
+and ``IVFPQIndex.search(rerank_store=...)`` re-scores the device's top-C
+ADC candidates exactly — strict recall becomes candidate-bound instead of
+quantization-bound.  The sweep measures nprobe x rerank-C so the
+recall-vs-QPS cost of the gather+rescore is a published number, not a
+metric note.
 
 Ground truth is exact: queries are noisy copies of stored rows, and the
 exact top-10 comes from a streaming fused scan that re-generates each
 corpus block (deterministic by block id) and merges per-block top-k.
 
 Honesty notes (printed into the JSON):
-- the corpus is clustered (n_clusters = N/64); strict@10 at this density
-  is bounded by PQ score resolution (~96 B/row cannot resolve ~0.002
-  score gaps between same-cluster rows) — top1/in-100 are the metrics the
-  quantizer can own, and production deployments with host-resident full
-  vectors close the gap with an exact rerank of the top-C.
-- QPS is best-of-3 chained batches with runtime-measured relay RTT.
+- the corpus is clustered (n_clusters = N/64, 64 near-duplicates per
+  cluster, ~0.002 score gaps) — the adversarial density for PQ;
+- QPS is best-of-3 unchained disjoint batches with runtime-measured relay
+  RTT subtracted; rerank-path QPS includes the host gather+rescore.
 
 Usage: python scripts/run_config4.py [out.json] [--rows N] [--quick]
+       [--store /tmp/archi_host_store/config4.bf16] [--no-rerank]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
+def _measure_qps(search_fn, q, rng, *, rtt_s: float, reps: int = 8,
+                 trials: int = 3, sync=None) -> float:
+    """Best-of-``trials`` mean seconds/batch over unchained disjoint query
+    batches (pre-staged device inputs; immune to repeat-caching)."""
+    import jax
+    import jax.numpy as jnp
+
+    qvars = []
+    for _ in range(trials * reps):
+        qv = q + 0.01 * rng.standard_normal(q.shape).astype(np.float32)
+        qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+        qvars.append(jnp.asarray(qv))
+    jax.block_until_ready(qvars[-1])
+    best = float("inf")
+    for t in range(trials):
+        batch = qvars[t * reps:(t + 1) * reps]
+        t0 = time.time()
+        out = None
+        for qv in batch:
+            out = search_fn(qv)
+        if sync is not None:
+            sync(out)
+        best = min(best, max((time.time() - t0 - rtt_s) / reps, 1e-9))
+    return best
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     out_path = args[0] if args and not args[0].startswith("-") \
-        else "CONFIG4_r02.json"
+        else "CONFIG4_r03.json"
     quick = "--quick" in args
+    no_rerank = "--no-rerank" in args
+    store_path = "/tmp/archi_host_store/config4.bf16"
+    if "--store" in args:
+        store_path = args[args.index("--store") + 1]
     rows = None
     if "--rows" in args:
         rows = int(args[args.index("--rows") + 1])
@@ -45,44 +85,41 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/archi_tpu_jax_cache")
     import jax.numpy as jnp
+    import ml_dtypes
 
+    from archi_tpu.benchmarking.synth_corpus import BLOCK_ROWS, D, \
+        make_block_fn
+    from archi_tpu.engine.host_store import HostVectorStore
     from archi_tpu.engine.ivfpq_index import IVFPQIndex
-    from archi_tpu.ops.pallas_topk import NEG_INF
 
-    D, B, K = 384, 32, 10
-    BLOCK_ROWS = 1 << 20
+    B, K = 32, 10
     N_BLOCKS = (8 if quick else 96) if rows is None \
         else max(1, rows // BLOCK_ROWS)
     N = N_BLOCKS * BLOCK_ROWS
-    N_CLUSTERS = max(1024, N // 64)
 
-    # --- deterministic per-block corpus generator (device-side)
-    import functools
+    block_fn = make_block_fn(jax.random.PRNGKey(0), N_BLOCKS)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def gen_block_(key, i):
-        # per-block center subset: centers derive from fold_in(key, cid)
-        # lazily per row, so 1.5M+ cluster centers never materialize.
-        kb = jax.random.fold_in(key, i)
-        cid = jax.random.randint(jax.random.fold_in(kb, 0), (BLOCK_ROWS,),
-                                 0, N_CLUSTERS)
-        # center vector of cluster c = normal(fold_in(master, c)) — computed
-        # by hashing cid into per-row seeds (counter-based PRNG = pure fn)
-        ckeys = jax.vmap(lambda c: jax.random.fold_in(
-            jax.random.PRNGKey(7), c))(cid)
-        centers = jax.vmap(
-            lambda k: jax.random.normal(k, (D,), jnp.float32))(ckeys)
-        noise = 0.3 * jax.random.normal(jax.random.fold_in(kb, 1),
-                                        (BLOCK_ROWS, D), jnp.float32)
-        v = centers + noise
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
-                            1e-12)
-        return v.astype(jnp.bfloat16)
-
-    key = jax.random.PRNGKey(0)
-
-    def block_fn(i):
-        return gen_block_(key, i)
+    # --- host full-precision tier (filled by fill_host_store.py)
+    store = None
+    if not no_rerank and os.path.exists(store_path):
+        store = HostVectorStore(D, path=store_path, capacity=N,
+                                dtype=ml_dtypes.bfloat16)
+        if len(store) < N:
+            print(f"host store has {len(store)}/{N} rows — "
+                  f"run fill_host_store.py first; continuing ADC-only",
+                  flush=True)
+            store = None
+    if store is not None:
+        # verify alignment + bit-identity on a scattered row sample
+        probe = np.array([0, 1, N // 3, N // 2, N - 1])
+        dev_rows = np.stack([
+            np.asarray(block_fn(int(r // BLOCK_ROWS))[int(r % BLOCK_ROWS)])
+            for r in probe])
+        host_rows = store._buf[probe]
+        assert np.array_equal(dev_rows.view(np.uint16),
+                              np.asarray(host_rows).view(np.uint16)), \
+            "host store rows != device corpus rows (stale fill?)"
+        print("host tier verified bit-identical on sample rows", flush=True)
 
     # --- build (two-pass stream; only codes stay resident)
     t0 = time.time()
@@ -140,40 +177,31 @@ def main() -> None:
 
     r = rtt()
 
-    # --- nprobe sweep
+    def strict_of(rows_h):
+        return float(np.mean([
+            len(set(rows_h[b]) & set(exact[b])) / K for b in range(B)]))
+
+    # --- ADC-only nprobe sweep (quantization-bound recall)
     sweep = []
     for nprobe in (4, 8, 16, 32):
         vals, rows_d = idx.search_dispatch(qd, k=K, nprobe=nprobe,
                                            refine_overfetch=16)
         rows_h = np.asarray(rows_d)
-        strict = float(np.mean([
-            len(set(rows_h[b]) & set(exact[b])) / K for b in range(B)]))
+        strict = strict_of(rows_h)
         top1 = float(np.mean(rows_h[:, 0] == q_src))
         _, r100d = idx.search_dispatch(qd, k=100, nprobe=nprobe,
                                        refine_overfetch=16)
-        r100h = np.asarray(r100d)
         in100 = float(np.mean([
-            len(set(r100h[b]) & set(exact[b])) / K for b in range(B)]))
-        # unchained disjoint query batches: chaining each call's input on
-        # the previous output stalls the relay pipeline (~5 ms/call
-        # measured) and overstates latency; distinct pre-staged inputs
-        # are immune to repeat-caching AND pipeline cleanly
-        reps = 8
-        qvars = []
-        for i in range(3 * reps):
-            qv = q + 0.01 * rng.standard_normal(q.shape).astype(np.float32)
-            qv /= np.linalg.norm(qv, axis=1, keepdims=True)
-            qvars.append(jnp.asarray(qv))
-        jax.block_until_ready(qvars[-1])
-        best = float("inf")
-        for t in range(3):
-            batch = qvars[t * reps:(t + 1) * reps]
-            t0 = time.time()
-            for qv in batch:
-                v, _ = idx.search_dispatch(qv, k=K, nprobe=nprobe,
-                                           refine_overfetch=16)
-            float(jnp.sum(v))
-            best = min(best, max((time.time() - t0 - r) / reps, 1e-9))
+            len(set(np.asarray(r100d)[b]) & set(exact[b])) / K
+            for b in range(B)]))
+
+        def dev_search(qv, nprobe=nprobe):
+            v, _ = idx.search_dispatch(qv, k=K, nprobe=nprobe,
+                                       refine_overfetch=16)
+            return v
+
+        best = _measure_qps(dev_search, q, rng, rtt_s=r,
+                            sync=lambda v: float(jnp.sum(v)))
         sweep.append({
             "nprobe": nprobe,
             "recall_strict_at_10": round(strict, 3),
@@ -184,16 +212,75 @@ def main() -> None:
         })
         print(json.dumps(sweep[-1]), flush=True)
 
-    # headline = fastest config that still answers well (top1 >= 0.7);
-    # fall back to the best-recall config if none clears the bar
-    good = [s for s in sweep if s["self_top1"] >= 0.7]
-    best_cfg = (max(good, key=lambda s: s["query_qps"]) if good
-                else max(sweep, key=lambda s: s["self_top1"]))
+    # --- host-rerank sweep: nprobe x rerank-C (candidate-bound recall)
+    rerank_sweep = []
+    if store is not None:
+        # warm the page cache: one sequential pass over the memmap (the
+        # store fits in this host's RAM; cold 4K-page faults would
+        # otherwise dominate the first gathers)
+        t0 = time.time()
+        buf = store._buf
+        s = 0
+        for ofs in range(0, buf.shape[0], 1 << 21):
+            s += int(np.asarray(
+                buf[ofs:ofs + (1 << 21), 0].view(np.uint16)).sum())
+        print(f"page-cache warm pass: {time.time() - t0:.0f}s", flush=True)
+
+        for nprobe, c in ((16, 320), (32, 320), (32, 1024), (64, 1024),
+                          (64, 2048)):
+            overfetch = max(1, c // K)
+            ids, vals, rows_h = idx.search(
+                qd, k=K, nprobe=nprobe, rerank_store=store,
+                rerank_overfetch=overfetch)
+            strict = strict_of(rows_h)
+            top1 = float(np.mean(rows_h[:, 0] == q_src))
+
+            def rr_search(qv, nprobe=nprobe, overfetch=overfetch):
+                _, v, _ = idx.search(qv, k=K, nprobe=nprobe,
+                                     rerank_store=store,
+                                     rerank_overfetch=overfetch)
+                return v
+
+            # search() already syncs (numpy outputs) — no extra sync
+            best = _measure_qps(rr_search, q, rng, rtt_s=r)
+
+            def dev_only(qv, nprobe=nprobe, overfetch=overfetch):
+                v, _ = idx.search_dispatch(
+                    qv, k=K * overfetch, nprobe=nprobe)
+                return v
+
+            dev_best = _measure_qps(dev_only, q, rng, rtt_s=r,
+                                    sync=lambda v: float(jnp.sum(v)))
+            rerank_sweep.append({
+                "nprobe": nprobe, "rerank_c": int(c),
+                "recall_strict_at_10": round(strict, 3),
+                "self_top1": round(top1, 3),
+                "ms_per_batch32": round(best * 1e3, 1),
+                "query_qps": round(B / best, 1),
+                "rerank_cost_ms": round((best - dev_best) * 1e3, 1),
+            })
+            print(json.dumps(rerank_sweep[-1]), flush=True)
+
+    # headline: the cheapest rerank config clearing strict@10 >= 0.95;
+    # ADC fallback if the host tier is absent
+    good = [s for s in rerank_sweep if s["recall_strict_at_10"] >= 0.95]
+    if good:
+        best_cfg = max(good, key=lambda s: s["query_qps"])
+        headline = {"query_qps": best_cfg["query_qps"],
+                    "recall_strict_at_10": best_cfg["recall_strict_at_10"],
+                    "nprobe": best_cfg["nprobe"],
+                    "rerank_c": best_cfg["rerank_c"]}
+    else:
+        gg = [s for s in sweep if s["self_top1"] >= 0.7]
+        bc = (max(gg, key=lambda s: s["query_qps"]) if gg
+              else max(sweep, key=lambda s: s["self_top1"]))
+        headline = {"query_qps": bc["query_qps"],
+                    "self_top1": bc["self_top1"], "nprobe": bc["nprobe"]}
     payload = {
         "config": "BASELINE config 4 on ONE v5e chip: 100M-chunk IVF-PQ "
                   "with refinement (4-bit LUT16, m=96+96 packed = "
-                  "96 B/row, nlist=4096) — the corpus (77 GB bf16) never "
-                  "exists; codes are 9.8 GB",
+                  "96 B/row, nlist=4096) + host bf16 exact-rerank tier "
+                  "(77 GB memmap) — codes 9.8 GB on device",
         "rows": int(N), "dim": D,
         "corpus_equiv_gb": round(N * D * 2 / 1e9, 1),
         "codes_gb": round(code_gb, 2),
@@ -201,17 +288,18 @@ def main() -> None:
         "exact_gt_scan_s": round(exact_s, 1),
         "relay_rtt_ms": round(r * 1e3, 1),
         "nprobe_sweep": sweep,
+        "rerank_sweep": rerank_sweep,
+        "host_store": None if store is None else {
+            "path": store_path, "rows": len(store), "dtype": "bfloat16",
+            "gb": round(len(store) * D * 2 / 1e9, 1),
+            "verified": "bit-identical sample rows vs device corpus"},
         "metric_notes": "strict@10 at this cluster density (64 near-"
                         "duplicates/cluster, ~0.002 score gaps) is bounded "
-                        "by 96 B/row ADC resolution; self_top1 and "
-                        "in-100 are the quantizer-owned metrics. "
-                        "Deployments with host-resident vectors close "
-                        "strict recall via exact rerank of the top-C.",
-        "headline": {
-            "query_qps": best_cfg["query_qps"],
-            "self_top1": best_cfg["self_top1"],
-            "nprobe": best_cfg["nprobe"],
-        },
+                        "by 96 B/row ADC resolution on the device-only "
+                        "path; the rerank_sweep closes it with exact "
+                        "host re-scoring of the top-C (rerank_cost_ms = "
+                        "host gather+rescore, measured).",
+        "headline": headline,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
