@@ -52,7 +52,8 @@ class JiraClient:
                 f"{self.base_url}/rest/api/2/search",
                 headers=headers,
                 params={"jql": jql, "startAt": start, "maxResults": 50,
-                        "fields": "summary,description,comment,status,updated"},
+                        "fields": "summary,description,comment,status,"
+                                  "updated,assignee,reporter,creator"},
             )
             batch = data.get("issues", [])
             issues.extend(batch)
@@ -70,6 +71,23 @@ class JiraClient:
         for c in (f.get("comment") or {}).get("comments", []):
             parts.append(f"Comment: {c.get('body', '')}")
         return "\n\n".join(parts)
+
+    @staticmethod
+    def issue_known_persons(issue: dict) -> list[str]:
+        """Author-class names from the structured issue — seeds the
+        anonymizer's NER pass (the tracker already tells us who the
+        humans are)."""
+        f = issue.get("fields", {})
+        names = []
+        for field in ("assignee", "reporter", "creator"):
+            v = f.get(field) or {}
+            if isinstance(v, dict) and v.get("displayName"):
+                names.append(v["displayName"])
+        for c in (f.get("comment") or {}).get("comments", []):
+            a = c.get("author") or {}
+            if isinstance(a, dict) and a.get("displayName"):
+                names.append(a["displayName"])
+        return names
 
 
 class RedmineClient:
@@ -117,6 +135,21 @@ class RedmineClient:
             + "\n\n".join(f"Answer:\n{a}" for a in answers)
         )
 
+    @staticmethod
+    def issue_known_persons(issue: dict) -> list[str]:
+        """Author-class names from the structured issue (anonymizer
+        seed)."""
+        names = []
+        for field in ("author", "assigned_to"):
+            v = issue.get(field) or {}
+            if isinstance(v, dict) and v.get("name"):
+                names.append(v["name"])
+        for j in issue.get("journals", []):
+            u = j.get("user") or {}
+            if isinstance(u, dict) and u.get("name"):
+                names.append(u["name"])
+        return names
+
 
 class TicketManager:
     """Collect tickets from configured trackers into the catalog (reference
@@ -128,9 +161,10 @@ class TicketManager:
         self.anonymizer = Anonymizer() if anonymize else None
 
     def _persist(self, text: str, name: str, source: str, url=None,
-                 extra=None) -> str:
+                 extra=None, known_persons=()) -> str:
         if self.anonymizer:
-            text = self.anonymizer.anonymize(text)
+            text = self.anonymizer.anonymize(
+                text, known_persons=known_persons)
         meta = ResourceMetadata(
             display_name=name, source_type=source, url=url,
             extension=".txt", extra=extra or {},
@@ -146,6 +180,7 @@ class TicketManager:
                 text, key, "jira",
                 url=f"{client.base_url}/browse/{key}",
                 extra={"project": project},
+                known_persons=JiraClient.issue_known_persons(issue),
             ))
         return hashes
 
@@ -161,6 +196,7 @@ class TicketManager:
                 qa, f"redmine-{iid}", "redmine",
                 url=f"{client.base_url}/issues/{iid}",
                 extra={"project": project_id},
+                known_persons=RedmineClient.issue_known_persons(issue),
             ))
         return hashes
 
