@@ -13,6 +13,15 @@ import dataclasses
 import os
 from typing import Optional
 
+if os.environ.get("ARCHI_TPU_FORCE_CPU"):
+    # Dev/CI escape hatch: run the whole service stack on the host CPU
+    # backend (UI smokes, machines without a chip).  Must happen before
+    # any backend initialization; the machine's sitecustomize overrides
+    # env vars, so set the config directly after importing jax.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from archi_tpu.config.manager import ConfigurationManager
 from archi_tpu.config.service import ConfigService
 from archi_tpu.data.catalog import CatalogService
