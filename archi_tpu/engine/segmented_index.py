@@ -68,6 +68,17 @@ class _GlobalIdRows:
         self._idx.tail._id_rows.pop(key, None)
         return rows
 
+    def keys(self):
+        # union preserving main-then-tail order; the store's ids() /
+        # diff-sync iterate this (a tail-only chunk must not be invisible
+        # to the hash diff or it re-embeds every sync)
+        seen = dict.fromkeys(self._idx.main._id_rows)
+        seen.update(dict.fromkeys(self._idx.tail._id_rows))
+        return list(seen)
+
+    def __iter__(self):
+        return iter(self.keys())
+
 
 class SegmentedFlatIndex:
     """FlatIndex-compatible surface over a cold MAIN + hot TAIL segment."""

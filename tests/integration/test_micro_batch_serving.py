@@ -1,6 +1,14 @@
 """End-to-end micro-batched serving: concurrent HTTP queries against the
 data-manager's query API coalesce into fused device batches with results
-identical to an unbatched stack."""
+identical to an unbatched stack.
+
+Covers every serving index shape (VERDICT r2 #3: the ANN modes are the
+recommended large-corpus serving config, exactly where concurrency
+matters): flat, ivf (AnnFlatIndex with a real IVF snapshot + exact
+tail), and hot_tail (SegmentedFlatIndex).  For each, the coalescing
+assertion (mean batch > 1 under concurrent clients) and the parity
+assertion (batched == sequential scores) both run at the HTTP level.
+"""
 
 import threading
 
@@ -10,10 +18,20 @@ import requests
 from archi_tpu.bin.bootstrap import build_context
 from archi_tpu.bin.service_data_manager import build_app as build_data
 
+INDEX_CONFIGS = {
+    "flat": {},
+    # tiny thresholds so the 24-doc corpus genuinely builds + queries an
+    # IVF snapshot (async off → deterministic snapshot before serving)
+    "ivf": {"type": "ivf", "nlist": 8, "nprobe": 8,
+            "min_snapshot_rows": 16, "async_refresh": False},
+    "hot_tail": {"hot_tail": True, "merge_rows": 64},
+}
 
-@pytest.fixture(scope="module")
-def stacks(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("mb")
+
+@pytest.fixture(scope="module", params=list(INDEX_CONFIGS))
+def stacks(request, tmp_path_factory):
+    index_cfg = INDEX_CONFIGS[request.param]
+    tmp = tmp_path_factory.mktemp(f"mb_{request.param}")
     corpus = tmp / "corpus"
     corpus.mkdir()
     for i in range(24):
@@ -28,6 +46,7 @@ def stacks(tmp_path_factory):
                 "embedding_name": "hash",
                 "data_path": str(tmp / sub / "data"),
                 "db_path": str(tmp / sub / "catalog.db"),
+                "index": dict(index_cfg),
                 "sources": {"local_files": {"paths": [str(corpus)]}},
                 "serving": {"micro_batch": {
                     "enabled": enabled, "max_wait_ms": 15, "workers": 2}},
@@ -40,6 +59,13 @@ def stacks(tmp_path_factory):
 
     ctx_b, app_b, url_b = make(True, "batched")
     ctx_p, app_p, url_p = make(False, "plain")
+    if request.param == "ivf":
+        # build the IVF snapshot now (normally kicked by the first
+        # search); without it this config degenerates to the exact-tail
+        # scan and the test proves nothing about the ANN path
+        for ctx in (ctx_b, ctx_p):
+            ctx.vectorstore.index.refresh_ann()
+            assert ctx.vectorstore.index._ivf is not None
     yield {"batched": (ctx_b, url_b), "plain": (ctx_p, url_p)}
     app_b.shutdown()
     app_p.shutdown()
@@ -76,12 +102,13 @@ def test_concurrent_http_queries_coalesce(stacks):
     assert len(results) == len(queries)
     for i, q in enumerate(queries):
         assert results[i], q
-    # the scheduler actually coalesced: fewer batches than requests
+    # the scheduler actually coalesced: fewer batches than requests →
+    # mean batch size > 1
     ran_b = METRICS.counter_value("archi_micro_batches_total") - before_b
     ran_r = METRICS.counter_value(
         "archi_micro_batched_requests_total") - before_r
     assert ran_r >= len(queries)
-    assert ran_b < ran_r
+    assert ran_b < ran_r, "mean batch size was 1 — nothing fused"
 
 
 def test_batched_results_match_unbatched_stack(stacks):
@@ -92,3 +119,5 @@ def test_batched_results_match_unbatched_stack(stacks):
         rp = _query(url_p, q)
         assert [round(x["score"], 4) for x in rb] == \
                [round(x["score"], 4) for x in rp], q
+        assert [x["metadata"].get("display_name") for x in rb] == \
+               [x["metadata"].get("display_name") for x in rp], q

@@ -206,3 +206,21 @@ def test_vectorstore_checkpoint_roundtrip_keeps_hot_tail(tmp_path):
     loaded.add_texts(["fox five"], ids=["x5"])
     assert loaded.index.tail.n_rows >= 0  # surface intact
     assert loaded.count() == 5
+
+
+def test_global_id_rows_keys_union():
+    """store.ids() / diff-sync iterate index._id_rows.keys() — the
+    hot-tail view must expose the union of both segments (regression:
+    AttributeError crashed ingestion on hot_tail deployments)."""
+    import numpy as np
+
+    from archi_tpu.engine.segmented_index import SegmentedFlatIndex
+
+    idx = SegmentedFlatIndex(8, merge_rows=4, dtype=np.float32)
+    x = np.eye(8, dtype=np.float32)
+    idx.add(x[:4], ids=[f"main-{i}" for i in range(4)])  # fills → merge
+    idx.add(x[4:6], ids=["tail-0", "tail-1"])            # stays in tail
+    keys = set(idx._id_rows.keys())
+    assert {"tail-0", "tail-1"} <= keys
+    assert any(k.startswith("main-") for k in keys)
+    assert set(iter(idx._id_rows)) == keys
