@@ -1,20 +1,30 @@
-"""Retrieval-quality run → QUALITY_r02.json (VERDICT r1 next #2).
+"""Retrieval-quality run → QUALITY_r03.json.
 
 End-to-end over the REAL pipeline: fixture corpus → chunk (reference
-defaults: 1000/0) → embed (deterministic hashed-ngram featurizer — no
-pretrained weights exist in this image; see
-``archi_tpu/models/hashed_embedder.py``) → TPU vector+BM25 index → hybrid
-retrieval (k=5, bm25 0.6 / semantic 0.4 — reference
-``base-config.yaml:165-168``) → QAPipeline → SOURCES accuracy
-(``service_benchmark.py:344-426`` analog) + recall@10 vs NumPy brute force
-+ QPS.
+defaults: 1000/0) → embed → TPU vector+BM25 index → hybrid retrieval
+(k=5, bm25 0.6 / semantic 0.4 — reference ``base-config.yaml:165-168``)
+→ QAPipeline → SOURCES accuracy (``service_benchmark.py:344-426``
+analog) + recall@10 vs NumPy brute force + QPS.
 
-Usage: python scripts/run_quality.py [out.json]
+Two embedder sections (VERDICT r2 #2):
+- ``hash``: the deterministic hashed-ngram featurizer (r2 ablation
+  baseline);
+- ``trained``: a real WordPiece+BERT encoder CONTRASTIVELY TRAINED
+  IN-IMAGE on the TPU (``models/train_encoder.py``) over the fixture
+  corpus — self-supervised inverse-cloze views only, never the eval
+  queries — served through ``JaxEmbedder`` from a saved HF snapshot,
+  proving tokenizer → encoder → index → retriever with learned
+  representations.  A pretrained MiniLM/bge snapshot remains a pure
+  ``model_dir`` swap.
+
+Usage: python scripts/run_quality.py [out.json] [--encoder hash|trained|both]
+       [--model-dir DIR] [--steps N]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -26,9 +36,8 @@ from archi_tpu.models.hashed_embedder import HashedNgramEmbedder
 from archi_tpu.orchestrator.archi import Archi
 
 
-def build_store() -> tuple[TpuVectorStore, int]:
+def fixture_chunks():
     docs, _ = fixture_corpus()
-    store = TpuVectorStore(HashedNgramEmbedder())
     texts, metas, ids = [], [], []
     for name, text, meta in docs:
         for i, chunk in enumerate(character_split(text, chunk_size=1000,
@@ -36,6 +45,12 @@ def build_store() -> tuple[TpuVectorStore, int]:
             texts.append(chunk)
             metas.append(dict(meta))
             ids.append(f"{name}:{i}")
+    return texts, metas, ids
+
+
+def build_store(embedder) -> tuple[TpuVectorStore, int]:
+    texts, metas, ids = fixture_chunks()
+    store = TpuVectorStore(embedder)
     store.add_texts(texts, metas, ids=ids)
     return store, len(texts)
 
@@ -59,11 +74,10 @@ def retriever_ablation(store, queries, k: int = 5) -> dict:
     return out
 
 
-def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r02.json"
+def run_section(embedder, embedder_desc: str) -> dict:
     t0 = time.time()
-    store, n_chunks = build_store()
-    docs, queries = fixture_corpus()
+    store, n_chunks = build_store(embedder)
+    _docs, queries = fixture_corpus()
     archi = Archi("QAPipeline", vectorstore=store)
     bench = Benchmarker(
         archi, queries, modes=("SOURCES", "RETRIEVAL"),
@@ -71,16 +85,9 @@ def main() -> None:
     )
     report = bench.run()
     totals = report["totals"]
-    payload = {
-        "fixture": {
-            "corpus": "deterministic 40-topic support corpus "
-                      "(archi_tpu/benchmarking/fixture.py, seed 7)",
-            "documents": len(docs),
-            "chunks": n_chunks,
-            "embedder": "hashed-ngram featurizer (no pretrained weights in "
-                        "image; JaxEmbedder swaps in when model_dir exists)",
-            "retriever": "hybrid k=5, bm25 0.6 / semantic 0.4",
-        },
+    return {
+        "embedder": embedder_desc,
+        "chunks": n_chunks,
         "source_accuracy": totals.get("source_accuracy"),
         "relative_source_accuracy": totals.get("relative_source_accuracy"),
         "recall_at_10": totals.get("recall_at_k"),
@@ -92,6 +99,65 @@ def main() -> None:
         "avg_time_per_question_s": totals["avg_time_elapsed"],
         "wall_s": round(time.time() - t0, 1),
     }
+
+
+def trained_embedder(model_dir: str, steps: int):
+    """Load the trained snapshot, or train + save it first."""
+    from archi_tpu.models.embedder import JaxEmbedder
+
+    if not os.path.isdir(model_dir):
+        from archi_tpu.models.train_encoder import save_model_dir, train
+
+        texts, _m, _i = fixture_chunks()
+        print(f"training encoder on {len(texts)} fixture chunks "
+              f"({steps} steps, self-supervised ICT views — eval queries "
+              f"never seen)...", flush=True)
+        t0 = time.time()
+        cfg, params, tok = train(texts, steps=steps, batch=128,
+                                 seq_len=96, seed=0,
+                                 log=lambda s: print(s, flush=True))
+        print(f"trained in {time.time() - t0:.0f}s", flush=True)
+        save_model_dir(model_dir, cfg, params, tok)
+    return JaxEmbedder(model_dir=model_dir, max_length=128)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_path = args[0] if args and not args[0].startswith("-") \
+        else "QUALITY_r03.json"
+    which = args[args.index("--encoder") + 1] if "--encoder" in args \
+        else "both"
+    model_dir = args[args.index("--model-dir") + 1] if "--model-dir" in args \
+        else "/tmp/archi_trained_encoder"
+    steps = int(args[args.index("--steps") + 1]) if "--steps" in args \
+        else 1500
+    payload = {
+        "fixture": {
+            "corpus": "deterministic 40-topic support corpus "
+                      "(archi_tpu/benchmarking/fixture.py, seed 7)",
+            "documents": len(fixture_corpus()[0]),
+            "retriever": "hybrid k=5, bm25 0.6 / semantic 0.4",
+        },
+    }
+    if which in ("hash", "both"):
+        payload["hash"] = run_section(
+            HashedNgramEmbedder(),
+            "hashed-ngram featurizer (r2 baseline ablation)")
+        print(json.dumps(payload["hash"], indent=2), flush=True)
+    if which in ("trained", "both"):
+        payload["trained"] = run_section(
+            trained_embedder(model_dir, steps),
+            "WordPiece+BERT bi-encoder contrastively trained in-image on "
+            "TPU (models/train_encoder.py; self-supervised ICT views of "
+            "the corpus, eval queries unseen), served via JaxEmbedder "
+            "from an HF-format snapshot")
+        print(json.dumps(payload["trained"], indent=2), flush=True)
+        # headline = the real-encoder path (VERDICT r2 #2)
+        payload["source_accuracy"] = payload["trained"]["source_accuracy"]
+        payload["recall_at_10"] = payload["trained"]["recall_at_10"]
+    elif "hash" in payload:
+        payload["source_accuracy"] = payload["hash"]["source_accuracy"]
+        payload["recall_at_10"] = payload["hash"]["recall_at_10"]
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload, indent=2))
