@@ -34,19 +34,11 @@ def cli():
               help="start only these services")
 def create(name, configs, env_file, only):
     """Create and start a deployment."""
-    if env_file:
-        import os
-
-        with open(env_file) as f:
-            for line in f:
-                line = line.strip()
-                if line and not line.startswith("#") and "=" in line:
-                    k, v = line.split("=", 1)
-                    os.environ.setdefault(k, v)
     cm = ConfigurationManager(list(configs), overrides={"name": name})
     cm.validate()
     mgr = DeploymentManager(name)
-    started = mgr.start(cm.config, only=list(only) or None)
+    started = mgr.start(cm.config, only=list(only) or None,
+                        env_file=env_file)
     click.echo(f"deployment {name!r} started:")
     for svc, info in started.items():
         port = f" :{info['port']}" if info.get("port") else ""

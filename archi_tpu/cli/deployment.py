@@ -85,8 +85,18 @@ class DeploymentManager:
         return os.path.isdir(self.dir)
 
     # ------------------------------------------------------------------ start
-    def prepare(self, config: dict) -> None:
+    def prepare(self, config: dict,
+                env_file: Optional[str] = None) -> dict[str, str]:
+        """Stage config, volumes, Grafana assets, and secrets; returns
+        the ``*_FILE`` environment overlay for started services
+        (reference SecretsManager/VolumeManager/TemplateManager
+        preparation, ``cli_main.py:43-173``)."""
+        from archi_tpu.cli.managers import SecretsManager, VolumeManager
+
         os.makedirs(self.dir, exist_ok=True)
+        volumes = VolumeManager(self.dir)
+        volumes.create_required()
+        volumes.stage_grafana()
         cfg = dict(config)
         dm = dict(cfg.get("data_manager", {}))
         dm.setdefault("data_path", os.path.join(self.dir, "data"))
@@ -97,9 +107,15 @@ class DeploymentManager:
             yaml.safe_dump(cfg, f, sort_keys=False)
         with open(os.path.join(self.dir, "compose.yaml"), "w") as f:
             f.write(render_compose(cfg))
+        secrets = SecretsManager(env_file)
+        required = secrets.required_for(cfg)
+        secrets.validate(required)
+        staged = secrets.stage(volumes.path("secrets"), required)
+        return secrets.env_for_services(volumes.path("secrets"), staged)
 
-    def start(self, config: dict, *, only: Optional[list[str]] = None) -> dict:
-        self.prepare(config)
+    def start(self, config: dict, *, only: Optional[list[str]] = None,
+              env_file: Optional[str] = None) -> dict:
+        secret_env = self.prepare(config, env_file=env_file)
         enabled = [n for n, c in config.get("services", {}).items()
                    if isinstance(c, dict) and c.get("enabled")]
         if only:
@@ -120,6 +136,7 @@ class DeploymentManager:
                  os.path.join(self.dir, "config.yaml")],
                 stdout=log, stderr=subprocess.STDOUT,
                 cwd=self.dir,
+                env={**os.environ, **secret_env},
             )
             started[name] = {"pid": proc.pid, "started_at": time.time(),
                              "port": config["services"][name].get("port")}
