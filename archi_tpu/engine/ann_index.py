@@ -226,6 +226,82 @@ class AnnFlatIndex(FlatIndex):
                                  "will rebuild")
         return idx
 
+    # ------------------------------------------- out-of-process building
+    def export_corpus(self, path: str) -> None:
+        """Checkpoint the corpus for an OUT-OF-PROCESS snapshot build
+        (``scripts/ann_builder.py``).  On a single chip, an in-process
+        rebuild contends with serving for non-preemptible device/compile
+        stretches; production deployments instead export the corpus,
+        build the IVF/IVF-PQ snapshot in a separate process (another
+        chip, or the CPU backend), and ``adopt_snapshot`` the result.
+        The export records the compaction epoch so a snapshot whose row
+        numbering went stale (compact() renumbers) is refused at adopt.
+        """
+        import json as _json
+
+        with self._buf_lock:
+            n = self.n_rows
+        FlatIndex.save(self, path)           # rows only, no ANN sidecar
+        with open(path + ".export.json", "w") as f:
+            _json.dump({"epoch": self._compact_epoch, "n_rows": int(n),
+                        "kind": self.snapshot_kind}, f)
+
+    def adopt_snapshot(self, path: str, *, warm: bool = True) -> bool:
+        """Swap in a snapshot built out-of-process from ``export_corpus``
+        output.  → True if adopted; False (logged) when the export is
+        stale (compaction since export, kind mismatch, missing files).
+        """
+        import json as _json
+        import os as _os
+
+        meta_p, snap_p = path + ".ann.json", path + ".ann.npz"
+        exp_p = path + ".export.json"
+        if not (_os.path.exists(meta_p) and _os.path.exists(snap_p)):
+            logger.warning("adopt_snapshot: no sidecar at %s", path)
+            return False
+        try:
+            with open(meta_p) as f:
+                m = _json.load(f)
+            exp = {}
+            if _os.path.exists(exp_p):
+                with open(exp_p) as f:
+                    exp = _json.load(f)
+            if m.get("kind") != self.snapshot_kind:
+                logger.warning("adopt_snapshot: kind %s != %s",
+                               m.get("kind"), self.snapshot_kind)
+                return False
+            if exp.get("epoch", self._compact_epoch) != self._compact_epoch:
+                logger.warning("adopt_snapshot: corpus compacted since "
+                               "export; snapshot row numbering is stale")
+                return False
+            if m.get("n_snap", 0) > self.n_rows:
+                logger.warning("adopt_snapshot: snapshot covers %s rows, "
+                               "index has %s", m.get("n_snap"), self.n_rows)
+                return False
+            if self.snapshot_kind == "ivfpq":
+                from archi_tpu.engine.ivfpq_index import IVFPQIndex
+
+                ivf = IVFPQIndex.load(snap_p)
+            else:
+                ivf = IVFIndex.load(snap_p)
+        except Exception:
+            logger.exception("adopt_snapshot: unreadable sidecar")
+            return False
+        if warm:
+            try:
+                probe = jnp.zeros((1, self.dim), jnp.float32)
+                v, _r = ivf.search_dispatch(probe, k=10,
+                                            nprobe=self.nprobe)
+                jax.block_until_ready(v)
+            except Exception:
+                logger.exception("adopted-snapshot warmup failed; first "
+                                 "query will compile")
+        with self._ann_lock:
+            self._ivf, self._n_snap = ivf, int(m["n_snap"])
+        logger.info("adopted out-of-process ANN snapshot: %d rows",
+                    self._n_snap)
+        return True
+
     def _kick_refresh(self) -> None:
         """Start a background snapshot rebuild if one isn't running
         (atomic check-and-spawn: concurrent searches — e.g. 2 batcher

@@ -104,10 +104,13 @@ def main() -> None:
     if not no_rerank and os.path.exists(store_path):
         store = HostVectorStore(D, path=store_path, capacity=N,
                                 dtype=ml_dtypes.bfloat16)
-        if len(store) < N:
-            print(f"host store has {len(store)}/{N} rows — "
-                  f"run fill_host_store.py first; continuing ADC-only",
-                  flush=True)
+        if len(store) != N:
+            # must match EXACTLY: the block generator is parameterized by
+            # the block count (n_clusters = N/64), so a store filled for a
+            # different N holds different rows, not a prefix
+            print(f"host store has {len(store)} rows, run needs {N} — "
+                  f"run fill_host_store.py for this size; continuing "
+                  f"ADC-only", flush=True)
             store = None
     if store is not None:
         # verify alignment + bit-identity on a scattered row sample
