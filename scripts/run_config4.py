@@ -124,13 +124,25 @@ def main() -> None:
             "host store rows != device corpus rows (stale fill?)"
         print("host tier verified bit-identical on sample rows", flush=True)
 
-    # --- build (two-pass stream; only codes stay resident)
+    # --- build (two-pass stream; only codes stay resident), or reload a
+    # prior run's index (--index PATH: ~10 GB of codes round-trips disk
+    # far faster than the ~14-min rebuild when iterating on the sweep)
+    index_path = None
+    if "--index" in args:
+        index_path = args[args.index("--index") + 1]
     t0 = time.time()
-    idx = IVFPQIndex.build_streaming(
-        block_fn, N_BLOCKS, BLOCK_ROWS,
-        nlist=4096, block=1024, m=96, ksub=16, refine_m=96,
-        train_blocks=1, train_sample=1 << 18, coarse_iters=8, pq_iters=10,
-        seed=0)
+    if index_path and os.path.exists(index_path):
+        idx = IVFPQIndex.load(index_path)
+        print(f"loaded index from {index_path}", flush=True)
+    else:
+        idx = IVFPQIndex.build_streaming(
+            block_fn, N_BLOCKS, BLOCK_ROWS,
+            nlist=4096, block=1024, m=96, ksub=16, refine_m=96,
+            train_blocks=1, train_sample=1 << 18, coarse_iters=8,
+            pq_iters=10, seed=0)
+        if index_path:
+            idx.save(index_path)
+            print(f"saved index to {index_path}", flush=True)
     jax.block_until_ready(idx.code_blocks)
     build_s = time.time() - t0
     code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
@@ -186,7 +198,7 @@ def main() -> None:
 
     # --- ADC-only nprobe sweep (quantization-bound recall)
     sweep = []
-    for nprobe in (4, 8, 16, 32):
+    for nprobe in () if "--no-adc" in args else (4, 8, 16, 32):
         vals, rows_d = idx.search_dispatch(qd, k=K, nprobe=nprobe,
                                            refine_overfetch=16)
         rows_h = np.asarray(rows_d)
@@ -229,8 +241,13 @@ def main() -> None:
                 buf[ofs:ofs + (1 << 21), 0].view(np.uint16)).sum())
         print(f"page-cache warm pass: {time.time() - t0:.0f}s", flush=True)
 
-        for nprobe, c in ((16, 320), (32, 320), (32, 1024), (64, 1024),
-                          (64, 2048)):
+        rerank_cfgs = [(16, 320), (32, 320), (32, 1024), (64, 1024),
+                       (64, 2048)]
+        if "--rerank-sweep" in args:
+            rerank_cfgs = [
+                tuple(int(v) for v in pair.split(":"))
+                for pair in args[args.index("--rerank-sweep") + 1].split(",")]
+        for nprobe, c in rerank_cfgs:
             overfetch = max(1, c // K)
             ids, vals, rows_h = idx.search(
                 qd, k=K, nprobe=nprobe, rerank_store=store,
@@ -273,12 +290,19 @@ def main() -> None:
                     "recall_strict_at_10": best_cfg["recall_strict_at_10"],
                     "nprobe": best_cfg["nprobe"],
                     "rerank_c": best_cfg["rerank_c"]}
-    else:
+    elif sweep:
         gg = [s for s in sweep if s["self_top1"] >= 0.7]
         bc = (max(gg, key=lambda s: s["query_qps"]) if gg
               else max(sweep, key=lambda s: s["self_top1"]))
         headline = {"query_qps": bc["query_qps"],
                     "self_top1": bc["self_top1"], "nprobe": bc["nprobe"]}
+    elif rerank_sweep:
+        bc = max(rerank_sweep, key=lambda s: s["recall_strict_at_10"])
+        headline = {"query_qps": bc["query_qps"],
+                    "recall_strict_at_10": bc["recall_strict_at_10"],
+                    "nprobe": bc["nprobe"], "rerank_c": bc["rerank_c"]}
+    else:
+        headline = {}
     payload = {
         "config": "BASELINE config 4 on ONE v5e chip: 100M-chunk IVF-PQ "
                   "with refinement (4-bit LUT16, m=96+96 packed = "
