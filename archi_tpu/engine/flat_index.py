@@ -55,6 +55,14 @@ def _bucket(n: int) -> int:
     return int(2 ** np.ceil(np.log2(n)))
 
 
+def load_npz(path):
+    """np.load that tolerates the extension np.savez appends on save
+    (``save("x")`` writes ``x.npz``; ``load("x")`` must still work)."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    return np.load(path, allow_pickle=False)
+
+
 def jsonable_ids(ids):
     """Serialize row ids preserving int/str types.
 
@@ -318,7 +326,7 @@ class FlatIndex:
     def load(cls, path: str, **extra) -> "FlatIndex":
         """extra: subclass constructor kwargs (e.g. AnnFlatIndex's
         nlist/nprobe/snapshot_kind on a typed restart)."""
-        z = np.load(path, allow_pickle=False)
+        z = load_npz(path)
         meta = json.loads(str(z["meta"]))
         idx = cls(
             meta["dim"], dtype=meta["dtype"], tile_n=meta["tile_n"],

@@ -328,7 +328,7 @@ class IVFIndex:
 
     @classmethod
     def load(cls, path: str, *, dtype=jnp.bfloat16) -> "IVFIndex":
-        z = np.load(path, allow_pickle=False)
+        z = load_npz(path)
         meta = json.loads(str(z["meta"]))
         return cls(z["centroids"], z["blocks"], z["block_rows"],
                    z["cell_blocks"], meta["ids"], dtype=dtype)

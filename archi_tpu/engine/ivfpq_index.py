@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from archi_tpu.engine.flat_index import jsonable_ids
+from archi_tpu.engine.flat_index import jsonable_ids, load_npz
 from archi_tpu.engine.ivf_index import _bias_to_block_layout, cell_block_layout
 from archi_tpu.engine.kmeans import kmeans
 from archi_tpu.engine.pq import PQCodec, _split_subspaces, _pq_assign
@@ -45,10 +45,13 @@ from archi_tpu.ops.pallas_topk import NEG_INF
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "group",
-                                              "with_bias", "adc_impl"))
+                                              "with_bias", "adc_impl",
+                                              "approx_extract",
+                                              "approx_recall"))
 def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
                   cell_blocks, codebooks, rot1, bias_by_slot, *, k, nprobe,
-                  group=8, with_bias=False, adc_impl="xla"):
+                  group=8, with_bias=False, adc_impl="xla",
+                  approx_extract=False, approx_recall=0.95):
     """queries [B, D] (B % group == 0); code_blocks [n_blocks, blk, mc] u8
     where mc = m (8-bit codes) or m//2 (packed 4-bit nibbles, ksub=16);
     codebooks [m, ksub, ds]; rot1 [D, D] — the stage-1 OPQ rotation
@@ -123,7 +126,30 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
             scores = scores + bias_by_slot[safe].reshape(-1)[None, :]
         scores = jnp.where(mask, scores, NEG_INF)
         kk = min(k, scores.shape[1])
-        vals, pos = jax.lax.top_k(scores, kk)
+        w = scores.shape[1]
+        if (approx_extract and kk >= 64 and w % blk == 0 and blk >= 256
+                and w >= 16 * kk and w // blk >= 8):
+            # Wide-k candidate extraction via TPU ApproxTopK (PartialReduce)
+            # instead of the full sort lax.top_k lowers to — the stage-1
+            # candidate set feeds a refinement rescore (and usually a host
+            # exact rerank), so a recall_target'd extraction loses nothing
+            # the overfetch didn't already budget for.  One hazard: the
+            # reduction windows are CONTIGUOUS in the last dim, and
+            # near-duplicate corpus rows sit in ADJACENT slots of the same
+            # cell block (cell-contiguous reorder) — a window would keep
+            # one survivor per duplicate run.  The strided relayout below
+            # scatters formerly-adjacent slots w//blk apart (>> any window
+            # ApproxTopK picks for kk >= 64), so duplicate runs land in
+            # distinct windows; the r-direction neighbors it creates are
+            # one whole block apart in the cell — uncorrelated clusters.
+            r_dim = w // blk
+            s2 = jnp.swapaxes(
+                scores.reshape(g_sz, r_dim, blk), 1, 2).reshape(g_sz, w)
+            vals, f = jax.lax.approx_max_k(
+                s2, kk, recall_target=approx_recall)
+            pos = (f % r_dim) * blk + f // r_dim
+        else:
+            vals, pos = jax.lax.top_k(scores, kk)
         g = safe[pos // blk] * blk + pos % blk
         return vals, g.astype(jnp.int32)
 
@@ -465,11 +491,20 @@ class IVFPQIndex:
     def search_dispatch(self, queries, k: int = 10, *, nprobe: int = 64,
                         bias=None, normalize_queries: bool = True,
                         vmem_budget_rows: int = 1 << 17,
-                        refine_overfetch: int = 8):
+                        refine_overfetch: int = 8,
+                        extract: str = "auto",
+                        approx_recall: float = 0.95):
         """Device-only: → (vals [B, k] f32 dev, original rows [B, k] i32 dev,
         -1 for dead slots).  With a refinement stage, stage 1 over-fetches
         ``refine_overfetch * k`` candidates and the refinement ADC re-ranks
-        them down to k."""
+        them down to k.
+
+        extract: stage-1 candidate extraction.  "exact" = lax.top_k (a full
+        sort over every probed slot — the measured wall-clock majority at
+        high nprobe x wide k); "approx" = TPU ApproxTopK at
+        ``approx_recall``; "auto" = approx only when a refinement stage
+        will re-rank the candidates anyway (and we're on TPU, and stage-1 k
+        is wide enough to matter)."""
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -510,6 +545,11 @@ class IVFPQIndex:
 
         adc_impl = ("lut16" if self.packed else "pallas") if on_tpu() \
             else "xla"
+        if extract == "auto":
+            approx = (on_tpu() and self.refine_codec is not None
+                      and k1 >= 256)
+        else:
+            approx = extract == "approx"
         rot1 = (self.codec.rotation if self.codec.rotation is not None
                 else jnp.eye(self.dim, dtype=jnp.float32))
         vals, gpos = _ivfpq_search(
@@ -517,6 +557,7 @@ class IVFPQIndex:
             self.block_rows_valid, self.cell_blocks, self.codec.codebooks,
             rot1, bias_by_slot, k=k1, nprobe=nprobe, group=group,
             with_bias=bias is not None, adc_impl=adc_impl,
+            approx_extract=approx, approx_recall=float(approx_recall),
         )
         vals, gpos = vals[:b], gpos[:b]
         rows = jnp.where(
@@ -536,7 +577,9 @@ class IVFPQIndex:
     def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,
                normalize_queries: bool = True,
                vmem_budget_rows: int = 1 << 17,
-               rerank_store=None, rerank_overfetch: int = 4):
+               rerank_store=None, rerank_overfetch: int = 4,
+               refine_overfetch: int = 8, extract: str = "auto",
+               approx_recall: float = 0.95):
         """bias: f32 by ORIGINAL row — same contract as IVFIndex.search.
 
         rerank_store: optional ``HostVectorStore`` holding the full
@@ -548,7 +591,9 @@ class IVFPQIndex:
         vals, rows = self.search_dispatch(
             queries, k1, nprobe=nprobe, bias=bias,
             normalize_queries=normalize_queries,
-            vmem_budget_rows=vmem_budget_rows)
+            vmem_budget_rows=vmem_budget_rows,
+            refine_overfetch=refine_overfetch, extract=extract,
+            approx_recall=approx_recall)
         if rerank_store is not None:
             from archi_tpu.engine.host_store import exact_rerank
 
@@ -593,7 +638,7 @@ class IVFPQIndex:
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
-        z = np.load(path, allow_pickle=False)
+        z = load_npz(path)
         meta = json.loads(str(z["meta"]))
         codec = PQCodec.from_arrays(
             {"codebooks": z["codebooks"],

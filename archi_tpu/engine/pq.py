@@ -452,7 +452,7 @@ class PQFlatIndex:
 
     @classmethod
     def load(cls, path: str) -> "PQFlatIndex":
-        z = np.load(path, allow_pickle=False)
+        z = load_npz(path)
         meta = json.loads(str(z["meta"]))
         codec = PQCodec.from_arrays(
             {"codebooks": z["codebooks"],

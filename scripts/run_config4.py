@@ -131,7 +131,8 @@ def main() -> None:
     if "--index" in args:
         index_path = args[args.index("--index") + 1]
     t0 = time.time()
-    if index_path and os.path.exists(index_path):
+    if index_path and (os.path.exists(index_path)
+                       or os.path.exists(index_path + ".npz")):
         idx = IVFPQIndex.load(index_path)
         print(f"loaded index from {index_path}", flush=True)
     else:
@@ -241,38 +242,46 @@ def main() -> None:
                 buf[ofs:ofs + (1 << 21), 0].view(np.uint16)).sum())
         print(f"page-cache warm pass: {time.time() - t0:.0f}s", flush=True)
 
-        rerank_cfgs = [(16, 320), (32, 320), (32, 1024), (64, 1024),
-                       (64, 2048)]
+        # spec entries: nprobe:C[:refine_overfetch] (stage-1 over-fetch
+        # for the refinement rescore; default 8 matches search_dispatch)
+        rerank_cfgs = [(16, 320, 8), (32, 320, 8), (32, 1024, 8),
+                       (64, 1024, 8), (64, 2048, 8)]
         if "--rerank-sweep" in args:
-            rerank_cfgs = [
-                tuple(int(v) for v in pair.split(":"))
-                for pair in args[args.index("--rerank-sweep") + 1].split(",")]
-        for nprobe, c in rerank_cfgs:
+            rerank_cfgs = []
+            for pair in args[args.index("--rerank-sweep") + 1].split(","):
+                v = [int(x) for x in pair.split(":")]
+                rerank_cfgs.append((v[0], v[1], v[2] if len(v) > 2 else 8))
+        extract = "exact" if "--exact-extract" in args else "auto"
+        for nprobe, c, rfo in rerank_cfgs:
             overfetch = max(1, c // K)
             ids, vals, rows_h = idx.search(
                 qd, k=K, nprobe=nprobe, rerank_store=store,
-                rerank_overfetch=overfetch)
+                rerank_overfetch=overfetch, refine_overfetch=rfo,
+                extract=extract)
             strict = strict_of(rows_h)
             top1 = float(np.mean(rows_h[:, 0] == q_src))
 
-            def rr_search(qv, nprobe=nprobe, overfetch=overfetch):
+            def rr_search(qv, nprobe=nprobe, overfetch=overfetch, rfo=rfo):
                 _, v, _ = idx.search(qv, k=K, nprobe=nprobe,
                                      rerank_store=store,
-                                     rerank_overfetch=overfetch)
+                                     rerank_overfetch=overfetch,
+                                     refine_overfetch=rfo, extract=extract)
                 return v
 
             # search() already syncs (numpy outputs) — no extra sync
             best = _measure_qps(rr_search, q, rng, rtt_s=r)
 
-            def dev_only(qv, nprobe=nprobe, overfetch=overfetch):
+            def dev_only(qv, nprobe=nprobe, overfetch=overfetch, rfo=rfo):
                 v, _ = idx.search_dispatch(
-                    qv, k=K * overfetch, nprobe=nprobe)
+                    qv, k=K * overfetch, nprobe=nprobe,
+                    refine_overfetch=rfo, extract=extract)
                 return v
 
             dev_best = _measure_qps(dev_only, q, rng, rtt_s=r,
                                     sync=lambda v: float(jnp.sum(v)))
             rerank_sweep.append({
                 "nprobe": nprobe, "rerank_c": int(c),
+                "refine_overfetch": int(rfo),
                 "recall_strict_at_10": round(strict, 3),
                 "self_top1": round(top1, 3),
                 "ms_per_batch32": round(best * 1e3, 1),

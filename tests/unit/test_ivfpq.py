@@ -322,3 +322,24 @@ def test_opq_through_ivfpq(tmp_path):
     vb, rb = loaded.search_dispatch(q[:4], k=5, nprobe=8)
     np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
     assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_approx_extract_matches_exact(setup, refined):
+    """Forced ApproxTopK stage-1 extraction (the high-nprobe wide-k fast
+    path, incl. the strided anti-duplicate relayout and its flat-position
+    recovery) must agree with the exact path: same top-1, >= 0.9 overlap
+    of the final top-10, and identical scores on common rows."""
+    _, x, q, _ = setup
+    ve, re_ = refined.search_dispatch(q, k=10, nprobe=16, extract="exact")
+    va, ra = refined.search_dispatch(q, k=10, nprobe=16, extract="approx",
+                                     approx_recall=0.99)
+    ve, re_, va, ra = map(np.asarray, (ve, re_, va, ra))
+    assert np.array_equal(re_[:, 0], ra[:, 0])
+    overlap = np.mean([
+        len(set(re_[b]) & set(ra[b])) / 10 for b in range(q.shape[0])])
+    assert overlap >= 0.9
+    for b in range(q.shape[0]):
+        se = dict(zip(re_[b].tolist(), ve[b].tolist()))
+        for r, v in zip(ra[b].tolist(), va[b].tolist()):
+            if r in se:
+                assert abs(se[r] - v) < 1e-4
