@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from archi_tpu.engine.flat_index import jsonable_ids, load_npz
 from archi_tpu.engine.kmeans import kmeans
 from archi_tpu.ops.pallas_topk import NEG_INF
 
@@ -323,7 +324,7 @@ class IVFIndex:
             block_rows=self.block_rows,
             cell_blocks=np.asarray(self.cell_blocks),
             meta=json.dumps({"ids": None if self._ids is None
-                             else [str(i) for i in self._ids]}),
+                             else jsonable_ids(self._ids)}),
         )
 
     @classmethod

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from archi_tpu.engine.flat_index import jsonable_ids
+from archi_tpu.engine.flat_index import jsonable_ids, load_npz
 from archi_tpu.ops.pallas_topk import NEG_INF
 
 

@@ -85,3 +85,21 @@ def test_ivf_small_corpus_fewer_rows_than_k(rng):
     ids, vals, rows = ivf.search(x[0], k=20, nprobe=2)
     real = [i for i in ids[0] if i is not None]
     assert set(real) == set(range(7))
+
+
+def test_save_load_preserves_int_ids(tmp_path):
+    """IVFIndex.save must round-trip integer ids as ints (the r2-advice
+    id-stringification bug, fixed for PQ/IVFPQ, also lived here)."""
+    import numpy as np
+
+    from archi_tpu.engine.ivf_index import IVFIndex
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1024, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = IVFIndex.build(x, list(range(1024)), nlist=8, block=128)
+    p = str(tmp_path / "ivf")
+    idx.save(p)
+    idx2 = IVFIndex.load(p)  # extension-less: save wrote ivf.npz
+    ids, _, _ = idx2.search(x[3], k=1, nprobe=8)
+    assert ids[0][0] == 3 and isinstance(ids[0][0], int)
