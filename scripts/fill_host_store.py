@@ -64,14 +64,29 @@ def main() -> None:
 
     block_fn = make_block_fn(jax.random.PRNGKey(0), args.blocks)
     nt = max(1, args.threads)
-    step = BLOCK_ROWS // nt
+    # per-request size matters more than parallelism on this relay:
+    # single large streams measured ~1.5 MB/s (64 KB-frame RTT-bound),
+    # while many ~3 MB requests in flight sustained tens of MB/s — so
+    # the block is cut into fixed ~3 MB sub-slices drained by the pool,
+    # not into nt equal shares.
+    sub_rows = 4096                       # 4096 x 384 bf16 = 3 MB
+    n_sub = BLOCK_ROWS // sub_rows
+
+    # ONE compiled program for every sub-slice: the offset must be a
+    # traced argument — a python slice per offset would bake 256 distinct
+    # constants and trigger 256 remote compiles per block.
+    @jax.jit
+    def get_slice(b, s):
+        return jax.lax.dynamic_slice_in_dim(b, s * sub_rows, sub_rows)
+
     t_start = time.time()
     for i in range(start_block, args.blocks):
         t0 = time.time()
         blk = block_fn(i)
-        # device-side slice copies so each thread downloads an
+        # device-side slice copies so each request downloads an
         # independent buffer (range requests through the relay)
-        slices = [jnp.copy(blk[s * step:(s + 1) * step]) for s in range(nt)]
+        slices = [get_slice(blk, jnp.asarray(s, jnp.int32))
+                  for s in range(n_sub)]
         jax.block_until_ready(slices)
         with cf.ThreadPoolExecutor(nt) as ex:
             parts = list(ex.map(np.asarray, slices))

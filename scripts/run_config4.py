@@ -228,6 +228,40 @@ def main() -> None:
         })
         print(json.dumps(sweep[-1]), flush=True)
 
+    # --- device-only candidate sweep: nprobe x C x refine_overfetch.
+    # Strict recall AFTER an exact rerank equals candidate recall (the
+    # exact rescore returns the best true-scored 10 of the candidate
+    # set), so this measures the rerank path's recall and device cost
+    # without the host tier being present; rerank_cost_ms is measured
+    # separately when the store exists.
+    dev_sweep = []
+    if "--dev-sweep" in args:
+        for trip in args[args.index("--dev-sweep") + 1].split(","):
+            v = [int(x) for x in trip.split(":")]
+            nprobe, c, rfo = v[0], v[1], (v[2] if len(v) > 2 else 8)
+            _, rows_d = idx.search_dispatch(qd, k=c, nprobe=nprobe,
+                                            refine_overfetch=rfo)
+            rows_h = np.asarray(rows_d)
+            cand = float(np.mean([
+                len(set(rows_h[b]) & set(exact[b])) / K for b in range(B)]))
+            top1 = float(np.mean(rows_h[:, 0] == q_src))
+
+            def dev_only(qv, nprobe=nprobe, c=c, rfo=rfo):
+                v, _ = idx.search_dispatch(qv, k=c, nprobe=nprobe,
+                                           refine_overfetch=rfo)
+                return v
+
+            best = _measure_qps(dev_only, q, rng, rtt_s=r,
+                                sync=lambda v: float(jnp.sum(v)))
+            dev_sweep.append({
+                "nprobe": nprobe, "rerank_c": c, "refine_overfetch": rfo,
+                "recall_strict_at_10_after_exact_rerank": round(cand, 3),
+                "self_top1_stage": round(top1, 3),
+                "dev_ms_per_batch32": round(best * 1e3, 1),
+                "dev_qps": round(B / best, 1),
+            })
+            print(json.dumps(dev_sweep[-1]), flush=True)
+
     # --- host-rerank sweep: nprobe x rerank-C (candidate-bound recall)
     rerank_sweep = []
     if store is not None:
@@ -324,6 +358,7 @@ def main() -> None:
         "exact_gt_scan_s": round(exact_s, 1),
         "relay_rtt_ms": round(r * 1e3, 1),
         "nprobe_sweep": sweep,
+        "dev_sweep": dev_sweep,
         "rerank_sweep": rerank_sweep,
         "host_store": None if store is None else {
             "path": store_path, "rows": len(store), "dtype": "bfloat16",
