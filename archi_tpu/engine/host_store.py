@@ -93,10 +93,18 @@ class HostVectorStore:
     def add(self, x) -> np.ndarray:
         """Append rows → their row numbers (aligned with the device index's
         physical rows when fed from the same ingest stream)."""
-        x = np.asarray(x, np.float32)
+        x = np.asarray(x)
         n_new = x.shape[0]
         self._grow_to(self._n + n_new)
-        self._buf[self._n: self._n + n_new] = x.astype(self.dtype)
+        if x.dtype == self.dtype:
+            # same-dtype fast path: straight memcpy into the store. The
+            # f32 round-trip below allocates 2x the block in fresh pages
+            # — at bulk-fill scale (805 MB blocks) first-touch faults on
+            # this rig degrade to MB/s and turned each add into minutes.
+            self._buf[self._n: self._n + n_new] = x
+        else:
+            self._buf[self._n: self._n + n_new] = \
+                np.asarray(x, np.float32).astype(self.dtype)
         rows = np.arange(self._n, self._n + n_new)
         self._n += n_new
         self._write_meta()

@@ -12,10 +12,12 @@ bits the device's ground-truth scan saw — same-cluster score gaps here
 are ~0.002, and an f16 recast would re-blur what the rerank exists to
 resolve.
 
-Relay throughput is per-connection-bound (~11 MB/s single stream);
-4 parallel range downloads measured 37 MB/s, so each block is split into
-quarter-slices fetched by a thread pool.  Resumable: progress = the
-store's persisted row count; re-running continues at the next block.
+Relay throughput is request-RTT-bound: a single large stream crawls at
+~1.5 MB/s (64 KB frames x ~30 ms RTT) and 4 requests in flight measured
+only 3.3 MB/s — it takes ~16-32 concurrent ~3 MB requests to sustain
+35-38 MB/s (measured on this rig), hence the 3 MB sub-slice pool with a
+24-thread default.  Resumable: progress = the store's persisted row
+count; re-running continues at the next block.
 
 Usage:
   python scripts/fill_host_store.py [--blocks 96] [--threads 4] \
@@ -35,7 +37,7 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=96)
-    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--threads", type=int, default=24)
     ap.add_argument("--out", default="/tmp/archi_host_store/config4.bf16")
     args = ap.parse_args()
 
@@ -90,9 +92,14 @@ def main() -> None:
         jax.block_until_ready(slices)
         with cf.ThreadPoolExecutor(nt) as ex:
             parts = list(ex.map(np.asarray, slices))
-        host_block = np.concatenate(parts, axis=0)
-        assert host_block.shape == (BLOCK_ROWS, D)
-        store.add(host_block)
+        # stream parts straight into the memmap in bf16 — no concatenate
+        # (805 MB of fresh pages) and no f32 round-trip: first-touch
+        # faults on this host can degrade to MB/s, so the per-block path
+        # must not allocate block-sized buffers
+        assert sum(p.shape[0] for p in parts) == BLOCK_ROWS \
+            and all(p.dtype == store.dtype for p in parts)
+        for p in parts:
+            store.add(p)
         store.flush()
         dt = time.time() - t0
         done = i - start_block + 1
