@@ -131,12 +131,21 @@ class DeploymentManager:
                 started[name] = state["services"][name]
                 continue
             log = open(os.path.join(self.dir, f"{name}.log"), "a")
+            # Services run with cwd = the deployment dir; ``-m`` resolves
+            # archi_tpu from sys.path, so the package root (wherever THIS
+            # module was imported from) must ride PYTHONPATH — the parent's
+            # environment cannot be relied on to carry it.
+            pkg_root = os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            child_env = {**os.environ, **secret_env}
+            child_env["PYTHONPATH"] = (
+                pkg_root + os.pathsep + child_env.get("PYTHONPATH", ""))
             proc = subprocess.Popen(
                 [sys.executable, "-m", sdef.module,
                  os.path.join(self.dir, "config.yaml")],
                 stdout=log, stderr=subprocess.STDOUT,
                 cwd=self.dir,
-                env={**os.environ, **secret_env},
+                env=child_env,
             )
             started[name] = {"pid": proc.pid, "started_at": time.time(),
                              "port": config["services"][name].get("port")}

@@ -21,8 +21,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Script-mode sys.path[0] is scripts/; make archi_tpu importable without
+# relying on the parent process's PYTHONPATH.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

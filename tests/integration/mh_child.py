@@ -15,6 +15,12 @@ checked against local brute force.
 import os
 import sys
 
+# Script-mode sys.path[0] is tests/integration; make archi_tpu importable
+# regardless of the parent's PYTHONPATH.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=4")
 

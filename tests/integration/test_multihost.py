@@ -29,6 +29,10 @@ def test_two_process_mesh_sharded_search():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
+    # The child runs as a script (sys.path[0] = tests/integration), so the
+    # repo root must be on PYTHONPATH for ``import archi_tpu`` to resolve.
+    repo_root = os.path.dirname(os.path.dirname(HERE))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "mh_child.py"),
