@@ -80,6 +80,7 @@ def _build_index(dim: int, index_cfg: dict):
             dim,
             nlist=index_cfg.get("nlist", 1024),
             nprobe=index_cfg.get("nprobe", 64),
+            nprobe_blocks=index_cfg.get("nprobe_blocks"),
             min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 15),
             snapshot_kind=index_type,
             pq_m=index_cfg.get("pq_m", 48),

@@ -48,6 +48,9 @@ DEFAULT_CONFIG: dict = {
             "tile_n": 4096,
             "nlist": 1024,           # ivf cells
             "nprobe": 64,
+            # ivfpq only: probe by per-block mini-centroid budget instead
+            # of whole cells (exact work = nprobe_blocks * block rows)
+            "nprobe_blocks": None,
             # hot-tail segmented appends for heavy streaming ingest
             # (O(tail) copies instead of O(corpus); docs/streaming_ingest.md)
             "hot_tail": False,

@@ -64,6 +64,7 @@ class AnnFlatIndex(FlatIndex):
     supports_batched_bias = True
 
     def __init__(self, dim: int, *, nlist: int = 1024, nprobe: int = 64,
+                 nprobe_blocks: int | None = None,
                  min_snapshot_rows: int = 1 << 15,
                  refresh_fraction: float = 0.25,
                  snapshot_kind: str = "ivf", pq_m: int = 48,
@@ -90,6 +91,11 @@ class AnnFlatIndex(FlatIndex):
             raise ValueError(f"unknown snapshot_kind {snapshot_kind!r}")
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
+        # block-budget probing (ivfpq only): rank individual code blocks
+        # by mini-centroid score instead of probing whole padded cells —
+        # see IVFPQIndex.search_dispatch(nprobe_blocks=...)
+        self.nprobe_blocks = (None if nprobe_blocks is None
+                              else int(nprobe_blocks))
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
         self.snapshot_kind = snapshot_kind
@@ -366,9 +372,12 @@ class AnnFlatIndex(FlatIndex):
         k_eff = min(k, max(len(self), 1))
         # ANN over the snapshot (bias permuted to block layout internally;
         # queries already normalized — don't re-normalize scaled hybrids)
+        npb = (self.nprobe_blocks
+               if self.snapshot_kind == "ivfpq" else None)
         a_vals, a_rows = ivf.search_dispatch(
             queries, k=k_eff, nprobe=nprobe or self.nprobe, bias=row_bias,
-            normalize_queries=False)
+            normalize_queries=False,
+            **({"nprobe_blocks": npb} if npb is not None else {}))
         # EXACT scan of the fresh rows [n_snap, n_rows) — static shapes per
         # snapshot (recompiles only at refresh)
         f_vals, f_rows = topk_scores(

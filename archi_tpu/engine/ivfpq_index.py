@@ -165,6 +165,119 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
     return vals.reshape(b, -1), gpos.reshape(b, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe_blocks", "group",
+                                              "with_bias", "adc_impl",
+                                              "approx_extract",
+                                              "approx_recall"))
+def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
+                         code_blocks, block_rows_valid, codebooks, rot1,
+                         bias_by_slot, *, k, nprobe_blocks, group=1,
+                         with_bias=False, adc_impl="xla",
+                         approx_extract=False, approx_recall=0.95):
+    """Block-budget probing: rank individual code BLOCKS by their own
+    mini-centroid score and ADC exactly ``nprobe_blocks`` blocks per query.
+
+    Cell probing (``_ivfpq_search``) gathers ``max_bpc`` blocks for every
+    probed cell — work scales with the SKEW of the k-means cell sizes
+    (the padding waste is pure overhead), and a big cell that ranks high
+    drags all of its blocks in even when the query's true neighbors fill
+    one of them.  Here the second-level quantizer is free: blocks are
+    already cell-contiguous, so a per-block centroid (mean of the block's
+    rows) ranks exactly where high scorers live, at single-block
+    granularity, and the probe budget is exact — ``nprobe_blocks * blk``
+    slots, no padding.  Scoring is unchanged: candidates are still scored
+    as q·centroid(owning cell) + ADC(residual codes) [+ bias], so results
+    are identical to cell probing whenever both probe sets cover the same
+    blocks.
+    """
+    from archi_tpu.ops.pallas_adc import (adc_scores, adc_scores_lut16,
+                                          adc_scores_xla, unpack_nibbles)
+
+    blk = code_blocks.shape[1]
+    m, ksub, ds = codebooks.shape
+    packed = code_blocks.shape[2] == m // 2 and ksub == 16
+    b, d = queries.shape
+    npb = nprobe_blocks
+
+    # One [B, nlist] + one [B, n_blocks] MXU scan for the whole batch
+    # (NOT per group — the block-centroid matrix streams from HBM once).
+    cscores_all = jnp.dot(queries, centroids.T,
+                          preferred_element_type=jnp.float32)
+    bscores = jnp.dot(queries, block_centroids.T,
+                      preferred_element_type=jnp.float32)  # [B, n_blocks]
+    _, bids_all = jax.lax.top_k(bscores, npb)              # [B, npb]
+    # owning-cell coarse score of every probed block, per owner query
+    cs_own = jnp.take_along_axis(
+        cscores_all, block_cell[bids_all], axis=1)         # [B, npb]
+    q_rot = jnp.dot(queries, rot1, preferred_element_type=jnp.float32)
+
+    bias2d = with_bias and bias_by_slot.ndim == 3
+
+    def one_group(args):  # per-group: gather + ADC + extract
+        qg_r, bids, cs_g, bias_g = args
+        g_sz = qg_r.shape[0]
+        bflat = bids.reshape(-1)                           # [P], P = G*npb
+        p = bflat.shape[0]
+        cand = code_blocks[bflat].reshape(p * blk, -1)     # [P*blk, mc] u8
+
+        luts = jnp.einsum(
+            "gmd,mkd->mgk", qg_r.reshape(g_sz, m, ds), codebooks,
+            preferred_element_type=jnp.float32)            # [m, G, ksub]
+        tile = 1024 if blk % 1024 == 0 else blk
+        if adc_impl == "lut16":
+            scores = adc_scores_lut16(luts, jnp.transpose(cand), tile=tile)
+        elif adc_impl == "pallas":
+            scores = adc_scores(luts, jnp.transpose(cand), tile=tile)
+        else:
+            codes_t = jnp.transpose(
+                unpack_nibbles(cand) if packed else cand)  # [m, P*blk]
+            scores = adc_scores_xla(luts, codes_t)
+
+        # + q·centroid(owning cell).  Slot s (block bp = s // blk) is owned
+        # by query bp // npb; cs_g.reshape(-1)[bp] is that owner's coarse
+        # score, so the broadcast add is exact for owned slots and wrong
+        # only where the owner mask kills the score anyway.
+        scores = scores + jnp.repeat(cs_g.reshape(-1), blk)[None, :]
+
+        owner = jax.lax.broadcasted_iota(jnp.int32, (g_sz, p), 1) // npb
+        mine = owner == jax.lax.broadcasted_iota(jnp.int32, (g_sz, p), 0)
+        row_ok = block_rows_valid[bflat].reshape(-1) > 0.5
+        mask = jnp.repeat(mine, blk, axis=1) & row_ok[None, :]
+        if with_bias and bias2d:
+            scores = scores + bias_g[:, bflat, :].reshape(g_sz, -1)
+        elif with_bias:
+            scores = scores + bias_by_slot[bflat].reshape(-1)[None, :]
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        kk = min(k, scores.shape[1])
+        w = scores.shape[1]
+        if (approx_extract and kk >= 64 and w % blk == 0 and blk >= 256
+                and w >= 16 * kk and w // blk >= 8):
+            # same strided anti-duplicate relayout as _ivfpq_search
+            r_dim = w // blk
+            s2 = jnp.swapaxes(
+                scores.reshape(g_sz, r_dim, blk), 1, 2).reshape(g_sz, w)
+            vals, f = jax.lax.approx_max_k(
+                s2, kk, recall_target=approx_recall)
+            pos = (f % r_dim) * blk + f // r_dim
+        else:
+            vals, pos = jax.lax.top_k(scores, kk)
+        g = bflat[pos // blk] * blk + pos % blk
+        return vals, g.astype(jnp.int32)
+
+    n_groups = b // group
+    qs = q_rot.reshape(n_groups, group, d)
+    bids_gs = bids_all.reshape(n_groups, group, npb)
+    cs_gs = cs_own.reshape(n_groups, group, npb)
+    if bias2d:
+        bias_gs = bias_by_slot.reshape(
+            n_groups, group, *bias_by_slot.shape[1:])
+    else:
+        bias_gs = jnp.zeros((n_groups, group, 1, 1), jnp.float32)
+    vals, gpos = jax.lax.map(one_group, (qs, bids_gs, cs_gs, bias_gs))
+    return vals.reshape(b, -1), gpos.reshape(b, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "packed"))
 def _refine_rescore(vals, rows, luts2, refine_codes, *, k, packed=False):
     """Re-score stage-1 candidates with the refinement codebook.
@@ -208,7 +321,7 @@ class IVFPQIndex:
 
     def __init__(self, centroids, codec: PQCodec, code_blocks, block_rows,
                  cell_blocks, ids, *, refine_codec: PQCodec | None = None,
-                 refine_codes=None):
+                 refine_codes=None, block_centroids=None):
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.codec = codec
         # avoid a same-dtype astype copy: at 100M rows the code blocks are
@@ -236,6 +349,20 @@ class IVFPQIndex:
         # packed 4-bit mode: ksub=16 codes stored two-per-byte
         self.packed = (codec.ksub == 16 and
                        self.code_blocks.shape[2] == codec.m // 2)
+        # block-budget probing state: per-block mini-centroids (lazily
+        # decoded from the codes on first use — see ensure_block_centroids)
+        # and the block → owning-cell map derived from cell_blocks.
+        self.block_centroids = (None if block_centroids is None
+                                else jnp.asarray(block_centroids,
+                                                 jnp.float32))
+        cb_h = np.asarray(cell_blocks)
+        n_blocks = self.code_blocks.shape[0]
+        bc_map = np.zeros((n_blocks,), np.int32)
+        valid_cb = cb_h >= 0
+        bc_map[cb_h[valid_cb]] = (
+            np.nonzero(valid_cb.reshape(-1))[0] // cb_h.shape[1]
+        ).astype(np.int32)
+        self._block_cell_dev = jnp.asarray(bc_map)
         self.refine_codec = refine_codec
         if refine_codes is None:
             self.refine_codes = None
@@ -487,8 +614,45 @@ class IVFPQIndex:
         return cls(centroids, codec, code_blocks, block_rows_map, cb, ids,
                    refine_codec=codec2, refine_codes=refine_codes)
 
+    # ------------------------------------------------------- block centroids
+    def ensure_block_centroids(self, *, chunk_blocks: int = 256):
+        """Per-block mini-centroids for block-budget probing, decoded from
+        the stored codes (centroid(cell) + mean decoded residual over the
+        block's valid rows, L2-normalized).  Needs no corpus access, so it
+        works on a loaded index; quantization error is the PQ error —
+        negligible for ranking blocks.  Cached; included in save()."""
+        if self.block_centroids is not None:
+            return self.block_centroids
+        nb, blk, mc = self.code_blocks.shape
+        if self.packed:
+            from archi_tpu.ops.pallas_adc import unpack_nibbles
+
+        parts = []
+        for s in range(0, nb, chunk_blocks):
+            e = min(s + chunk_blocks, nb)
+            cb = e - s
+            flat = self.code_blocks[s:e].reshape(cb * blk, mc)
+            if self.packed:
+                flat = unpack_nibbles(flat)
+            # decode row-chunks internally ([m, chunk, ds] is lane-padded
+            # ds→128 on TPU, so one big decode would materialize ~16x)
+            dec = self.codec.decode(flat)                    # [cB*blk, D]
+            valid_c = self.block_rows_valid[s:e]             # [cB, blk]
+            dec = dec.reshape(cb, blk, -1) * valid_c[:, :, None]
+            cnt = valid_c.sum(axis=1)                        # [cB]
+            mean_r = dec.sum(axis=1) / jnp.maximum(cnt, 1.0)[:, None]
+            bc = self.centroids[self._block_cell_dev[s:e]] + mean_r
+            # zero all-pad blocks so they can never outrank a real block
+            bc = bc * (cnt > 0).astype(jnp.float32)[:, None]
+            parts.append(bc / jnp.maximum(
+                jnp.linalg.norm(bc, axis=1, keepdims=True), 1e-12))
+        bc = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        self.block_centroids = bc
+        return bc
+
     # ----------------------------------------------------------------- search
     def search_dispatch(self, queries, k: int = 10, *, nprobe: int = 64,
+                        nprobe_blocks: int | None = None,
                         bias=None, normalize_queries: bool = True,
                         vmem_budget_rows: int = 1 << 17,
                         refine_overfetch: int = 8,
@@ -504,18 +668,30 @@ class IVFPQIndex:
         high nprobe x wide k); "approx" = TPU ApproxTopK at
         ``approx_recall``; "auto" = approx only when a refinement stage
         will re-rank the candidates anyway (and we're on TPU, and stage-1 k
-        is wide enough to matter)."""
+        is wide enough to matter).
+
+        nprobe_blocks: when set, probe by BLOCK budget instead of cell
+        count — rank individual code blocks by per-block mini-centroid
+        score and ADC exactly this many blocks per query (see
+        ``_ivfpq_search_blocks``); ``nprobe`` is then ignored."""
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
         b = queries.shape[0]
         nprobe = min(nprobe, self.nlist)
         max_bpc = int(self.cell_blocks.shape[1])
+        if nprobe_blocks is not None:
+            nprobe_blocks = int(min(nprobe_blocks,
+                                    self.code_blocks.shape[0]))
+            self.ensure_block_centroids()
         # measured v5e optimum (8.4M, nlist=4096): candidate work scales
         # ~G^2 per group (each member re-scores the whole group's gathered
         # blocks), so small groups win — target ~128k candidate slots per
         # group, never more than 4 queries
-        rows_per_q = max(nprobe * max_bpc * self.block, 1)
+        if nprobe_blocks is not None:
+            rows_per_q = max(nprobe_blocks * self.block, 1)
+        else:
+            rows_per_q = max(nprobe * max_bpc * self.block, 1)
         group = max(1, min(4, vmem_budget_rows // rows_per_q, b))
         pad = (-b) % group
         if pad:
@@ -539,8 +715,10 @@ class IVFPQIndex:
             bias_by_slot = self.block_rows_valid  # placeholder, unused
         k1 = k
         if self.refine_codec is not None:
-            k1 = min(max(k * refine_overfetch, 64),
-                     nprobe * max_bpc * self.block)
+            probed_rows = (nprobe_blocks * self.block
+                           if nprobe_blocks is not None
+                           else nprobe * max_bpc * self.block)
+            k1 = min(max(k * refine_overfetch, 64), probed_rows)
         from archi_tpu.utils.hardware import on_tpu
 
         adc_impl = ("lut16" if self.packed else "pallas") if on_tpu() \
@@ -552,13 +730,24 @@ class IVFPQIndex:
             approx = extract == "approx"
         rot1 = (self.codec.rotation if self.codec.rotation is not None
                 else jnp.eye(self.dim, dtype=jnp.float32))
-        vals, gpos = _ivfpq_search(
-            queries, self.centroids, self.code_blocks,
-            self.block_rows_valid, self.cell_blocks, self.codec.codebooks,
-            rot1, bias_by_slot, k=k1, nprobe=nprobe, group=group,
-            with_bias=bias is not None, adc_impl=adc_impl,
-            approx_extract=approx, approx_recall=float(approx_recall),
-        )
+        if nprobe_blocks is not None:
+            vals, gpos = _ivfpq_search_blocks(
+                queries, self.centroids, self.block_centroids,
+                self._block_cell_dev, self.code_blocks,
+                self.block_rows_valid, self.codec.codebooks, rot1,
+                bias_by_slot, k=k1, nprobe_blocks=nprobe_blocks,
+                group=group, with_bias=bias is not None, adc_impl=adc_impl,
+                approx_extract=approx, approx_recall=float(approx_recall),
+            )
+        else:
+            vals, gpos = _ivfpq_search(
+                queries, self.centroids, self.code_blocks,
+                self.block_rows_valid, self.cell_blocks,
+                self.codec.codebooks,
+                rot1, bias_by_slot, k=k1, nprobe=nprobe, group=group,
+                with_bias=bias is not None, adc_impl=adc_impl,
+                approx_extract=approx, approx_recall=float(approx_recall),
+            )
         vals, gpos = vals[:b], gpos[:b]
         rows = jnp.where(
             vals > -1e29,
@@ -574,7 +763,8 @@ class IVFPQIndex:
                         == self.refine_codec.m // 2))
         return vals, rows
 
-    def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,
+    def search(self, queries, k: int = 10, *, nprobe: int = 64,
+               nprobe_blocks: int | None = None, bias=None,
                normalize_queries: bool = True,
                vmem_budget_rows: int = 1 << 17,
                rerank_store=None, rerank_overfetch: int = 4,
@@ -589,7 +779,8 @@ class IVFPQIndex:
         of quantization-bound (``docs/pq_scale.md``)."""
         k1 = k if rerank_store is None else max(k, rerank_overfetch * k)
         vals, rows = self.search_dispatch(
-            queries, k1, nprobe=nprobe, bias=bias,
+            queries, k1, nprobe=nprobe, nprobe_blocks=nprobe_blocks,
+            bias=bias,
             normalize_queries=normalize_queries,
             vmem_budget_rows=vmem_budget_rows,
             refine_overfetch=refine_overfetch, extract=extract,
@@ -624,6 +815,8 @@ class IVFPQIndex:
                 extra["refine_rotation"] = np.asarray(
                     self.refine_codec.rotation)
             extra["refine_codes"] = np.asarray(self.refine_codes)
+        if self.block_centroids is not None:
+            extra["block_centroids"] = np.asarray(self.block_centroids)
         np.savez_compressed(
             path,
             centroids=np.asarray(self.centroids),
@@ -652,4 +845,6 @@ class IVFPQIndex:
             refine_codes = z["refine_codes"]
         return cls(z["centroids"], codec, z["code_blocks"], z["block_rows"],
                    z["cell_blocks"], meta["ids"], refine_codec=codec2,
-                   refine_codes=refine_codes)
+                   refine_codes=refine_codes,
+                   block_centroids=(z["block_centroids"]
+                                    if "block_centroids" in z else None))

@@ -61,7 +61,8 @@ class ShardedIVFPQIndex:
             offsets.append(lo)
         return cls(shards, offsets, ids)
 
-    def search(self, queries, k: int = 10, *, nprobe: int = 64, bias=None,
+    def search(self, queries, k: int = 10, *, nprobe: int = 64,
+               nprobe_blocks: int | None = None, bias=None,
                refine_overfetch: int = 8, rerank_store=None,
                rerank_overfetch: int = 4):
         """Fan out (async dispatch → shards search concurrently), merge the
@@ -79,8 +80,8 @@ class ShardedIVFPQIndex:
         for shard, lo in zip(self.shards, self.offsets):
             sb = None if bias is None else bias[lo: lo + len(shard)]
             dispatched.append((lo, shard.search_dispatch(
-                queries, k=k1, nprobe=nprobe, bias=sb,
-                refine_overfetch=refine_overfetch)))
+                queries, k=k1, nprobe=nprobe, nprobe_blocks=nprobe_blocks,
+                bias=sb, refine_overfetch=refine_overfetch)))
         all_vals = np.concatenate(
             [np.asarray(v) for _lo, (v, _r) in dispatched], axis=1)
         all_rows = np.concatenate([

@@ -343,3 +343,95 @@ def test_approx_extract_matches_exact(setup, refined):
         for r, v in zip(ra[b].tolist(), va[b].tolist()):
             if r in se:
                 assert abs(se[r] - v) < 1e-4
+
+
+# --------------------------------------------------------- block probing
+def test_block_probe_full_budget_matches_full_nprobe(setup):
+    """nprobe_blocks = n_blocks scans every block — results must match
+    nprobe = nlist exactly (same candidate set, same scoring)."""
+    _, x, q, idx = setup
+    va, ra = idx.search_dispatch(q, k=10, nprobe=32)
+    nb = idx.code_blocks.shape[0]
+    vb, rb = idx.search_dispatch(q, k=10, nprobe_blocks=nb)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_block_probe_recall_at_fraction_of_budget(setup):
+    """A small block budget must reach the recall cell probing needs a
+    much larger scanned volume for (mini-centroids rank at block
+    granularity)."""
+    _, x, q, idx = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    # 8 blocks/query = 2048 slots of 4096 total
+    _, _, rows = idx.search(q, k=10, nprobe_blocks=8)
+    assert _recall(rows, exact) >= 0.5
+    _, _, r100 = idx.search(q, k=100, nprobe_blocks=8)
+    assert _recall(r100, exact) >= 0.9
+
+
+def test_block_probe_bias_tombstone(setup):
+    _, x, q, idx = setup
+    _, _, base = idx.search(q[:2], k=5, nprobe_blocks=8)
+    kill = {r for rr in base for r in rr}
+    bias = np.zeros(len(x), np.float32)
+    for r in kill:
+        bias[r] = NEG_INF
+    _, vals, rows = idx.search(q[:2], k=5, nprobe_blocks=8, bias=bias)
+    assert not {r for rr in rows for r in rr} & kill
+    assert (vals > NEG_INF / 2).all()
+
+
+def test_block_probe_per_query_bias(setup):
+    """2-D (per-query) bias must apply row-wise on the block path."""
+    _, x, q, idx = setup
+    _, _, base = idx.search(q[:2], k=50, nprobe_blocks=16)
+    t0, t1 = int(base[0][-1]), int(base[1][-1])
+    bias = np.zeros((2, len(x)), np.float32)
+    bias[0, t0] = 5.0
+    bias[1, t1] = 5.0
+    _, _, rows = idx.search(q[:2], k=5, nprobe_blocks=16, bias=bias)
+    assert rows[0][0] == t0 and rows[1][0] == t1
+    assert t1 not in set(rows[0]) or t1 == t0
+
+
+def test_block_probe_save_load_roundtrip(tmp_path, setup):
+    _, x, q, idx = setup
+    idx.ensure_block_centroids()
+    p = str(tmp_path / "ivfpq_bc.npz")
+    idx.save(p)
+    loaded = IVFPQIndex.load(p)
+    assert loaded.block_centroids is not None
+    va, ra = idx.search_dispatch(q[:4], k=5, nprobe_blocks=8)
+    vb, rb = loaded.search_dispatch(q[:4], k=5, nprobe_blocks=8)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_block_probe_group_invariance(setup):
+    """Results must not depend on the group size chosen by the vmem
+    heuristic — force different groups via vmem_budget_rows."""
+    _, x, q, idx = setup
+    va, ra = idx.search_dispatch(q, k=10, nprobe_blocks=8,
+                                 vmem_budget_rows=1 << 11)  # group=1
+    vb, rb = idx.search_dispatch(q, k=10, nprobe_blocks=8,
+                                 vmem_budget_rows=1 << 17)  # group=4
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_block_probe_packed_refined(setup):
+    """Block probing through the packed-4bit + refinement config (the
+    config-4 shape): full budget matches full nprobe; small budget keeps
+    high recall; mini-centroids decode through the packed codes."""
+    _, x, q, _ = setup
+    idx4 = IVFPQIndex.build(x, nlist=32, block=256, m=32, ksub=16,
+                            refine_m=16, seed=0)
+    nb = idx4.code_blocks.shape[0]
+    va, ra = idx4.search_dispatch(q, k=10, nprobe=32)
+    vb, rb = idx4.search_dispatch(q, k=10, nprobe_blocks=nb)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    _, _, rows = idx4.search(q, k=10, nprobe_blocks=8)
+    assert _recall(rows, exact) >= 0.5
