@@ -203,7 +203,8 @@ def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
     # (NOT per group — the block-centroid matrix streams from HBM once).
     cscores_all = jnp.dot(queries, centroids.T,
                           preferred_element_type=jnp.float32)
-    bscores = jnp.dot(queries, block_centroids.T,
+    bscores = jnp.dot(queries.astype(block_centroids.dtype),
+                      block_centroids.T,
                       preferred_element_type=jnp.float32)  # [B, n_blocks]
     _, bids_all = jax.lax.top_k(bscores, npb)              # [B, npb]
     # owning-cell coarse score of every probed block, per owner query
@@ -353,8 +354,7 @@ class IVFPQIndex:
         # decoded from the codes on first use — see ensure_block_centroids)
         # and the block → owning-cell map derived from cell_blocks.
         self.block_centroids = (None if block_centroids is None
-                                else jnp.asarray(block_centroids,
-                                                 jnp.float32))
+                                else jnp.asarray(block_centroids))
         cb_h = np.asarray(cell_blocks)
         n_blocks = self.code_blocks.shape[0]
         bc_map = np.zeros((n_blocks,), np.int32)
@@ -486,6 +486,7 @@ class IVFPQIndex:
                         pq_iters: int = 10, seed: int = 0,
                         train_blocks: int = 2,
                         train_sample: int = 1 << 18,
+                        pq_train_sample: int = 1 << 18,
                         refine_m: int = 0,
                         opq_iters: int = 0) -> "IVFPQIndex":
         """Build when the corpus can NEVER be fully device-resident
@@ -523,18 +524,41 @@ class IVFPQIndex:
         nlist = max(1, min(nlist, ns))
         centroids, s_assign = kmeans(sample, nlist, iters=coarse_iters,
                                      seed=seed)
-        resid = sample - centroids[s_assign]
+        # The codecs train on a SUBSAMPLE of the coarse-training sample:
+        # only the coarse quantizer needs ~100 rows/cell at large nlist,
+        # while _train_codecs materializes several [ns, D] f32 arrays
+        # (encode/decode round-trip for the refinement residual) — at
+        # ns=2M that alone exhausts HBM.
+        pq_ns = min(ns, pq_train_sample)
+        if pq_ns < ns:
+            pk = jnp.asarray(np.sort(rng.choice(ns, size=pq_ns,
+                                                replace=False)))
+            resid = sample[pk] - centroids[s_assign[pk]]
+        else:
+            resid = sample - centroids[s_assign]
         codec, codec2 = cls._train_codecs(
             resid, m, refine_m, ksub=ksub, pq_iters=pq_iters, seed=seed,
-            ns=ns, opq_iters=opq_iters)
+            ns=pq_ns, opq_iters=opq_iters)
         del sample, resid, tb
 
-        # ---- pass A: assignments only (host keeps 4 B/row)
+        # ---- pass A: assignments only (host keeps 4 B/row).  Row-chunked
+        # ON DEVICE via lax.map: the [rows, nlist] f32 score matrix must
+        # stay ~1 GB (a full 1M-row block at nlist=16384 would be 68 GB);
+        # one download per block, not per chunk (the relay round-trip
+        # would dominate otherwise)
+        a_chunk = max(8192, (1 << 28) // max(nlist, 1))
+        while block_rows % a_chunk:
+            a_chunk //= 2
+
         @jax.jit
         def assign_block(xb):
-            cs = jnp.dot(xb.astype(jnp.float32), centroids.T,
-                         preferred_element_type=jnp.float32)
-            return jnp.argmax(cs, axis=1).astype(jnp.int32)
+            def one(xc):
+                cs = jnp.dot(xc.astype(jnp.float32), centroids.T,
+                             preferred_element_type=jnp.float32)
+                return jnp.argmax(cs, axis=1).astype(jnp.int32)
+
+            xb2 = xb.reshape(block_rows // a_chunk, a_chunk, xb.shape[1])
+            return jax.lax.map(one, xb2).reshape(block_rows)
 
         n = n_blocks * block_rows
         assign_h = np.empty((n,), np.int32)
@@ -615,12 +639,18 @@ class IVFPQIndex:
                    refine_codec=codec2, refine_codes=refine_codes)
 
     # ------------------------------------------------------- block centroids
-    def ensure_block_centroids(self, *, chunk_blocks: int = 256):
+    def ensure_block_centroids(self, *, chunk_blocks: int = 256,
+                               dtype=jnp.float32):
         """Per-block mini-centroids for block-budget probing, decoded from
         the stored codes (centroid(cell) + mean decoded residual over the
         block's valid rows, L2-normalized).  Needs no corpus access, so it
         works on a loaded index; quantization error is the PQ error —
-        negligible for ranking blocks.  Cached; included in save()."""
+        negligible for ranking blocks.  Cached; included in save().
+
+        dtype: bf16 halves the [n_blocks, D] footprint and the per-batch
+        HBM stream at small-block scale (100M rows / block=256 → 393k
+        blocks); ranking signals are ~0.1-1.0 apart, far above bf16
+        rounding."""
         if self.block_centroids is not None:
             return self.block_centroids
         nb, blk, mc = self.code_blocks.shape
@@ -644,8 +674,9 @@ class IVFPQIndex:
             bc = self.centroids[self._block_cell_dev[s:e]] + mean_r
             # zero all-pad blocks so they can never outrank a real block
             bc = bc * (cnt > 0).astype(jnp.float32)[:, None]
-            parts.append(bc / jnp.maximum(
-                jnp.linalg.norm(bc, axis=1, keepdims=True), 1e-12))
+            bc = bc / jnp.maximum(
+                jnp.linalg.norm(bc, axis=1, keepdims=True), 1e-12)
+            parts.append(bc.astype(dtype))
         bc = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         self.block_centroids = bc
         return bc
@@ -724,8 +755,12 @@ class IVFPQIndex:
         adc_impl = ("lut16" if self.packed else "pallas") if on_tpu() \
             else "xla"
         if extract == "auto":
+            # approx only when stage-1 k is an OVERFETCH the refine stage
+            # prunes (k1 > k): at k1 == k the extraction picks the final
+            # candidate set itself, and ApproxTopK's recall_target comes
+            # straight out of candidate recall (measured -4pp at 8.4M)
             approx = (on_tpu() and self.refine_codec is not None
-                      and k1 >= 256)
+                      and k1 >= 256 and k1 > k)
         else:
             approx = extract == "approx"
         rot1 = (self.codec.rotation if self.codec.rotation is not None
@@ -768,7 +803,7 @@ class IVFPQIndex:
                normalize_queries: bool = True,
                vmem_budget_rows: int = 1 << 17,
                rerank_store=None, rerank_overfetch: int = 4,
-               refine_overfetch: int = 8, extract: str = "auto",
+               refine_overfetch: int | None = None, extract: str = "auto",
                approx_recall: float = 0.95):
         """bias: f32 by ORIGINAL row — same contract as IVFIndex.search.
 
@@ -777,6 +812,15 @@ class IVFPQIndex:
         returns ``rerank_overfetch * k`` ADC candidates and the host tier
         re-scores them exactly — strict recall becomes exact-bound instead
         of quantization-bound (``docs/pq_scale.md``)."""
+        if refine_overfetch is None:
+            # with a host exact-rerank tier, stage-1 returns exactly the
+            # rerank candidate set (k1 == C): the refinement rescore is a
+            # pure reorder the host redoes exactly, so over-fetching for
+            # it costs device time and adds nothing (measured at 8.4M:
+            # rfo=8 approx 131 ms vs rfo=1 exact 31 ms at EQUAL candidate
+            # recall).  Without the rerank tier the refine ADC is the
+            # final scorer and over-fetch genuinely buys strict recall.
+            refine_overfetch = 1 if rerank_store is not None else 8
         k1 = k if rerank_store is None else max(k, rerank_overfetch * k)
         vals, rows = self.search_dispatch(
             queries, k1, nprobe=nprobe, nprobe_blocks=nprobe_blocks,

@@ -63,7 +63,7 @@ class ShardedIVFPQIndex:
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64,
                nprobe_blocks: int | None = None, bias=None,
-               refine_overfetch: int = 8, rerank_store=None,
+               refine_overfetch: int | None = None, rerank_store=None,
                rerank_overfetch: int = 4):
         """Fan out (async dispatch → shards search concurrently), merge the
         per-shard (vals, global rows) on the host.  bias: f32 by GLOBAL
@@ -74,6 +74,10 @@ class ShardedIVFPQIndex:
             queries = queries[None, :]
         if bias is not None:
             bias = np.asarray(bias, np.float32)
+        if refine_overfetch is None:
+            # same resolution as IVFPQIndex.search: with a host rerank the
+            # refine rescore is a pure reorder of the candidate set
+            refine_overfetch = 1 if rerank_store is not None else 8
         k1 = k if rerank_store is None else max(k, rerank_overfetch * k)
 
         dispatched = []

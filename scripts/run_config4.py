@@ -130,20 +130,33 @@ def main() -> None:
     index_path = None
     if "--index" in args:
         index_path = args[args.index("--index") + 1]
+    nlist = int(args[args.index("--nlist") + 1]) if "--nlist" in args \
+        else 16384
+    blk = int(args[args.index("--block") + 1]) if "--block" in args \
+        else 512
     t0 = time.time()
     if index_path and (os.path.exists(index_path)
                        or os.path.exists(index_path + ".npz")):
         idx = IVFPQIndex.load(index_path)
         print(f"loaded index from {index_path}", flush=True)
     else:
+        # nlist ~ 1.3 * sqrt(N) blocks of 512 measured best on the r3
+        # sweeps (finer cells = smaller residuals + finer block ranking);
+        # train on 2 blocks so 16k cells see ~128 samples each
         idx = IVFPQIndex.build_streaming(
             block_fn, N_BLOCKS, BLOCK_ROWS,
-            nlist=4096, block=1024, m=96, ksub=16, refine_m=96,
-            train_blocks=1, train_sample=1 << 18, coarse_iters=8,
+            nlist=nlist, block=blk, m=96, ksub=16, refine_m=96,
+            train_blocks=2, train_sample=1 << 21, coarse_iters=8,
             pq_iters=10, seed=0)
         if index_path:
             idx.save(index_path)
             print(f"saved index to {index_path}", flush=True)
+    t_bc = time.time()
+    idx.ensure_block_centroids(dtype=jnp.bfloat16)
+    jax.block_until_ready(idx.block_centroids)
+    print(f"block centroids: {time.time()-t_bc:.0f}s "
+          f"(n_blocks={idx.code_blocks.shape[0]}, "
+          f"max_bpc={idx.cell_blocks.shape[1]})", flush=True)
     jax.block_until_ready(idx.code_blocks)
     build_s = time.time() - t0
     code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
@@ -276,45 +289,57 @@ def main() -> None:
                 buf[ofs:ofs + (1 << 21), 0].view(np.uint16)).sum())
         print(f"page-cache warm pass: {time.time() - t0:.0f}s", flush=True)
 
-        # spec entries: nprobe:C[:refine_overfetch] (stage-1 over-fetch
-        # for the refinement rescore; default 8 matches search_dispatch)
-        rerank_cfgs = [(16, 320, 8), (32, 320, 8), (32, 1024, 8),
-                       (64, 1024, 8), (64, 2048, 8)]
+        # spec entries: "npb:C[:rfo]" = block-budget probing (the r3
+        # default — per-block mini-centroid ranking, exact work, rfo=1
+        # because the host rerank makes the refine rescore a pure
+        # reorder), or "cell:nprobe:C[:rfo]" for the legacy cell sweep.
+        rerank_cfgs = [("npb", 128, 160, 1), ("npb", 128, 320, 1),
+                       ("npb", 256, 320, 1), ("npb", 384, 320, 1),
+                       ("npb", 512, 320, 1), ("npb", 512, 640, 1)]
         if "--rerank-sweep" in args:
             rerank_cfgs = []
             for pair in args[args.index("--rerank-sweep") + 1].split(","):
-                v = [int(x) for x in pair.split(":")]
-                rerank_cfgs.append((v[0], v[1], v[2] if len(v) > 2 else 8))
+                v = pair.split(":")
+                if v[0] == "cell":
+                    rerank_cfgs.append(("cell", int(v[1]), int(v[2]),
+                                        int(v[3]) if len(v) > 3 else 8))
+                else:
+                    rerank_cfgs.append(("npb", int(v[0]), int(v[1]),
+                                        int(v[2]) if len(v) > 2 else 1))
         extract = "exact" if "--exact-extract" in args else "auto"
-        for nprobe, c, rfo in rerank_cfgs:
+        for mode, probe, c, rfo in rerank_cfgs:
             overfetch = max(1, c // K)
+            skw = ({"nprobe_blocks": probe} if mode == "npb"
+                   else {"nprobe": probe})
             ids, vals, rows_h = idx.search(
-                qd, k=K, nprobe=nprobe, rerank_store=store,
+                qd, k=K, rerank_store=store,
                 rerank_overfetch=overfetch, refine_overfetch=rfo,
-                extract=extract)
+                extract=extract, **skw)
             strict = strict_of(rows_h)
             top1 = float(np.mean(rows_h[:, 0] == q_src))
 
-            def rr_search(qv, nprobe=nprobe, overfetch=overfetch, rfo=rfo):
-                _, v, _ = idx.search(qv, k=K, nprobe=nprobe,
-                                     rerank_store=store,
+            def rr_search(qv, overfetch=overfetch, rfo=rfo, skw=skw):
+                _, v, _ = idx.search(qv, k=K, rerank_store=store,
                                      rerank_overfetch=overfetch,
-                                     refine_overfetch=rfo, extract=extract)
+                                     refine_overfetch=rfo, extract=extract,
+                                     **skw)
                 return v
 
             # search() already syncs (numpy outputs) — no extra sync
             best = _measure_qps(rr_search, q, rng, rtt_s=r)
 
-            def dev_only(qv, nprobe=nprobe, overfetch=overfetch, rfo=rfo):
+            def dev_only(qv, overfetch=overfetch, rfo=rfo, skw=skw):
                 v, _ = idx.search_dispatch(
-                    qv, k=K * overfetch, nprobe=nprobe,
-                    refine_overfetch=rfo, extract=extract)
+                    qv, k=K * overfetch,
+                    refine_overfetch=rfo, extract=extract, **skw)
                 return v
 
             dev_best = _measure_qps(dev_only, q, rng, rtt_s=r,
                                     sync=lambda v: float(jnp.sum(v)))
             rerank_sweep.append({
-                "nprobe": nprobe, "rerank_c": int(c),
+                "probe_mode": mode,
+                ("nprobe_blocks" if mode == "npb" else "nprobe"): probe,
+                "rerank_c": int(c),
                 "refine_overfetch": int(rfo),
                 "recall_strict_at_10": round(strict, 3),
                 "self_top1": round(top1, 3),
@@ -331,7 +356,9 @@ def main() -> None:
         best_cfg = max(good, key=lambda s: s["query_qps"])
         headline = {"query_qps": best_cfg["query_qps"],
                     "recall_strict_at_10": best_cfg["recall_strict_at_10"],
-                    "nprobe": best_cfg["nprobe"],
+                    "probe": best_cfg.get("nprobe_blocks",
+                                          best_cfg.get("nprobe")),
+                    "probe_mode": best_cfg.get("probe_mode", "cell"),
                     "rerank_c": best_cfg["rerank_c"]}
     elif sweep:
         gg = [s for s in sweep if s["self_top1"] >= 0.7]
@@ -349,8 +376,10 @@ def main() -> None:
     payload = {
         "config": "BASELINE config 4 on ONE v5e chip: 100M-chunk IVF-PQ "
                   "with refinement (4-bit LUT16, m=96+96 packed = "
-                  "96 B/row, nlist=4096) + host bf16 exact-rerank tier "
-                  "(77 GB memmap) — codes 9.8 GB on device",
+                  f"96 B/row, nlist={nlist}, block={blk}, block-budget "
+                  "probing by per-block mini-centroids) + host bf16 "
+                  "exact-rerank tier (77 GB memmap) — codes 9.8 GB on "
+                  "device",
         "rows": int(N), "dim": D,
         "corpus_equiv_gb": round(N * D * 2 / 1e9, 1),
         "codes_gb": round(code_gb, 2),
