@@ -20,6 +20,7 @@ or nprobe) for narrow document selections.
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 
@@ -32,6 +33,28 @@ from archi_tpu.engine.ivf_index import IVFIndex
 from archi_tpu.engine.topk import alive_to_bias, topk_scores
 
 logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _exact_rescore(emb, queries, vals, rows, row_bias, *, k):
+    """Device-side exact rerank of ANN candidates against the
+    full-precision buffer (the serving analog of config 4's host tier —
+    here the vectors are already in HBM, so the rescore is one gather +
+    matvec).  vals/rows [B, C] (NEG_INF = dead, stays dead); row_bias
+    [capacity] or [B, capacity] carries tombstones/filters/hybrid bias.
+    → (vals [B, k], rows [B, k]); scores become exact-bound."""
+    safe = jnp.clip(rows, 0, emb.shape[0] - 1)
+    cand = emb[safe].astype(jnp.float32)                  # [B, C, D]
+    ex = jnp.einsum("bcd,bd->bc", cand, queries.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    if row_bias.ndim == 2:
+        picked = jnp.take_along_axis(row_bias, safe, axis=1)
+    else:
+        picked = row_bias[safe]
+    ex = ex + picked
+    scores = jnp.where(vals > -1e29, ex, vals)
+    top_vals, pos = jax.lax.top_k(scores, k)
+    return top_vals, jnp.take_along_axis(rows, pos, axis=1)
 
 
 @jax.jit
@@ -68,7 +91,8 @@ class AnnFlatIndex(FlatIndex):
                  min_snapshot_rows: int = 1 << 15,
                  refresh_fraction: float = 0.25,
                  snapshot_kind: str = "ivf", pq_m: int = 48,
-                 pq_refine_m: int = 48, async_refresh: bool = True, **kw):
+                 pq_refine_m: int = 48, rerank_overfetch: int = 4,
+                 async_refresh: bool = True, **kw):
         """snapshot_kind: "ivf" (full-precision cells — pgvector-IVFFlat
         analog) or "ivfpq" (PQ-coded residual cells + refinement — 16x
         smaller snapshot, for corpora beyond bf16 HBM scale; see
@@ -101,6 +125,11 @@ class AnnFlatIndex(FlatIndex):
         self.snapshot_kind = snapshot_kind
         self.pq_m = int(pq_m)
         self.pq_refine_m = int(pq_refine_m)
+        # ivfpq only: over-fetch C = rerank_overfetch * k ADC candidates
+        # and exact-rescore them against the device-resident full-precision
+        # buffer — strict recall becomes candidate-bound, not
+        # quantization-bound, for one gather+matvec.  0 disables.
+        self.rerank_overfetch = int(rerank_overfetch)
         self.async_refresh = bool(async_refresh)
         self._ivf = None  # IVFIndex | IVFPQIndex
         self._n_snap = 0
@@ -374,10 +403,25 @@ class AnnFlatIndex(FlatIndex):
         # queries already normalized — don't re-normalize scaled hybrids)
         npb = (self.nprobe_blocks
                if self.snapshot_kind == "ivfpq" else None)
+        rr = (self.rerank_overfetch
+              if self.snapshot_kind == "ivfpq" else 0)
+        k_ann = max(k_eff, rr * k_eff) if rr else k_eff
+        k_ann = min(k_ann, max(n_snap, 1))
+        extra = {"nprobe_blocks": npb} if npb is not None else {}
+        if rr and self.snapshot_kind == "ivfpq":
+            # stage-1 returns exactly the rescore candidate set; the PQ
+            # refinement rescore would be a pure reorder of it (same
+            # argument as the host-rerank tier in ivfpq_index.search)
+            extra["refine_overfetch"] = 1
         a_vals, a_rows = ivf.search_dispatch(
-            queries, k=k_eff, nprobe=nprobe or self.nprobe, bias=row_bias,
-            normalize_queries=False,
-            **({"nprobe_blocks": npb} if npb is not None else {}))
+            queries, k=k_ann, nprobe=nprobe or self.nprobe, bias=row_bias,
+            normalize_queries=False, **extra)
+        if rr and k_ann > k_eff:
+            # exact rescore of the over-fetched ADC candidates against the
+            # full-precision buffer (row_bias re-applied exactly: the ADC
+            # score already included it, the exact score replaces it)
+            a_vals, a_rows = _exact_rescore(
+                emb_snap, queries, a_vals, a_rows, row_bias, k=k_eff)
         # EXACT scan of the fresh rows [n_snap, n_rows) — static shapes per
         # snapshot (recompiles only at refresh)
         f_vals, f_rows = topk_scores(

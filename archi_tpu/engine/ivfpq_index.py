@@ -838,8 +838,11 @@ class IVFPQIndex:
             if normalize_queries:
                 q = q / np.maximum(
                     np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            vals, rows = exact_rerank(rerank_store, q, np.asarray(vals),
-                                      np.asarray(rows), k=k, bias=bias)
+            # one tree fetch, not two sequential np.asarray pulls — on a
+            # relay-tunneled device each blocking pull is a full RTT
+            vals_h, rows_h = jax.device_get((vals, rows))
+            vals, rows = exact_rerank(rerank_store, q, vals_h, rows_h,
+                                      k=k, bias=bias)
         vals = np.asarray(vals)
         rows_out = np.asarray(rows)
         ids_out = [

@@ -86,12 +86,13 @@ class ShardedIVFPQIndex:
             dispatched.append((lo, shard.search_dispatch(
                 queries, k=k1, nprobe=nprobe, nprobe_blocks=nprobe_blocks,
                 bias=sb, refine_overfetch=refine_overfetch)))
-        all_vals = np.concatenate(
-            [np.asarray(v) for _lo, (v, _r) in dispatched], axis=1)
+        # one tree fetch across all shards (each blocking np.asarray pull
+        # costs a full RTT on a relay-tunneled device)
+        fetched = jax.device_get([(v, r) for _lo, (v, r) in dispatched])
+        all_vals = np.concatenate([v for v, _r in fetched], axis=1)
         all_rows = np.concatenate([
-            np.where(np.asarray(r) >= 0, np.asarray(r).astype(np.int64) + lo,
-                     -1)
-            for lo, (_v, r) in dispatched
+            np.where(r >= 0, r.astype(np.int64) + lo, -1)
+            for (_v, r), (lo, _d) in zip(fetched, dispatched)
         ], axis=1)                                            # [B, S*k]
         if rerank_store is not None:
             from archi_tpu.engine.host_store import exact_rerank

@@ -340,3 +340,40 @@ def test_failed_background_refresh_recovers(rng, monkeypatch):
             break
         _time.sleep(0.05)
     assert calls["n"] >= 2 and ann._ivf is not None
+
+def test_ivfpq_device_rerank_exact_scores(annpq):
+    """With rerank_overfetch (default 4), reported scores are EXACT inner
+    products (not ADC approximations) and strict recall is
+    candidate-bound."""
+    ann, x = annpq
+    ids, vals, rows = ann.search(x[37], k=5, nprobe=8)
+    true_ip = x[rows[0].astype(int)] @ x[37]
+    assert np.abs(vals[0] - true_ip).max() < 2e-3, (vals[0], true_ip)
+
+
+def test_ivfpq_rerank_respects_tombstones_and_bias(annpq):
+    ann, x = annpq
+    _, _, base = ann.search(x[40], k=3, nprobe=8)
+    ann.delete([f"c{int(base[0][0])}"])
+    _, vals, rows = ann.search(x[40], k=3, nprobe=8)
+    assert int(base[0][0]) not in set(int(r) for r in rows[0])
+    assert (vals > -1e29).all()
+    # finite bias (hybrid analog) must ride into the exact score
+    _, _, wide = ann.search(x[40], k=20, nprobe=8)
+    target = int(wide[0][-1])
+    bias = np.zeros(ann.capacity, np.float32)
+    bias[target] = 5.0
+    _, _, r2 = ann.search(x[40], k=3, nprobe=8, bias=bias)
+    assert int(r2[0][0]) == target
+
+
+def test_ivfpq_rerank_disabled_matches_adc(rng):
+    ann = AnnFlatIndex(32, dtype=np.float32, tile_n=256, nlist=8, nprobe=8,
+                       min_snapshot_rows=256, refresh_fraction=0.5,
+                       snapshot_kind="ivfpq", pq_m=8, pq_refine_m=8,
+                       rerank_overfetch=0)
+    x = _clustered(rng)
+    ann.add(x, [f"c{i}" for i in range(len(x))])
+    ids, vals, rows = ann.search(x[37], k=5, nprobe=8)
+    # ADC-approximate scores: same contract as before the rerank existed
+    assert rows[0][0] == 37 and vals[0][0] > 0.9
