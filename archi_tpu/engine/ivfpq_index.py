@@ -550,10 +550,17 @@ class IVFPQIndex:
         while block_rows % a_chunk:
             a_chunk //= 2
 
+        # bf16 inputs + f32 accumulation: assignment is a nearest-centroid
+        # argmax — input rounding moves only knife-edge ties (either cell
+        # is equally valid; the index stores whatever was assigned), and
+        # the bf16 MXU path is ~4x the f32 throughput (1.3 PFLOP of
+        # assign matmuls at 100M x nlist=16k)
+        cent_bf = centroids.astype(jnp.bfloat16)
+
         @jax.jit
         def assign_block(xb):
             def one(xc):
-                cs = jnp.dot(xc.astype(jnp.float32), centroids.T,
+                cs = jnp.dot(xc.astype(jnp.bfloat16), cent_bf.T,
                              preferred_element_type=jnp.float32)
                 return jnp.argmax(cs, axis=1).astype(jnp.int32)
 
