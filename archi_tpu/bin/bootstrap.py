@@ -73,6 +73,23 @@ def _build_index(dim: int, index_cfg: dict):
         from archi_tpu.engine.sharded_index import ShardedFlatIndex
 
         return ShardedFlatIndex(dim, **kw)
+    if index_type == "ivfpq_xl":
+        # beyond-HBM scale: host memmap full-precision plane + device
+        # IVF-PQ snapshot + device exact fresh tail (engine/xl_index.py)
+        from archi_tpu.engine.xl_index import XlPQIndex
+
+        return XlPQIndex(
+            dim,
+            store_path=index_cfg.get("store_path"),
+            nlist=index_cfg.get("nlist", 4096),
+            block=index_cfg.get("block", 512),
+            pq_m=index_cfg.get("pq_m", 48),
+            pq_refine_m=index_cfg.get("pq_refine_m", 48),
+            nprobe_blocks=index_cfg.get("nprobe_blocks") or 128,
+            rerank_overfetch=index_cfg.get("rerank_overfetch", 16),
+            min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 17),
+            async_refresh=index_cfg.get("async_refresh", True),
+            **kw)
     if index_type in ("ivf", "ivfpq"):
         from archi_tpu.engine.ann_index import AnnFlatIndex
 

@@ -870,7 +870,10 @@ class IVFPQIndex:
                     self.refine_codec.rotation)
             extra["refine_codes"] = np.asarray(self.refine_codes)
         if self.block_centroids is not None:
-            extra["block_centroids"] = np.asarray(self.block_centroids)
+            # bf16 can't round-trip plain npz (numpy loads the custom
+            # dtype as void V2) — store a uint16 bit view
+            bc = np.asarray(self.block_centroids.astype(jnp.bfloat16))
+            extra["block_centroids_u16"] = bc.view(np.uint16)
         np.savez_compressed(
             path,
             centroids=np.asarray(self.centroids),
@@ -897,8 +900,14 @@ class IVFPQIndex:
                  **({"rotation": z["refine_rotation"]}
                     if "refine_rotation" in z else {})})
             refine_codes = z["refine_codes"]
+        bc = None
+        if "block_centroids_u16" in z:
+            import ml_dtypes
+
+            bc = np.asarray(z["block_centroids_u16"]).view(
+                ml_dtypes.bfloat16)
+        elif "block_centroids" in z:   # older f32 checkpoints
+            bc = z["block_centroids"]
         return cls(z["centroids"], codec, z["code_blocks"], z["block_rows"],
                    z["cell_blocks"], meta["ids"], refine_codec=codec2,
-                   refine_codes=refine_codes,
-                   block_centroids=(z["block_centroids"]
-                                    if "block_centroids" in z else None))
+                   refine_codes=refine_codes, block_centroids=bc)
