@@ -86,6 +86,7 @@ def _build_index(dim: int, index_cfg: dict):
             pq_m=index_cfg.get("pq_m", 48),
             pq_refine_m=index_cfg.get("pq_refine_m", 48),
             nprobe_blocks=index_cfg.get("nprobe_blocks") or 128,
+            cell_gate=index_cfg.get("cell_gate"),
             rerank_overfetch=index_cfg.get("rerank_overfetch", 16),
             min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 17),
             async_refresh=index_cfg.get("async_refresh", True),
@@ -98,6 +99,7 @@ def _build_index(dim: int, index_cfg: dict):
             nlist=index_cfg.get("nlist", 1024),
             nprobe=index_cfg.get("nprobe", 64),
             nprobe_blocks=index_cfg.get("nprobe_blocks"),
+            cell_gate=index_cfg.get("cell_gate"),
             min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 15),
             snapshot_kind=index_type,
             pq_m=index_cfg.get("pq_m", 48),

@@ -51,6 +51,10 @@ DEFAULT_CONFIG: dict = {
             # ivfpq only: probe by per-block mini-centroid budget instead
             # of whole cells (exact work = nprobe_blocks * block rows)
             "nprobe_blocks": None,
+            # optional two-level gate for block-budget probing: only
+            # blocks owned by the query's top-`cell_gate` cells compete
+            # in the block ranking (shrinks mini-centroid noise field)
+            "cell_gate": None,
             # hot-tail segmented appends for heavy streaming ingest
             # (O(tail) copies instead of O(corpus); docs/streaming_ingest.md)
             "hot_tail": False,

@@ -88,6 +88,7 @@ class AnnFlatIndex(FlatIndex):
 
     def __init__(self, dim: int, *, nlist: int = 1024, nprobe: int = 64,
                  nprobe_blocks: int | None = None,
+                 cell_gate: int | None = None,
                  min_snapshot_rows: int = 1 << 15,
                  refresh_fraction: float = 0.25,
                  snapshot_kind: str = "ivf", pq_m: int = 48,
@@ -120,6 +121,9 @@ class AnnFlatIndex(FlatIndex):
         # see IVFPQIndex.search_dispatch(nprobe_blocks=...)
         self.nprobe_blocks = (None if nprobe_blocks is None
                               else int(nprobe_blocks))
+        # two-level gate for block-budget probing: only blocks owned by
+        # the query's top-`cell_gate` cells compete in the block ranking
+        self.cell_gate = None if cell_gate is None else int(cell_gate)
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
         self.snapshot_kind = snapshot_kind
@@ -408,6 +412,8 @@ class AnnFlatIndex(FlatIndex):
         k_ann = max(k_eff, rr * k_eff) if rr else k_eff
         k_ann = min(k_ann, max(n_snap, 1))
         extra = {"nprobe_blocks": npb} if npb is not None else {}
+        if npb is not None and self.cell_gate is not None:
+            extra["cell_gate"] = self.cell_gate
         if rr and self.snapshot_kind == "ivfpq":
             # stage-1 returns exactly the rescore candidate set; the PQ
             # refinement rescore would be a pure reorder of it (same

@@ -168,12 +168,13 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
 @functools.partial(jax.jit, static_argnames=("k", "nprobe_blocks", "group",
                                               "with_bias", "adc_impl",
                                               "approx_extract",
-                                              "approx_recall"))
+                                              "approx_recall", "cell_gate"))
 def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
                          code_blocks, block_rows_valid, codebooks, rot1,
                          bias_by_slot, *, k, nprobe_blocks, group=1,
                          with_bias=False, adc_impl="xla",
-                         approx_extract=False, approx_recall=0.95):
+                         approx_extract=False, approx_recall=0.95,
+                         cell_gate: int | None = None):
     """Block-budget probing: rank individual code BLOCKS by their own
     mini-centroid score and ADC exactly ``nprobe_blocks`` blocks per query.
 
@@ -206,6 +207,17 @@ def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
     bscores = jnp.dot(queries.astype(block_centroids.dtype),
                       block_centroids.T,
                       preferred_element_type=jnp.float32)  # [B, n_blocks]
+    if cell_gate is not None and cell_gate < centroids.shape[0]:
+        # Two-level gate: only blocks whose owning cell ranks in the
+        # query's top-`cell_gate` cells compete in the block ranking.
+        # Block mini-centroids are diluted means (several natural clusters
+        # per block), so ungated ranking races a ~0.3-sigma signal against
+        # the max of n_blocks noise draws; gating shrinks the noise field
+        # by nlist/cell_gate at the cost of one [B, n_blocks] gather.
+        cv, _ = jax.lax.top_k(cscores_all, cell_gate)      # [B, P]
+        tau = cv[:, -1:]                                   # [B, 1]
+        cs_blk = jnp.take(cscores_all, block_cell, axis=1)  # [B, n_blocks]
+        bscores = jnp.where(cs_blk >= tau, bscores, NEG_INF)
     _, bids_all = jax.lax.top_k(bscores, npb)              # [B, npb]
     # owning-cell coarse score of every probed block, per owner query
     cs_own = jnp.take_along_axis(
@@ -691,6 +703,7 @@ class IVFPQIndex:
     # ----------------------------------------------------------------- search
     def search_dispatch(self, queries, k: int = 10, *, nprobe: int = 64,
                         nprobe_blocks: int | None = None,
+                        cell_gate: int | None = None,
                         bias=None, normalize_queries: bool = True,
                         vmem_budget_rows: int = 1 << 17,
                         refine_overfetch: int = 8,
@@ -780,6 +793,7 @@ class IVFPQIndex:
                 bias_by_slot, k=k1, nprobe_blocks=nprobe_blocks,
                 group=group, with_bias=bias is not None, adc_impl=adc_impl,
                 approx_extract=approx, approx_recall=float(approx_recall),
+                cell_gate=(None if cell_gate is None else int(cell_gate)),
             )
         else:
             vals, gpos = _ivfpq_search(
@@ -806,7 +820,8 @@ class IVFPQIndex:
         return vals, rows
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64,
-               nprobe_blocks: int | None = None, bias=None,
+               nprobe_blocks: int | None = None,
+               cell_gate: int | None = None, bias=None,
                normalize_queries: bool = True,
                vmem_budget_rows: int = 1 << 17,
                rerank_store=None, rerank_overfetch: int = 4,
@@ -831,7 +846,7 @@ class IVFPQIndex:
         k1 = k if rerank_store is None else max(k, rerank_overfetch * k)
         vals, rows = self.search_dispatch(
             queries, k1, nprobe=nprobe, nprobe_blocks=nprobe_blocks,
-            bias=bias,
+            cell_gate=cell_gate, bias=bias,
             normalize_queries=normalize_queries,
             vmem_budget_rows=vmem_budget_rows,
             refine_overfetch=refine_overfetch, extract=extract,

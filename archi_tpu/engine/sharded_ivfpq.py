@@ -62,7 +62,8 @@ class ShardedIVFPQIndex:
         return cls(shards, offsets, ids)
 
     def search(self, queries, k: int = 10, *, nprobe: int = 64,
-               nprobe_blocks: int | None = None, bias=None,
+               nprobe_blocks: int | None = None,
+               cell_gate: int | None = None, bias=None,
                refine_overfetch: int | None = None, rerank_store=None,
                rerank_overfetch: int = 4):
         """Fan out (async dispatch → shards search concurrently), merge the
@@ -85,6 +86,7 @@ class ShardedIVFPQIndex:
             sb = None if bias is None else bias[lo: lo + len(shard)]
             dispatched.append((lo, shard.search_dispatch(
                 queries, k=k1, nprobe=nprobe, nprobe_blocks=nprobe_blocks,
+                cell_gate=cell_gate,
                 bias=sb, refine_overfetch=refine_overfetch)))
         # one tree fetch across all shards (each blocking np.asarray pull
         # costs a full RTT on a relay-tunneled device)

@@ -61,7 +61,8 @@ class XlPQIndex:
                  store: Optional[HostVectorStore] = None,
                  nlist: int = 4096, block: int = 512,
                  pq_m: int = 48, pq_refine_m: int = 48, ksub: int = 16,
-                 nprobe_blocks: int = 128, rerank_overfetch: int = 16,
+                 nprobe_blocks: int = 128, cell_gate: int | None = None,
+                 rerank_overfetch: int = 16,
                  min_snapshot_rows: int = 1 << 17,
                  refresh_fraction: float = 0.25,
                  build_block_rows: int = 1 << 17,
@@ -80,6 +81,8 @@ class XlPQIndex:
         self.pq_refine_m = int(pq_refine_m)
         self.ksub = int(ksub)
         self.nprobe_blocks = int(nprobe_blocks)
+        # two-level gate for block ranking (see IVFPQIndex cell_gate)
+        self.cell_gate = None if cell_gate is None else int(cell_gate)
         self.rerank_overfetch = int(rerank_overfetch)
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
@@ -308,6 +311,7 @@ class XlPQIndex:
             vals_d, rows_d = ivf.search_dispatch(
                 qd, k=c, nprobe_blocks=(nprobe_blocks or
                                         self.nprobe_blocks),
+                cell_gate=self.cell_gate,
                 bias=sb, normalize_queries=False, refine_overfetch=1)
             vals_h, rows_h = jax.device_get((vals_d, rows_d))
             # exact host rescore (finite bias re-applied; NEG_INF slots
@@ -392,6 +396,7 @@ class XlPQIndex:
                     "pq_m": self.pq_m, "pq_refine_m": self.pq_refine_m,
                     "ksub": self.ksub,
                     "nprobe_blocks": self.nprobe_blocks,
+                    "cell_gate": self.cell_gate,
                     "rerank_overfetch": self.rerank_overfetch,
                     "min_snapshot_rows": self.min_snapshot_rows,
                     "refresh_fraction": self.refresh_fraction,

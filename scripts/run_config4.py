@@ -289,28 +289,32 @@ def main() -> None:
                 buf[ofs:ofs + (1 << 21), 0].view(np.uint16)).sum())
         print(f"page-cache warm pass: {time.time() - t0:.0f}s", flush=True)
 
-        # spec entries: "npb:C[:rfo]" = block-budget probing (the r3
-        # default — per-block mini-centroid ranking, exact work, rfo=1
+        # spec entries: "npb:C[:rfo[:gate]]" = block-budget probing (the
+        # r3 default — per-block mini-centroid ranking, exact work, rfo=1
         # because the host rerank makes the refine rescore a pure
-        # reorder), or "cell:nprobe:C[:rfo]" for the legacy cell sweep.
-        rerank_cfgs = [("npb", 128, 160, 1), ("npb", 128, 320, 1),
-                       ("npb", 256, 320, 1), ("npb", 384, 320, 1),
-                       ("npb", 512, 320, 1), ("npb", 512, 640, 1)]
+        # reorder; gate = cell_gate, 0 = ungated), or "cell:nprobe:C[:rfo]"
+        # for the legacy cell sweep.
+        rerank_cfgs = [("npb", 128, 160, 1, 0), ("npb", 128, 320, 1, 0),
+                       ("npb", 256, 320, 1, 0), ("npb", 384, 320, 1, 0),
+                       ("npb", 512, 320, 1, 0), ("npb", 512, 640, 1, 0)]
         if "--rerank-sweep" in args:
             rerank_cfgs = []
             for pair in args[args.index("--rerank-sweep") + 1].split(","):
                 v = pair.split(":")
                 if v[0] == "cell":
                     rerank_cfgs.append(("cell", int(v[1]), int(v[2]),
-                                        int(v[3]) if len(v) > 3 else 8))
+                                        int(v[3]) if len(v) > 3 else 8, 0))
                 else:
                     rerank_cfgs.append(("npb", int(v[0]), int(v[1]),
-                                        int(v[2]) if len(v) > 2 else 1))
+                                        int(v[2]) if len(v) > 2 else 1,
+                                        int(v[3]) if len(v) > 3 else 0))
         extract = "exact" if "--exact-extract" in args else "auto"
-        for mode, probe, c, rfo in rerank_cfgs:
+        for mode, probe, c, rfo, gate in rerank_cfgs:
             overfetch = max(1, c // K)
             skw = ({"nprobe_blocks": probe} if mode == "npb"
                    else {"nprobe": probe})
+            if gate:
+                skw["cell_gate"] = gate
             ids, vals, rows_h = idx.search(
                 qd, k=K, rerank_store=store,
                 rerank_overfetch=overfetch, refine_overfetch=rfo,
@@ -341,6 +345,7 @@ def main() -> None:
                 ("nprobe_blocks" if mode == "npb" else "nprobe"): probe,
                 "rerank_c": int(c),
                 "refine_overfetch": int(rfo),
+                **({"cell_gate": int(gate)} if gate else {}),
                 "recall_strict_at_10": round(strict, 3),
                 "self_top1": round(top1, 3),
                 "ms_per_batch32": round(best * 1e3, 1),

@@ -420,6 +420,47 @@ def test_block_probe_group_invariance(setup):
     assert (np.asarray(ra) == np.asarray(rb)).all()
 
 
+def test_cell_gate_full_budget_is_noop(setup):
+    """With nprobe_blocks = n_blocks every block is probed whatever its
+    gated rank, so any cell_gate must reproduce ungated results; and
+    cell_gate >= nlist disables the gate entirely."""
+    _, x, q, idx = setup
+    nb = idx.code_blocks.shape[0]
+    va, ra = idx.search_dispatch(q, k=10, nprobe_blocks=nb)
+    for gate in (4, 32, 64):
+        vg, rg = idx.search_dispatch(q, k=10, nprobe_blocks=nb,
+                                     cell_gate=gate)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vg),
+                                   atol=1e-5)
+        assert (np.asarray(ra) == np.asarray(rg)).all()
+
+
+def test_cell_gate_recall_at_small_budget(setup):
+    """Gating the block ranking to the query's top cells must not hurt
+    recall at a small block budget (it shrinks the mini-centroid noise
+    field), and results must stay inside the gated cells' blocks."""
+    _, x, q, idx = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    _, _, r_un = idx.search(q, k=100, nprobe_blocks=8)
+    _, _, r_g = idx.search(q, k=100, nprobe_blocks=8, cell_gate=8)
+    assert _recall(r_g, exact) >= 0.85
+    assert _recall(r_g, exact) >= _recall(r_un, exact) - 0.05
+
+
+def test_cell_gate_with_bias(setup):
+    """Gate composes with the tombstone bias stream."""
+    _, x, q, idx = setup
+    _, _, base = idx.search(q[:2], k=5, nprobe_blocks=8, cell_gate=8)
+    kill = {r for rr in base for r in rr}
+    bias = np.zeros(len(x), np.float32)
+    for r in kill:
+        bias[r] = NEG_INF
+    _, vals, rows = idx.search(q[:2], k=5, nprobe_blocks=8, cell_gate=8,
+                               bias=bias)
+    assert not {r for rr in rows for r in rr} & kill
+    assert (vals > NEG_INF / 2).all()
+
+
 def test_block_probe_packed_refined(setup):
     """Block probing through the packed-4bit + refinement config (the
     config-4 shape): full budget matches full nprobe; small budget keeps
