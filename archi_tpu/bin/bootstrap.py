@@ -87,6 +87,7 @@ def _build_index(dim: int, index_cfg: dict):
             pq_refine_m=index_cfg.get("pq_refine_m", 48),
             nprobe_blocks=index_cfg.get("nprobe_blocks") or 128,
             cell_gate=index_cfg.get("cell_gate"),
+            block_rank_sub=index_cfg.get("block_rank_sub", 8),
             rerank_overfetch=index_cfg.get("rerank_overfetch", 16),
             min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 17),
             async_refresh=index_cfg.get("async_refresh", True),
@@ -100,6 +101,7 @@ def _build_index(dim: int, index_cfg: dict):
             nprobe=index_cfg.get("nprobe", 64),
             nprobe_blocks=index_cfg.get("nprobe_blocks"),
             cell_gate=index_cfg.get("cell_gate"),
+            block_rank_sub=index_cfg.get("block_rank_sub", 8),
             min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 15),
             snapshot_kind=index_type,
             pq_m=index_cfg.get("pq_m", 48),

@@ -55,6 +55,10 @@ DEFAULT_CONFIG: dict = {
             # blocks owned by the query's top-`cell_gate` cells compete
             # in the block ranking (shrinks mini-centroid noise field)
             "cell_gate": None,
+            # sub-block ranking: a block ranks by the MAX of this many
+            # finer mini-centroids (resolves multi-modal blocks; 8 at
+            # block=512 = 64-row granularity)
+            "block_rank_sub": 8,
             # hot-tail segmented appends for heavy streaming ingest
             # (O(tail) copies instead of O(corpus); docs/streaming_ingest.md)
             "hot_tail": False,

@@ -89,6 +89,7 @@ class AnnFlatIndex(FlatIndex):
     def __init__(self, dim: int, *, nlist: int = 1024, nprobe: int = 64,
                  nprobe_blocks: int | None = None,
                  cell_gate: int | None = None,
+                 block_rank_sub: int = 8,
                  min_snapshot_rows: int = 1 << 15,
                  refresh_fraction: float = 0.25,
                  snapshot_kind: str = "ivf", pq_m: int = 48,
@@ -124,6 +125,10 @@ class AnnFlatIndex(FlatIndex):
         # two-level gate for block-budget probing: only blocks owned by
         # the query's top-`cell_gate` cells compete in the block ranking
         self.cell_gate = None if cell_gate is None else int(cell_gate)
+        # sub-block ranking: blocks rank by the MAX of `sub` finer means
+        # (see IVFPQIndex.ensure_block_centroids; only materialized when
+        # nprobe_blocks probing is actually used)
+        self.block_rank_sub = max(1, int(block_rank_sub))
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
         self.snapshot_kind = snapshot_kind
@@ -178,6 +183,7 @@ class AnnFlatIndex(FlatIndex):
                 ivf = IVFPQIndex.build_device(
                     x, nlist=min(self.nlist, n), block=512,
                     m=self.pq_m, refine_m=self.pq_refine_m)
+                ivf.block_rank_sub = self.block_rank_sub
             else:
                 ivf = IVFIndex.build_device(
                     x, nlist=min(self.nlist, n), block=512,
@@ -257,6 +263,7 @@ class AnnFlatIndex(FlatIndex):
                         from archi_tpu.engine.ivfpq_index import IVFPQIndex
 
                         idx._ivf = IVFPQIndex.load(snap_p)
+                        idx._ivf.block_rank_sub = idx.block_rank_sub
                     else:
                         idx._ivf = IVFIndex.load(snap_p)
                     idx._n_snap = int(m["n_snap"])
@@ -321,6 +328,7 @@ class AnnFlatIndex(FlatIndex):
                 from archi_tpu.engine.ivfpq_index import IVFPQIndex
 
                 ivf = IVFPQIndex.load(snap_p)
+                ivf.block_rank_sub = self.block_rank_sub
             else:
                 ivf = IVFIndex.load(snap_p)
         except Exception:

@@ -168,13 +168,14 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
 @functools.partial(jax.jit, static_argnames=("k", "nprobe_blocks", "group",
                                               "with_bias", "adc_impl",
                                               "approx_extract",
-                                              "approx_recall", "cell_gate"))
+                                              "approx_recall", "cell_gate",
+                                              "sub"))
 def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
                          code_blocks, block_rows_valid, codebooks, rot1,
                          bias_by_slot, *, k, nprobe_blocks, group=1,
                          with_bias=False, adc_impl="xla",
                          approx_extract=False, approx_recall=0.95,
-                         cell_gate: int | None = None):
+                         cell_gate: int | None = None, sub: int = 1):
     """Block-budget probing: rank individual code BLOCKS by their own
     mini-centroid score and ADC exactly ``nprobe_blocks`` blocks per query.
 
@@ -206,7 +207,16 @@ def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
                           preferred_element_type=jnp.float32)
     bscores = jnp.dot(queries.astype(block_centroids.dtype),
                       block_centroids.T,
-                      preferred_element_type=jnp.float32)  # [B, n_blocks]
+                      preferred_element_type=jnp.float32)  # [B, nb*sub]
+    if sub > 1:
+        # Sub-block ranking: block_centroids holds `sub` mini-centroids
+        # per block (block-major layout); a block ranks by its BEST
+        # sub-centroid.  A 512-row block spans several natural clusters,
+        # so its mean dilutes the one cluster the query matches ~sub-fold
+        # — measured at 100M (64-dupe clusters), missed GT rows' blocks
+        # ranked ~2000th by diluted mean while their cells ranked ~200th.
+        # Max-pooling over finer means recovers the undiluted signal.
+        bscores = bscores.reshape(b, -1, sub).max(axis=2)  # [B, n_blocks]
     if cell_gate is not None and cell_gate < centroids.shape[0]:
         # Two-level gate: only blocks whose owning cell ranks in the
         # query's top-`cell_gate` cells compete in the block ranking.
@@ -367,6 +377,13 @@ class IVFPQIndex:
         # and the block → owning-cell map derived from cell_blocks.
         self.block_centroids = (None if block_centroids is None
                                 else jnp.asarray(block_centroids))
+        # sub-block ranking granularity: blocks rank by the MAX of `sub`
+        # finer mini-centroids (set via ensure_block_centroids(sub=) or
+        # the block_rank_sub config knob; derived from shape on load)
+        self._bc_sub = (1 if block_centroids is None else
+                        max(1, int(self.block_centroids.shape[0]
+                                   // self.code_blocks.shape[0])))
+        self.block_rank_sub = self._bc_sub
         cb_h = np.asarray(cell_blocks)
         n_blocks = self.code_blocks.shape[0]
         bc_map = np.zeros((n_blocks,), np.int32)
@@ -659,23 +676,36 @@ class IVFPQIndex:
 
     # ------------------------------------------------------- block centroids
     def ensure_block_centroids(self, *, chunk_blocks: int = 256,
-                               dtype=jnp.float32):
+                               dtype=jnp.float32, sub: int | None = None):
         """Per-block mini-centroids for block-budget probing, decoded from
         the stored codes (centroid(cell) + mean decoded residual over the
         block's valid rows, L2-normalized).  Needs no corpus access, so it
         works on a loaded index; quantization error is the PQ error —
         negligible for ranking blocks.  Cached; included in save().
 
-        dtype: bf16 halves the [n_blocks, D] footprint and the per-batch
-        HBM stream at small-block scale (100M rows / block=256 → 393k
-        blocks); ranking signals are ~0.1-1.0 apart, far above bf16
-        rounding."""
-        if self.block_centroids is not None:
-            return self.block_centroids
+        sub: mini-centroids per block — the block ranks by the MAX of its
+        `sub` sub-slice means (block rows are appended in ingest order, so
+        natural clusters are near-contiguous within a block and finer
+        means stay near-pure).  sub=1 is the classic diluted whole-block
+        mean; sub=8 at block=512 gives 64-row granularity.  Defaults to
+        ``self.block_rank_sub``.
+
+        dtype: bf16 halves the [n_blocks*sub, D] footprint and the
+        per-batch HBM stream at small-block scale (100M rows / block=256
+        → 393k blocks); ranking signals are ~0.1-1.0 apart, far above
+        bf16 rounding."""
+        if sub is None:
+            sub = self.block_rank_sub
+        sub = max(1, int(sub))
         nb, blk, mc = self.code_blocks.shape
+        if blk % sub:
+            raise ValueError(f"block={blk} not divisible by sub={sub}")
+        if self.block_centroids is not None and self._bc_sub == sub:
+            return self.block_centroids
         if self.packed:
             from archi_tpu.ops.pallas_adc import unpack_nibbles
 
+        sb = blk // sub
         parts = []
         for s in range(0, nb, chunk_blocks):
             e = min(s + chunk_blocks, nb)
@@ -688,16 +718,22 @@ class IVFPQIndex:
             dec = self.codec.decode(flat)                    # [cB*blk, D]
             valid_c = self.block_rows_valid[s:e]             # [cB, blk]
             dec = dec.reshape(cb, blk, -1) * valid_c[:, :, None]
-            cnt = valid_c.sum(axis=1)                        # [cB]
-            mean_r = dec.sum(axis=1) / jnp.maximum(cnt, 1.0)[:, None]
-            bc = self.centroids[self._block_cell_dev[s:e]] + mean_r
-            # zero all-pad blocks so they can never outrank a real block
-            bc = bc * (cnt > 0).astype(jnp.float32)[:, None]
+            d = dec.shape[-1]
+            cnt = valid_c.reshape(cb, sub, sb).sum(axis=2)   # [cB, sub]
+            mean_r = dec.reshape(cb, sub, sb, d).sum(axis=2) \
+                / jnp.maximum(cnt, 1.0)[:, :, None]          # [cB, sub, D]
+            bc = self.centroids[self._block_cell_dev[s:e]][:, None, :] \
+                + mean_r
+            # zero all-pad sub-slices: a zero vector scores 0, far below
+            # any real match's cosine, so it never enters the top budget
+            bc = bc * (cnt > 0).astype(jnp.float32)[:, :, None]
             bc = bc / jnp.maximum(
-                jnp.linalg.norm(bc, axis=1, keepdims=True), 1e-12)
-            parts.append(bc.astype(dtype))
+                jnp.linalg.norm(bc, axis=2, keepdims=True), 1e-12)
+            parts.append(bc.reshape(cb * sub, d).astype(dtype))
         bc = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         self.block_centroids = bc
+        self._bc_sub = sub
+        self.block_rank_sub = sub
         return bc
 
     # ----------------------------------------------------------------- search
@@ -794,6 +830,7 @@ class IVFPQIndex:
                 group=group, with_bias=bias is not None, adc_impl=adc_impl,
                 approx_extract=approx, approx_recall=float(approx_recall),
                 cell_gate=(None if cell_gate is None else int(cell_gate)),
+                sub=self._bc_sub,
             )
         else:
             vals, gpos = _ivfpq_search(

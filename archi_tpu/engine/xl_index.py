@@ -62,7 +62,7 @@ class XlPQIndex:
                  nlist: int = 4096, block: int = 512,
                  pq_m: int = 48, pq_refine_m: int = 48, ksub: int = 16,
                  nprobe_blocks: int = 128, cell_gate: int | None = None,
-                 rerank_overfetch: int = 16,
+                 block_rank_sub: int = 8, rerank_overfetch: int = 16,
                  min_snapshot_rows: int = 1 << 17,
                  refresh_fraction: float = 0.25,
                  build_block_rows: int = 1 << 17,
@@ -83,6 +83,9 @@ class XlPQIndex:
         self.nprobe_blocks = int(nprobe_blocks)
         # two-level gate for block ranking (see IVFPQIndex cell_gate)
         self.cell_gate = None if cell_gate is None else int(cell_gate)
+        # sub-block ranking granularity (max over `sub` finer means per
+        # block — see IVFPQIndex.ensure_block_centroids)
+        self.block_rank_sub = max(1, int(block_rank_sub))
         self.rerank_overfetch = int(rerank_overfetch)
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
@@ -231,7 +234,8 @@ class XlPQIndex:
                 nlist=nlist, block=min(self.block, n_snap_new),
                 m=self.pq_m, ksub=self.ksub, refine_m=self.pq_refine_m,
                 train_blocks=min(2, n_blocks))
-            ivf.ensure_block_centroids(dtype=jnp.bfloat16)
+            ivf.ensure_block_centroids(dtype=jnp.bfloat16,
+                                       sub=self.block_rank_sub)
 
             # snapshot tombstone bias from the global id table
             dead = np.zeros((n_snap_new,), np.float32)
@@ -397,6 +401,7 @@ class XlPQIndex:
                     "ksub": self.ksub,
                     "nprobe_blocks": self.nprobe_blocks,
                     "cell_gate": self.cell_gate,
+                    "block_rank_sub": self.block_rank_sub,
                     "rerank_overfetch": self.rerank_overfetch,
                     "min_snapshot_rows": self.min_snapshot_rows,
                     "refresh_fraction": self.refresh_fraction,
@@ -432,7 +437,8 @@ class XlPQIndex:
         base = path[:-4] if path.endswith(".npz") else path
         if os.path.exists(base + ".ivfpq.npz"):
             idx._ivf = IVFPQIndex.load(base + ".ivfpq")
-            idx._ivf.ensure_block_centroids(dtype=jnp.bfloat16)
+            idx._ivf.ensure_block_centroids(dtype=jnp.bfloat16,
+                                            sub=idx.block_rank_sub)
             idx._snap_bias = jnp.asarray(z["snap_bias"])
         n_tail = len(ids) - idx._n_snap
         if n_tail > 0:

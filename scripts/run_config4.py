@@ -152,7 +152,16 @@ def main() -> None:
             idx.save(index_path)
             print(f"saved index to {index_path}", flush=True)
     t_bc = time.time()
-    idx.ensure_block_centroids(dtype=jnp.bfloat16)
+    if "--sub" in args:
+        # sub-block ranking granularity (MAX over `sub` finer means per
+        # block; see IVFPQIndex.ensure_block_centroids)
+        idx.block_rank_sub = int(args[args.index("--sub") + 1])
+    bc_dtype = jnp.bfloat16
+    if "--bc-dtype" in args and args[args.index("--bc-dtype") + 1] == "f32":
+        # f32 mini-centroids: at this corpus's ~0.002 score gaps, bf16
+        # input rounding (~0.3% relative) is itself ranking noise
+        bc_dtype = jnp.float32
+    idx.ensure_block_centroids(dtype=bc_dtype)
     jax.block_until_ready(idx.block_centroids)
     print(f"block centroids: {time.time()-t_bc:.0f}s "
           f"(n_blocks={idx.code_blocks.shape[0]}, "

@@ -461,6 +461,65 @@ def test_cell_gate_with_bias(setup):
     assert (vals > NEG_INF / 2).all()
 
 
+def test_sub_block_full_budget_matches_full_nprobe(setup):
+    """Sub-block ranking only changes WHICH blocks are probed; at the
+    full block budget every block is probed, so results must match
+    nprobe=nlist exactly (and the rebuild must leave sub=4 cached)."""
+    _, x, q, _ = setup
+    idx = IVFPQIndex.build(x, nlist=32, block=256, m=16, seed=0)
+    idx.block_rank_sub = 4
+    nb = idx.code_blocks.shape[0]
+    va, ra = idx.search_dispatch(q, k=10, nprobe=32)
+    vb, rb = idx.search_dispatch(q, k=10, nprobe_blocks=nb)
+    assert idx._bc_sub == 4
+    assert idx.block_centroids.shape[0] == nb * 4
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_sub_block_recall_not_worse_at_small_budget(setup):
+    """On a clustered corpus, max-of-finer-means resolves multi-modal
+    blocks: recall at a small block budget must be >= the diluted
+    whole-block-mean ranking."""
+    _, x, q, _ = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    i1 = IVFPQIndex.build(x, nlist=32, block=256, m=16, seed=0)
+    i1.block_rank_sub = 1
+    _, _, r1 = i1.search(q, k=100, nprobe_blocks=6)
+    i4 = IVFPQIndex.build(x, nlist=32, block=256, m=16, seed=0)
+    i4.block_rank_sub = 4
+    _, _, r4 = i4.search(q, k=100, nprobe_blocks=6)
+    assert _recall(r4, exact) >= _recall(r1, exact) - 1e-9
+    assert _recall(r4, exact) >= 0.8
+
+
+def test_sub_block_save_load_roundtrip(tmp_path, setup):
+    """sub is derived from the saved sub-centroid shape on load."""
+    _, x, q, _ = setup
+    idx = IVFPQIndex.build(x, nlist=32, block=256, m=16, seed=0)
+    idx.ensure_block_centroids(sub=4)
+    p = str(tmp_path / "ivfpq_sub.npz")
+    idx.save(p)
+    loaded = IVFPQIndex.load(p)
+    assert loaded._bc_sub == 4 and loaded.block_rank_sub == 4
+    va, ra = idx.search_dispatch(q[:4], k=5, nprobe_blocks=8)
+    vb, rb = loaded.search_dispatch(q[:4], k=5, nprobe_blocks=8)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-5)
+    assert (np.asarray(ra) == np.asarray(rb)).all()
+
+
+def test_sub_block_rebuild_on_sub_change(setup):
+    _, x, q, _ = setup
+    idx = IVFPQIndex.build(x, nlist=32, block=256, m=16, seed=0)
+    bc1 = idx.ensure_block_centroids(sub=1)
+    nb = idx.code_blocks.shape[0]
+    assert bc1.shape[0] == nb
+    bc4 = idx.ensure_block_centroids(sub=4)
+    assert bc4.shape[0] == nb * 4 and idx._bc_sub == 4
+    with pytest.raises(ValueError):
+        idx.ensure_block_centroids(sub=3)   # 256 % 3 != 0
+
+
 def test_block_probe_packed_refined(setup):
     """Block probing through the packed-4bit + refinement config (the
     config-4 shape): full budget matches full nprobe; small budget keeps
