@@ -156,6 +156,31 @@ def test_bootstrap_builds_xl(tmp_path):
                             "pq_refine_m": 8, "min_snapshot_rows": 4096})
     assert isinstance(idx, XlPQIndex)
     assert idx.pq_m == 8 and idx.async_refresh
+    assert idx.block_rank_sub == 8 and idx.cell_gate is None
+    idx2 = _build_index(32, {"type": "ivfpq_xl", "nlist": 8, "pq_m": 8,
+                             "pq_refine_m": 8, "block_rank_sub": 2,
+                             "cell_gate": 4})
+    assert idx2.block_rank_sub == 2 and idx2.cell_gate == 4
+
+
+def test_probe_config_survives_save_load(tmp_path):
+    """cell_gate / block_rank_sub ride the checkpoint config and the
+    loaded snapshot's sub-centroids match the configured granularity."""
+    rng = np.random.default_rng(43)
+    idx, x = _mk(rng, n=4096, cell_gate=16, block_rank_sub=2)
+    assert idx._ivf is not None
+    assert idx._ivf._bc_sub == 2            # ensure ran with sub
+    p = str(tmp_path / "xlp" / "index.npz")
+    import os
+
+    os.makedirs(os.path.dirname(p))
+    idx.save(p)
+    loaded = XlPQIndex.load(p)
+    assert loaded.cell_gate == 16 and loaded.block_rank_sub == 2
+    assert loaded._ivf is not None and loaded._ivf._bc_sub == 2
+    a = idx.search(x[33], k=5)
+    b = loaded.search(x[33], k=5)
+    assert a[0] == b[0]
 
 
 def test_through_vectorstore():
