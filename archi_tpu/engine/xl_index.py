@@ -19,7 +19,12 @@ them into a SERVING index with the TpuVectorStore contract:
   snapshot bias + the tail's own alive) — a dead row can't resurface
   from any tier;
 - hybrid BM25 bias / metadata filters / per-conversation enablement ride
-  the same per-row additive-bias contract as every other index.
+  the same per-row additive-bias contract as every other index —
+  including per-query [B, N] bias (micro-batched hybrid serving), which
+  flows through all three tiers.  ANN caveat (shared with AnnFlatIndex):
+  a positive bias rides the ADC scores of PROBED candidates; it cannot
+  surface a snapshot row whose block the probe budget skipped (the tail
+  is exact, so fresh rows always see their bias).
 
 Searches: ADC block-budget probe over the snapshot → top-C candidates →
 host exact rescore; exact device scan of the tail; host merge.  Scores
@@ -55,7 +60,11 @@ logger = logging.getLogger(__name__)
 class XlPQIndex:
     """Beyond-HBM serving index (host plane + PQ snapshot + exact tail)."""
 
-    supports_batched_bias = False  # per-query [B, N] bias: sequential path
+    # per-query [B, N] bias is supported on every tier: the snapshot's
+    # block-layout bias stream, the host rerank's per-row pick, and the
+    # exact tail — so micro-batched hybrid serving fuses here too.  The
+    # vectorstore's BIAS_BUDGET splitter bounds the [B, N] footprint.
+    supports_batched_bias = True
 
     def __init__(self, dim: int, *, store_path: Optional[str] = None,
                  store: Optional[HostVectorStore] = None,
@@ -292,10 +301,7 @@ class XlPQIndex:
             fm = np.asarray(filter_mask, np.float32)
         ub = None
         if bias is not None:
-            ub = np.asarray(bias, np.float32)
-            if ub.ndim == 2:
-                raise ValueError("XlPQIndex: per-query [B, N] bias is not "
-                                 "supported (supports_batched_bias=False)")
+            ub = np.asarray(bias, np.float32)   # [N] shared or [B, N]
 
         parts_v, parts_r = [], []
         qd = jnp.asarray(queries)
@@ -308,9 +314,15 @@ class XlPQIndex:
                 m = fm[:n_snap]
                 fs[:len(m)][m > 0.0] = 0.0
                 sb = sb + jnp.asarray(fs)
-            if ub is not None:
+            if ub is not None and ub.ndim == 1:
                 sb = sb + jnp.asarray(
                     np.pad(ub[:n_snap], (0, n_snap - min(len(ub), n_snap))))
+            elif ub is not None:
+                # per-query bias: shared parts broadcast over the batch
+                u2 = np.zeros((b, n_snap), np.float32)
+                w = min(ub.shape[1], n_snap)
+                u2[:, :w] = ub[:, :w]
+                sb = sb[None, :] + jnp.asarray(u2)           # [B, n_snap]
             c = max(k, self.rerank_overfetch * k)
             vals_d, rows_d = ivf.search_dispatch(
                 qd, k=c, nprobe_blocks=(nprobe_blocks or
@@ -321,9 +333,13 @@ class XlPQIndex:
             # exact host rescore (finite bias re-applied; NEG_INF slots
             # stay dead)
             rb = None
-            if ub is not None:
+            if ub is not None and ub.ndim == 1:
                 rb = np.zeros((n_snap,), np.float32)
                 rb[:min(len(ub), n_snap)] = ub[:n_snap]
+            elif ub is not None:
+                rb = np.zeros((b, n_snap), np.float32)
+                w = min(ub.shape[1], n_snap)
+                rb[:, :w] = ub[:, :w]
             sv, sr = exact_rerank(self.store, queries, vals_h, rows_h,
                                   k=min(k, c), bias=rb)
             parts_v.append(sv)
@@ -337,10 +353,14 @@ class XlPQIndex:
                 seg = fm[n_snap:n_snap + tail.capacity]
                 t_fm[:len(seg)] = seg
             t_b = None
-            if ub is not None:
+            if ub is not None and ub.ndim == 1:
                 t_b = np.zeros((tail.capacity,), np.float32)
                 seg = ub[n_snap:n_snap + tail.capacity]
                 t_b[:len(seg)] = seg
+            elif ub is not None:
+                t_b = np.zeros((b, tail.capacity), np.float32)
+                seg = ub[:, n_snap:n_snap + tail.capacity]
+                t_b[:, :seg.shape[1]] = seg
             tv, tr = tail.search_dispatch(qd, k=min(k, max(len(tail), 1)),
                                           filter_mask=t_fm, bias=t_b,
                                           impl=impl)

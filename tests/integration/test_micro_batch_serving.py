@@ -25,6 +25,11 @@ INDEX_CONFIGS = {
     "ivf": {"type": "ivf", "nlist": 8, "nprobe": 8,
             "min_snapshot_rows": 16, "async_refresh": False},
     "hot_tail": {"hot_tail": True, "merge_rows": 64},
+    # beyond-HBM shape: host plane + PQ snapshot + exact tail; per-query
+    # [B, N] bias now flows through all three tiers (supports_batched_bias)
+    "ivfpq_xl": {"type": "ivfpq_xl", "nlist": 4, "block": 128,
+                 "pq_m": 8, "pq_refine_m": 8, "nprobe_blocks": 16,
+                 "min_snapshot_rows": 16, "async_refresh": False},
 }
 
 
@@ -65,6 +70,10 @@ def stacks(request, tmp_path_factory):
         # scan and the test proves nothing about the ANN path
         for ctx in (ctx_b, ctx_p):
             ctx.vectorstore.index.refresh_ann()
+            assert ctx.vectorstore.index._ivf is not None
+    elif request.param == "ivfpq_xl":
+        for ctx in (ctx_b, ctx_p):
+            ctx.vectorstore.index.refresh_snapshot()
             assert ctx.vectorstore.index._ivf is not None
     yield {"batched": (ctx_b, url_b), "plain": (ctx_p, url_p)}
     app_b.shutdown()

@@ -125,6 +125,43 @@ def test_delete_survives_snapshot_rebuild():
     assert victim not in set(int(r) for r in rows[0])
 
 
+def test_per_query_bias_all_tiers(setup):
+    """[B, N] bias applies row-wise on the snapshot (block-layout
+    stream + host-rerank re-add) AND the fresh tail."""
+    rng, idx, x = setup
+    n = len(x)
+    fresh = _corpus(np.random.default_rng(77), 8)
+    idx2, x2 = _mk(np.random.default_rng(13), n=4096)
+    idx2.add(fresh, [f"f{i}" for i in range(8)])
+    assert idx2._n_snap >= 2048 and idx2.n_rows > idx2._n_snap
+    # boost a snapshot row for query 0, a TAIL row for query 1.  The
+    # boosted snapshot row must come from the query's own probed set
+    # (bias rides the ADC scores but not the block RANKING, so a boost
+    # cannot surface a row whose block was never probed — the documented
+    # ANN approximation, same as refinement not resurrecting rows)
+    q = np.stack([x2[500], x2[600]])
+    _, _, base0 = idx2.search(q, k=20)
+    t0 = int(next(r for r in base0[0][::-1] if 0 <= r < idx2._n_snap))
+    t1 = idx2.n_rows - 3                      # fresh tail tier (exact)
+    bias = np.zeros((2, idx2.n_rows), np.float32)
+    bias[0, t0] = 5.0
+    bias[1, t1] = 5.0
+    ids, vals, rows = idx2.search(q, k=3, bias=bias)
+    assert int(rows[0][0]) == t0 and int(rows[1][0]) == t1
+    # boosted scores are exact-ip + bias on the snapshot tier
+    true0 = float(x2[t0] @ (q[0] / np.linalg.norm(q[0])))
+    assert abs(vals[0][0] - (true0 + 5.0)) < 2e-2
+    # per-query isolation: q1's result must not carry q0's boost
+    assert t0 != t1 and int(rows[1][0]) != t0
+    # NEG_INF per-query kill stays dead
+    bias2 = np.zeros((2, idx2.n_rows), np.float32)
+    base = idx2.search(q, k=3)[2]
+    bias2[0, int(base[0][0])] = NEG_INF
+    _, _, r2 = idx2.search(q, k=3, bias=bias2)
+    assert int(r2[0][0]) != int(base[0][0])
+    assert int(r2[1][0]) == int(base[1][0])   # other query unaffected
+
+
 def test_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(41)
     idx, x = _mk(rng, n=4096)
