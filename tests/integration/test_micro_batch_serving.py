@@ -128,5 +128,19 @@ def test_batched_results_match_unbatched_stack(stacks):
         rp = _query(url_p, q)
         assert [round(x["score"], 4) for x in rb] == \
                [round(x["score"], 4) for x in rp], q
-        assert [x["metadata"].get("display_name") for x in rb] == \
-               [x["metadata"].get("display_name") for x in rp], q
+        # tie-order may legitimately differ between the fused [B, N]-bias
+        # path and the shared-bias path (different extraction programs);
+        # require identical docs per SCORE LEVEL, not per position
+        def by_level(rs):
+            lv = {}
+            for x in rs:
+                lv.setdefault(round(x["score"], 4), set()).add(
+                    x["metadata"].get("display_name"))
+            return lv
+        lb, lp = by_level(rb), by_level(rp)
+        for s in set(lb) | set(lp):
+            if lb.get(s) != lp.get(s):
+                # a tie group truncated by k may split differently —
+                # only flag when the score level is fully inside both
+                assert min(lb, default=0) in (s,) or \
+                    min(lp, default=0) in (s,), (q, s, lb, lp)
