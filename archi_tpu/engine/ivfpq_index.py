@@ -47,11 +47,11 @@ from archi_tpu.ops.pallas_topk import NEG_INF
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "group",
                                               "with_bias", "adc_impl",
                                               "approx_extract",
-                                              "approx_recall"))
+                                              "approx_recall", "hier_t"))
 def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
                   cell_blocks, codebooks, rot1, bias_by_slot, *, k, nprobe,
                   group=8, with_bias=False, adc_impl="xla",
-                  approx_extract=False, approx_recall=0.95):
+                  approx_extract=False, approx_recall=0.95, hier_t=0):
     """queries [B, D] (B % group == 0); code_blocks [n_blocks, blk, mc] u8
     where mc = m (8-bit codes) or m//2 (packed 4-bit nibbles, ksub=16);
     codebooks [m, ksub, ds]; rot1 [D, D] — the stage-1 OPQ rotation
@@ -127,6 +127,18 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
         scores = jnp.where(mask, scores, NEG_INF)
         kk = min(k, scores.shape[1])
         w = scores.shape[1]
+        if hier_t > 0 and w % blk == 0 and p * min(hier_t, blk) >= kk:
+            # hierarchical exact-per-block extraction — see
+            # _ivfpq_search_blocks for the design note
+            bt = min(hier_t, blk)
+            s3 = scores.reshape(g_sz, p, blk)
+            v3, p3 = jax.lax.top_k(s3, bt)               # [G, p, bt]
+            fp = (jax.lax.broadcasted_iota(jnp.int32, (g_sz, p, bt), 1)
+                  * blk + p3).reshape(g_sz, -1)
+            vals, f = jax.lax.top_k(v3.reshape(g_sz, -1), kk)
+            pos = jnp.take_along_axis(fp, f, axis=1)
+            g = safe[pos // blk] * blk + pos % blk
+            return vals, g.astype(jnp.int32)
         if (approx_extract and kk >= 64 and w % blk == 0 and blk >= 256
                 and w >= 16 * kk and w // blk >= 8):
             # Wide-k candidate extraction via TPU ApproxTopK (PartialReduce)
@@ -169,13 +181,14 @@ def _ivfpq_search(queries, centroids, code_blocks, block_rows_valid,
                                               "with_bias", "adc_impl",
                                               "approx_extract",
                                               "approx_recall", "cell_gate",
-                                              "sub"))
+                                              "sub", "hier_t"))
 def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
                          code_blocks, block_rows_valid, codebooks, rot1,
                          bias_by_slot, *, k, nprobe_blocks, group=1,
                          with_bias=False, adc_impl="xla",
                          approx_extract=False, approx_recall=0.95,
-                         cell_gate: int | None = None, sub: int = 1):
+                         cell_gate: int | None = None, sub: int = 1,
+                         hier_t: int = 0):
     """Block-budget probing: rank individual code BLOCKS by their own
     mini-centroid score and ADC exactly ``nprobe_blocks`` blocks per query.
 
@@ -274,7 +287,28 @@ def _ivfpq_search_blocks(queries, centroids, block_centroids, block_cell,
 
         kk = min(k, scores.shape[1])
         w = scores.shape[1]
-        if (approx_extract and kk >= 64 and w % blk == 0 and blk >= 256
+        if hier_t > 0 and w % blk == 0 and p * min(hier_t, blk) >= kk:
+            # Hierarchical exact-per-block extraction: lax.top_k over the
+            # FULL probed width is a sort of nprobe_blocks*blk slots per
+            # query (4.2M at the config-4 headline) and dominates the
+            # device step at high probe budgets.  Selecting the top
+            # `hier_t` WITHIN each 512-slot block first (cheap: batched
+            # short-row sorts) and then merging the p*hier_t survivors
+            # exactly cuts the final sort width by blk/hier_t (8-16x).
+            # The only loss vs exact: a block contributing > hier_t of
+            # the true top-kk candidates gets truncated.  Blocks are
+            # cell-contiguous, so that happens when one near-duplicate
+            # cluster inside a block outpopulates hier_t — size hier_t
+            # at >= the corpus's duplicate-cluster size (the config-4
+            # measurement: hier_t=64 = cluster size, zero recall loss).
+            bt = min(hier_t, blk)
+            s3 = scores.reshape(g_sz, p, blk)
+            v3, p3 = jax.lax.top_k(s3, bt)               # [G, p, bt]
+            fp = (jax.lax.broadcasted_iota(jnp.int32, (g_sz, p, bt), 1)
+                  * blk + p3).reshape(g_sz, -1)
+            vals, f = jax.lax.top_k(v3.reshape(g_sz, -1), kk)
+            pos = jnp.take_along_axis(fp, f, axis=1)
+        elif (approx_extract and kk >= 64 and w % blk == 0 and blk >= 256
                 and w >= 16 * kk and w // blk >= 8):
             # same strided anti-duplicate relayout as _ivfpq_search
             r_dim = w // blk
@@ -744,7 +778,8 @@ class IVFPQIndex:
                         vmem_budget_rows: int = 1 << 17,
                         refine_overfetch: int = 8,
                         extract: str = "auto",
-                        approx_recall: float = 0.95):
+                        approx_recall: float = 0.95,
+                        hier_t: int = 64):
         """Device-only: → (vals [B, k] f32 dev, original rows [B, k] i32 dev,
         -1 for dead slots).  With a refinement stage, stage 1 over-fetches
         ``refine_overfetch * k`` candidates and the refinement ADC re-ranks
@@ -753,9 +788,13 @@ class IVFPQIndex:
         extract: stage-1 candidate extraction.  "exact" = lax.top_k (a full
         sort over every probed slot — the measured wall-clock majority at
         high nprobe x wide k); "approx" = TPU ApproxTopK at
-        ``approx_recall``; "auto" = approx only when a refinement stage
-        will re-rank the candidates anyway (and we're on TPU, and stage-1 k
-        is wide enough to matter).
+        ``approx_recall``; "hier" = per-block top-``hier_t`` partial
+        selection then an exact merge of the survivors (cuts the final
+        sort width blk/hier_t-fold; lossless unless one block holds
+        > hier_t of the true top-k — size hier_t >= the corpus's
+        near-duplicate cluster size); "auto" = approx only when a
+        refinement stage will re-rank the candidates anyway (and we're on
+        TPU, and stage-1 k is wide enough to matter).
 
         nprobe_blocks: when set, probe by BLOCK budget instead of cell
         count — rank individual code blocks by per-block mini-centroid
@@ -819,6 +858,7 @@ class IVFPQIndex:
                       and k1 >= 256 and k1 > k)
         else:
             approx = extract == "approx"
+        ht = int(hier_t) if extract == "hier" else 0
         rot1 = (self.codec.rotation if self.codec.rotation is not None
                 else jnp.eye(self.dim, dtype=jnp.float32))
         if nprobe_blocks is not None:
@@ -830,7 +870,7 @@ class IVFPQIndex:
                 group=group, with_bias=bias is not None, adc_impl=adc_impl,
                 approx_extract=approx, approx_recall=float(approx_recall),
                 cell_gate=(None if cell_gate is None else int(cell_gate)),
-                sub=self._bc_sub,
+                sub=self._bc_sub, hier_t=ht,
             )
         else:
             vals, gpos = _ivfpq_search(
@@ -840,6 +880,7 @@ class IVFPQIndex:
                 rot1, bias_by_slot, k=k1, nprobe=nprobe, group=group,
                 with_bias=bias is not None, adc_impl=adc_impl,
                 approx_extract=approx, approx_recall=float(approx_recall),
+                hier_t=ht,
             )
         vals, gpos = vals[:b], gpos[:b]
         rows = jnp.where(
@@ -863,7 +904,7 @@ class IVFPQIndex:
                vmem_budget_rows: int = 1 << 17,
                rerank_store=None, rerank_overfetch: int = 4,
                refine_overfetch: int | None = None, extract: str = "auto",
-               approx_recall: float = 0.95):
+               approx_recall: float = 0.95, hier_t: int = 64):
         """bias: f32 by ORIGINAL row — same contract as IVFIndex.search.
 
         rerank_store: optional ``HostVectorStore`` holding the full
@@ -887,7 +928,7 @@ class IVFPQIndex:
             normalize_queries=normalize_queries,
             vmem_budget_rows=vmem_budget_rows,
             refine_overfetch=refine_overfetch, extract=extract,
-            approx_recall=approx_recall)
+            approx_recall=approx_recall, hier_t=hier_t)
         if rerank_store is not None:
             from archi_tpu.engine.host_store import exact_rerank
 

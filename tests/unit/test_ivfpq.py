@@ -535,3 +535,54 @@ def test_block_probe_packed_refined(setup):
     exact = np.argsort(-(x @ q.T), axis=0)[:10].T
     _, _, rows = idx4.search(q, k=10, nprobe_blocks=8)
     assert _recall(rows, exact) >= 0.5
+
+
+# ------------------------------------------------- hierarchical extraction
+def test_hier_extract_full_t_identical(setup):
+    """hier_t = blk sorts every slot of every block before the merge —
+    mathematically the same selection as exact lax.top_k, both probe
+    modes."""
+    _, x, q, idx = setup
+    for skw in ({"nprobe": 16}, {"nprobe_blocks": 32}):
+        ve, re_ = idx.search_dispatch(q, k=10, extract="exact", **skw)
+        vh, rh = idx.search_dispatch(q, k=10, extract="hier",
+                                     hier_t=idx.block, **skw)
+        np.testing.assert_allclose(np.asarray(ve), np.asarray(vh),
+                                   atol=1e-5)
+        assert (np.asarray(re_) == np.asarray(rh)).all(), skw
+
+
+def test_hier_extract_small_t_agrees(setup, refined):
+    """hier_t << blk truncates only blocks contributing > hier_t of the
+    stage-1 top-k1; at k=10 the final ranking must keep the exact top-1
+    and near-total overlap."""
+    _, x, q, _ = setup
+    ve, re_ = refined.search_dispatch(q, k=10, nprobe=16, extract="exact")
+    vh, rh = refined.search_dispatch(q, k=10, nprobe=16, extract="hier",
+                                     hier_t=64)
+    re_, rh = np.asarray(re_), np.asarray(rh)
+    assert np.array_equal(re_[:, 0], rh[:, 0])
+    overlap = np.mean([
+        len(set(re_[b]) & set(rh[b])) / 10 for b in range(q.shape[0])])
+    # this corpus's clusters are ~128 rows; hier_t=64 truncates some
+    # (hier_t=128 measures 1.0 — the sizing rule in the docstring)
+    assert overlap >= 0.95, overlap
+    # identical scores on common rows (same scoring, different extraction)
+    ve, vh = np.asarray(ve), np.asarray(vh)
+    for b in range(q.shape[0]):
+        se = dict(zip(re_[b].tolist(), ve[b].tolist()))
+        for r, v in zip(rh[b].tolist(), vh[b].tolist()):
+            if r in se:
+                assert abs(se[r] - v) < 1e-4
+
+
+def test_hier_extract_with_bias_and_blocks(setup):
+    """hier extraction must honor the additive-bias contract (tombstones
+    stay dead) on the block-budget path."""
+    _, x, q, idx = setup
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    bias = np.zeros(len(x), np.float32)
+    bias[exact[0][0]] = NEG_INF
+    _, _, rows = idx.search(q[:1], k=10, nprobe_blocks=16, extract="hier",
+                            hier_t=32, bias=bias)
+    assert exact[0][0] not in set(rows[0])
