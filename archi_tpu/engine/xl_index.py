@@ -72,6 +72,7 @@ class XlPQIndex:
                  pq_m: int = 48, pq_refine_m: int = 48, ksub: int = 16,
                  nprobe_blocks: int = 128, cell_gate: int | None = None,
                  block_rank_sub: int = 8, rerank_overfetch: int = 16,
+                 extract: str = "auto", hier_t: int = 64,
                  min_snapshot_rows: int = 1 << 17,
                  refresh_fraction: float = 0.25,
                  build_block_rows: int = 1 << 17,
@@ -95,6 +96,12 @@ class XlPQIndex:
         # sub-block ranking granularity (max over `sub` finer means per
         # block — see IVFPQIndex.ensure_block_centroids)
         self.block_rank_sub = max(1, int(block_rank_sub))
+        # stage-1 candidate extraction ("auto" | "exact" | "approx" |
+        # "hier"); hier_t sizes the per-block partial selection — set it
+        # >= the corpus's near-duplicate cluster size (see
+        # IVFPQIndex.search_dispatch)
+        self.extract = str(extract)
+        self.hier_t = int(hier_t)
         self.rerank_overfetch = int(rerank_overfetch)
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
@@ -328,7 +335,8 @@ class XlPQIndex:
                 qd, k=c, nprobe_blocks=(nprobe_blocks or
                                         self.nprobe_blocks),
                 cell_gate=self.cell_gate,
-                bias=sb, normalize_queries=False, refine_overfetch=1)
+                bias=sb, normalize_queries=False, refine_overfetch=1,
+                extract=self.extract, hier_t=self.hier_t)
             vals_h, rows_h = jax.device_get((vals_d, rows_d))
             # exact host rescore (finite bias re-applied; NEG_INF slots
             # stay dead)
@@ -422,6 +430,8 @@ class XlPQIndex:
                     "nprobe_blocks": self.nprobe_blocks,
                     "cell_gate": self.cell_gate,
                     "block_rank_sub": self.block_rank_sub,
+                    "extract": self.extract,
+                    "hier_t": self.hier_t,
                     "rerank_overfetch": self.rerank_overfetch,
                     "min_snapshot_rows": self.min_snapshot_rows,
                     "refresh_fraction": self.refresh_fraction,

@@ -318,6 +318,11 @@ def main() -> None:
                                         int(v[2]) if len(v) > 2 else 1,
                                         int(v[3]) if len(v) > 3 else 0))
         extract = "exact" if "--exact-extract" in args else "auto"
+        hier_t = 64
+        if "--extract" in args:
+            extract = args[args.index("--extract") + 1]
+        if "--hier-t" in args:
+            hier_t = int(args[args.index("--hier-t") + 1])
         for mode, probe, c, rfo, gate in rerank_cfgs:
             overfetch = max(1, c // K)
             skw = ({"nprobe_blocks": probe} if mode == "npb"
@@ -327,7 +332,7 @@ def main() -> None:
             ids, vals, rows_h = idx.search(
                 qd, k=K, rerank_store=store,
                 rerank_overfetch=overfetch, refine_overfetch=rfo,
-                extract=extract, **skw)
+                extract=extract, hier_t=hier_t, **skw)
             strict = strict_of(rows_h)
             top1 = float(np.mean(rows_h[:, 0] == q_src))
 
@@ -335,7 +340,7 @@ def main() -> None:
                 _, v, _ = idx.search(qv, k=K, rerank_store=store,
                                      rerank_overfetch=overfetch,
                                      refine_overfetch=rfo, extract=extract,
-                                     **skw)
+                                     hier_t=hier_t, **skw)
                 return v
 
             # search() already syncs (numpy outputs) — no extra sync
@@ -344,7 +349,7 @@ def main() -> None:
             def dev_only(qv, overfetch=overfetch, rfo=rfo, skw=skw):
                 v, _ = idx.search_dispatch(
                     qv, k=K * overfetch,
-                    refine_overfetch=rfo, extract=extract, **skw)
+                    refine_overfetch=rfo, extract=extract, hier_t=hier_t, **skw)
                 return v
 
             dev_best = _measure_qps(dev_only, q, rng, rtt_s=r,

@@ -204,7 +204,8 @@ def test_probe_config_survives_save_load(tmp_path):
     """cell_gate / block_rank_sub ride the checkpoint config and the
     loaded snapshot's sub-centroids match the configured granularity."""
     rng = np.random.default_rng(43)
-    idx, x = _mk(rng, n=4096, cell_gate=16, block_rank_sub=2)
+    idx, x = _mk(rng, n=4096, cell_gate=16, block_rank_sub=2,
+                 extract="hier", hier_t=128)
     assert idx._ivf is not None
     assert idx._ivf._bc_sub == 2            # ensure ran with sub
     p = str(tmp_path / "xlp" / "index.npz")
@@ -214,6 +215,7 @@ def test_probe_config_survives_save_load(tmp_path):
     idx.save(p)
     loaded = XlPQIndex.load(p)
     assert loaded.cell_gate == 16 and loaded.block_rank_sub == 2
+    assert loaded.extract == "hier" and loaded.hier_t == 128
     assert loaded._ivf is not None and loaded._ivf._bc_sub == 2
     a = idx.search(x[33], k=5)
     b = loaded.search(x[33], k=5)
