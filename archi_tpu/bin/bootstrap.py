@@ -88,6 +88,11 @@ def _build_index(dim: int, index_cfg: dict):
             nprobe_blocks=index_cfg.get("nprobe_blocks") or 128,
             cell_gate=index_cfg.get("cell_gate"),
             block_rank_sub=index_cfg.get("block_rank_sub", 8),
+            # stage-1 extraction: "hier" with hier_t >= the corpus's
+            # near-duplicate cluster size cuts the high-probe device
+            # step ~1.5x at identical recall (docs/pq_scale.md)
+            extract=index_cfg.get("extract", "auto"),
+            hier_t=index_cfg.get("hier_t", 64),
             rerank_overfetch=index_cfg.get("rerank_overfetch", 16),
             min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 17),
             async_refresh=index_cfg.get("async_refresh", True),
@@ -106,6 +111,8 @@ def _build_index(dim: int, index_cfg: dict):
             snapshot_kind=index_type,
             pq_m=index_cfg.get("pq_m", 48),
             pq_refine_m=index_cfg.get("pq_refine_m", 48),
+            extract=index_cfg.get("extract", "auto"),
+            hier_t=index_cfg.get("hier_t", 64),
             async_refresh=index_cfg.get("async_refresh", True),
             **kw)
     if index_cfg.get("hot_tail"):

@@ -94,6 +94,7 @@ class AnnFlatIndex(FlatIndex):
                  refresh_fraction: float = 0.25,
                  snapshot_kind: str = "ivf", pq_m: int = 48,
                  pq_refine_m: int = 48, rerank_overfetch: int = 4,
+                 extract: str = "auto", hier_t: int = 64,
                  async_refresh: bool = True, **kw):
         """snapshot_kind: "ivf" (full-precision cells — pgvector-IVFFlat
         analog) or "ivfpq" (PQ-coded residual cells + refinement — 16x
@@ -139,6 +140,10 @@ class AnnFlatIndex(FlatIndex):
         # buffer — strict recall becomes candidate-bound, not
         # quantization-bound, for one gather+matvec.  0 disables.
         self.rerank_overfetch = int(rerank_overfetch)
+        # stage-1 extraction knobs for the PQ snapshot (see
+        # IVFPQIndex.search_dispatch; ignored for snapshot_kind="ivf")
+        self.extract = str(extract)
+        self.hier_t = int(hier_t)
         self.async_refresh = bool(async_refresh)
         self._ivf = None  # IVFIndex | IVFPQIndex
         self._n_snap = 0
@@ -427,6 +432,9 @@ class AnnFlatIndex(FlatIndex):
             # refinement rescore would be a pure reorder of it (same
             # argument as the host-rerank tier in ivfpq_index.search)
             extra["refine_overfetch"] = 1
+        if self.snapshot_kind == "ivfpq":
+            extra["extract"] = self.extract
+            extra["hier_t"] = self.hier_t
         a_vals, a_rows = ivf.search_dispatch(
             queries, k=k_ann, nprobe=nprobe or self.nprobe, bias=row_bias,
             normalize_queries=False, **extra)
