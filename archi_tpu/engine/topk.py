@@ -133,8 +133,36 @@ def topk_scores(queries, corpus, bias, n_active, *, k=10, impl="auto",
                 f"k={k}" if k > 128 else f"n%tile={corpus.shape[0] % tile_n}")
             impl = "xla"
         else:
+            # Large-batch auto-tiling: at B >= 64 virtually every tile has
+            # some improving row, so the scan is merge-bound; a 4x tile
+            # with the pooled selection kept ON (pool_budget) quarters the
+            # merge count.  Measured on the 1M bf16 corpus: B=256
+            # tile=16384 pooled = 75k QPS vs 31k at tile=4096 full-width
+            # (B=128: 68-73k; B=64: 57k).  Small batches keep the
+            # caller's tile — B=32 measured FASTER at 4096.  The tile is
+            # bumped only when the corpus stays tile-divisible and the
+            # kernel's VMEM estimate (incl. a per-query bias stream)
+            # fits the chip.
+            from archi_tpu.ops.pallas_topk import kernel_vmem_estimate
+
+            b = queries.shape[0]
+            eff_tile, budget = tile_n, None
+            if b >= 64:
+                bias_rows = b if bias.ndim == 2 else 1
+                for t in (16384, 8192):
+                    if t <= tile_n or corpus.shape[0] % t != 0:
+                        continue
+                    est = kernel_vmem_estimate(
+                        b, t, queries.shape[1], corpus.dtype.itemsize,
+                        bias_rows, pooling=True)
+                    # the kernel raises its Mosaic cap to min(100M, 2*est)
+                    # and true demand runs ~1.35x est — stay under both
+                    if est <= (66 << 20):
+                        eff_tile, budget = t, b * t * 4
+                        break
             return fused_topk(
-                queries, corpus, bias, n_active, k=k, tile_n=tile_n,
+                queries, corpus, bias, n_active, k=k, tile_n=eff_tile,
+                pool_budget=budget,
                 interpret=(not _on_tpu()) if interpret is None else interpret,
             )
     return xla_topk(queries, corpus, bias, n_active, k=k)

@@ -50,6 +50,20 @@ NEG_INF = -1.0e30
 LANES = 128  # lane width; running top-k buffer is [B, LANES]
 
 
+def kernel_vmem_estimate(b: int, tile_n: int, d: int, corpus_itemsize: int,
+                         bias_rows: int, pooling: bool) -> int:
+    """Lower-bound VMEM demand of one fused_topk grid step: double-
+    buffered corpus tile + bias stream + scores + pool scratch + running
+    buffers.  Mosaic's scoped-stack accounting (spills, concat
+    temporaries, double-buffered outputs) measures ~1.3-1.4x this sum at
+    large shapes — callers sizing a tile must leave that slack against
+    the ~100 MB practical limit (measured 110.8M actual vs 92.6M
+    estimated at B=256, tile=16384, per-query bias)."""
+    return (2 * tile_n * d * corpus_itemsize + 2 * bias_rows * tile_n * 4
+            + b * tile_n * 4 + (b * tile_n * 4 if pooling else 0)
+            + 5 * b * LANES * 4 + b * d * max(corpus_itemsize, 1))
+
+
 def _topk_update(cand_vals, cand_idx, k):
     """k iterations of (max, argmax, mask-out) over axis 1.
 
@@ -242,7 +256,8 @@ def _fused_topk_kernel(
         out_idx_ref[:] = run_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret",
+                                              "pool_budget"))
 def fused_topk(
     queries: jax.Array,   # [B, D] (any float dtype)
     corpus: jax.Array,    # [N_pad, D] (bf16/f32), N_pad % tile_n == 0
@@ -253,6 +268,7 @@ def fused_topk(
     k: int = 10,
     tile_n: int = 4096,
     interpret: bool = False,
+    pool_budget: int | None = None,
 ):
     """Returns (vals [B, k] f32, idx [B, k] i32) of top-k of (q·e_row + bias_row)."""
     b, d = queries.shape
@@ -276,16 +292,25 @@ def fused_topk(
     bias_rows = bias2d.shape[0]
     n_active_arr = jnp.asarray(n_active, jnp.int32).reshape(1)
 
-    # pooled selection needs a [B, TILE_N] f32 scratch; past ~2 MB it
-    # blows the ~16 MB VMEM budget next to the corpus tile (B=256 OOMed
-    # at 20.9 MB).  Large batches run the plain full-width merge at the
-    # full tile instead: measured at B=256 that is FASTER than pooling
-    # on a clamped tile (40.9k vs 22.2k QPS — smaller tiles pay fixed
-    # per-tile cost 4x more often), and big batches amortize the merge
-    # across 8-32x more queries per scan anyway.
     # tile_n % LANES is a structural requirement of the strided group pool;
     # sub-lane tiles (tests, tiny corpora) just take the full-width merge.
-    pooling = b * tile_n * 4 <= (2 << 20) and tile_n % LANES == 0
+    # pool_budget raises the scratch cap (with a matching Mosaic
+    # vmem_limit_bytes bump) so large batches can pool on the FULL tile —
+    # at B=256 every tile has some improving row, so the k-pass merge
+    # dominates unless it runs pooled.  Measured on the 1M bf16 corpus:
+    # B=256 tile=16384 pooled = 75k QPS vs 31k at the legacy
+    # tile=4096/full-width merge (2.4x); B=32 stays fastest at 4096.
+    pool_cap = (2 << 20) if pool_budget is None else int(pool_budget)
+    pool_bytes = b * tile_n * 4
+    pooling = pool_bytes <= pool_cap and tile_n % LANES == 0
+    # Mosaic's default scoped-VMEM budget is ~16 MB; v5e has 128 MB.
+    # Estimate the kernel's true demand and raise the cap when big
+    # tiles / big batches need it (2x slack per kernel_vmem_estimate).
+    est = kernel_vmem_estimate(b, tile_n, d, corpus.dtype.itemsize,
+                               bias_rows, pooling)
+    vmem_limit = None
+    if est > (14 << 20):
+        vmem_limit = min(100 << 20, max(2 * est, 32 << 20))
     kernel = functools.partial(_fused_topk_kernel, k=k, tile_n=tile_n,
                                pooling=pooling)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -321,6 +346,9 @@ def fused_topk(
             bytes_accessed=n_pad * d * corpus.dtype.itemsize + b * d * 4,
             transcendentals=0,
         ),
+        **({"compiler_params":
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)}
+           if vmem_limit else {}),
         interpret=interpret,
     )(n_active_arr, queries, corpus, bias2d)
     return out_vals[:, :k], out_idx[:, :k]
