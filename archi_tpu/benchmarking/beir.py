@@ -21,8 +21,49 @@ import os
 from typing import Optional
 
 
+def _extract_archive(path: str) -> str:
+    """Unpack an official BEIR download (``nfcorpus.zip`` or ``.tar.gz``)
+    next to itself and return the dataset directory inside it.
+
+    The official archives wrap the layout in one top-level directory
+    (``nfcorpus/corpus.jsonl`` ...); a flat archive (files at the root)
+    also works.  Extraction is idempotent — an existing unpack is reused.
+    """
+    import tarfile
+    import zipfile
+
+    dest = os.path.join(
+        os.path.dirname(os.path.abspath(path)),
+        os.path.basename(path).split(".")[0] + "_extracted")
+    if not os.path.isdir(dest):
+        tmp = dest + ".tmp"
+        if zipfile.is_zipfile(path):
+            with zipfile.ZipFile(path) as z:
+                z.extractall(tmp)
+        else:
+            with tarfile.open(path) as t:
+                t.extractall(tmp)
+        os.rename(tmp, dest)
+    if os.path.isfile(os.path.join(dest, "corpus.jsonl")):
+        return dest
+    subdirs = [d for d in sorted(os.listdir(dest))
+               if os.path.isdir(os.path.join(dest, d))]
+    for d in subdirs:
+        if os.path.isfile(os.path.join(dest, d, "corpus.jsonl")):
+            return os.path.join(dest, d)
+    raise FileNotFoundError(
+        f"no corpus.jsonl found inside archive {path} (looked in root "
+        f"and {subdirs})")
+
+
 def load_beir(directory: str):
-    """→ (corpus {did: text}, queries {qid: text}, qrels {qid: {did: rel}})."""
+    """→ (corpus {did: text}, queries {qid: text}, qrels {qid: {did: rel}}).
+
+    ``directory`` may also be an official BEIR ``.zip``/``.tar.gz``
+    download, which is unpacked next to itself on first use.
+    """
+    if os.path.isfile(directory):
+        directory = _extract_archive(directory)
     corpus = {}
     with open(os.path.join(directory, "corpus.jsonl"), encoding="utf-8") as f:
         for line in f:
@@ -128,7 +169,7 @@ def evaluate_beir(directory: str, *, embedder=None, mode: str = "hybrid",
         recs100.append(recall_at_k(ranked, rels, 100))
         mrrs.append(mrr_at_k(ranked, rels, 10))
     return {
-        "dataset": os.path.basename(directory.rstrip("/")),
+        "dataset": os.path.basename(directory.rstrip("/")).split(".")[0],
         "mode": mode,
         "documents": len(corpus),
         "queries": len(queries),

@@ -44,3 +44,45 @@ def test_evaluate_beir_end_to_end(tmp_path):
     # semantic-only and bm25-only also produce sane numbers
     sem = evaluate_beir(d, mode="semantic")
     assert sem["recall@100"] >= 0.9
+
+
+def test_load_beir_from_official_zip(tmp_path):
+    """An official BEIR download (one top-level dir inside a zip) loads
+    without pre-extraction — drop-in for the day a dataset lands."""
+    import shutil
+    import zipfile
+
+    d = tmp_path / "nfcorpus"
+    write_fixture_beir(str(d))
+    zpath = tmp_path / "nfcorpus.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in d.rglob("*"):
+            if p.is_file():
+                z.write(p, arcname=f"nfcorpus/{p.relative_to(d)}")
+    shutil.rmtree(d)
+    corpus, queries, qrels = load_beir(str(zpath))
+    assert len(corpus) == 72 and len(queries) == 12
+    # idempotent: second load reuses the extraction
+    corpus2, _, _ = load_beir(str(zpath))
+    assert corpus2 == corpus
+    out = evaluate_beir(str(zpath), mode="hybrid")
+    assert out["dataset"] == "nfcorpus" and out["queries"] == 12
+
+
+def test_cli_evaluate_beir(tmp_path):
+    """`archi-tpu evaluate --beir PATH` runs config 2 end to end and
+    prints the metrics JSON (VERDICT r3 item 8)."""
+    import json
+
+    from click.testing import CliRunner
+
+    from archi_tpu.cli.cli_main import cli
+
+    d = str(tmp_path / "scifact")
+    write_fixture_beir(d)
+    r = CliRunner().invoke(cli, ["evaluate", "--beir", d,
+                                 "--retriever-mode", "hybrid"])
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output[r.output.index("{"):])
+    assert out["dataset"] == "scifact"
+    assert out["recall@100"] >= 0.95 and out["ndcg@10"] >= 0.6
