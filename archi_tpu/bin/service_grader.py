@@ -15,8 +15,17 @@ def build_app(config_paths=(), overrides=None, ctx=None):
                     vectorstore=ctx.vectorstore)
     image = Archi("ImageProcessingPipeline", config=ctx.config,
                   vectorstore=ctx.vectorstore)
-    return create_grader_app(grading_archi=grading, image_archi=image,
-                             app_db=ctx.app_db), ctx
+    # student/admin web UI mounts when its config is present (reference
+    # serves the full grader web app; JSON API alone otherwise)
+    from archi_tpu.providers.base import read_secret
+
+    svc_cfg = ctx.config.get("services", {}).get("grader", {})
+    return create_grader_app(
+        grading_archi=grading, image_archi=image, app_db=ctx.app_db,
+        roster=svc_cfg.get("roster_file"),
+        admin_password=read_secret("GRADER_ADMIN_PASSWORD"),
+        data_path=svc_cfg.get("data_path"),
+        total_problems=svc_cfg.get("total_problems")), ctx
 
 
 def main() -> None:

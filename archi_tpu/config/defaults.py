@@ -23,7 +23,11 @@ DEFAULT_CONFIG: dict = {
         # 0.0.0.0 would bypass DATA_UPLOAD/DATA_DELETE entirely.  Set
         # ``host: 0.0.0.0`` + DATA_MANAGER_TOKEN to expose it across hosts.
         "data_manager": {"enabled": True, "host": "127.0.0.1", "port": 7862},
-        "grader": {"enabled": False, "port": 7863},
+        # roster_file (email,access_code CSV) + data_path (rubric_<n>.txt,
+        # welcome/thankyou messages) + GRADER_ADMIN_PASSWORD secret mount
+        # the student/admin web UI (web/grader_ui.py) on the same port
+        "grader": {"enabled": False, "port": 7863, "roster_file": None,
+                   "data_path": None, "total_problems": None},
         "piazza": {"enabled": False},
         "mattermost": {"enabled": False},
         "redmine_mailer": {"enabled": False},

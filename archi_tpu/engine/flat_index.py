@@ -68,10 +68,16 @@ def jsonable_ids(ids):
 
     Stringifying integer ids on save broke delete-by-id after reload (the
     caller's int key no longer matched the loaded str id) — every index
-    serializer must round-trip ids through this helper.
+    serializer must round-trip ids through this helper.  numpy integer
+    scalars (np.int64 is NOT a Python int) land as ints too, or ids fed
+    from ``np.arange`` would come back as strings.
     """
+    import numbers
+
     return [
-        i if (i is None or isinstance(i, (str, int))) else str(i)
+        i if (i is None or isinstance(i, (str, int)))
+        else int(i) if isinstance(i, numbers.Integral)
+        else str(i)
         for i in ids
     ]
 

@@ -113,6 +113,7 @@ CREATE TABLE IF NOT EXISTS rbac_audit (
 CREATE TABLE IF NOT EXISTS grader_submissions (
     id INTEGER PRIMARY KEY AUTOINCREMENT,
     user_email TEXT,
+    problem INTEGER,
     submission TEXT,
     grade TEXT,
     analysis TEXT,
@@ -141,12 +142,16 @@ class AppDatabase:
     def _migrate(self) -> None:
         """Additive column migrations for databases created by older
         schemas (the reference's migration_state analog for the app DB)."""
-        try:
-            self.conn.execute(
-                "ALTER TABLE users ADD COLUMN password_hash TEXT")
-            self.conn.commit()
-        except Exception:
-            pass  # column already exists
+        for ddl in (
+            "ALTER TABLE users ADD COLUMN password_hash TEXT",
+            # r4: grader web UI keys attempts on (user, problem)
+            "ALTER TABLE grader_submissions ADD COLUMN problem INTEGER",
+        ):
+            try:
+                self.conn.execute(ddl)
+                self.conn.commit()
+            except Exception:
+                pass  # column already exists
 
     def execute(self, sql: str, params=()) -> sqlite3.Cursor:
         with self.lock:

@@ -22,15 +22,33 @@ class GraderService:
     def add_submission(self, submission: str, grade: str, *,
                        analysis: Optional[str] = None,
                        summary: Optional[str] = None,
-                       user_email: Optional[str] = None) -> int:
+                       user_email: Optional[str] = None,
+                       problem: Optional[int] = None) -> int:
         now = time.time()
         cur = self.db.execute(
-            "INSERT INTO grader_submissions (user_email, submission, grade, "
-            "analysis, summary, status, created_at, updated_at) "
-            "VALUES (?, ?, ?, ?, ?, 'pending', ?, ?)",
-            (user_email, submission, grade, analysis, summary, now, now),
+            "INSERT INTO grader_submissions (user_email, problem, "
+            "submission, grade, analysis, summary, status, created_at, "
+            "updated_at) VALUES (?, ?, ?, ?, ?, ?, 'pending', ?, ?)",
+            (user_email, problem, submission, grade, analysis, summary,
+             now, now),
         )
         return int(cur.lastrowid)
+
+    def get_for(self, user_email: str, problem: int) -> Optional[dict]:
+        """Latest attempt for (student, problem) — the web UI's one-attempt
+        gate (reference ``count_attempts``, ``grader_app/app.py:772``)."""
+        rows = self.db.query(
+            "SELECT * FROM grader_submissions WHERE user_email=? AND "
+            "problem=? ORDER BY id DESC LIMIT 1", (user_email, problem))
+        return dict(rows[0]) if rows else None
+
+    def reset_attempts(self, user_email: str, problem: int) -> int:
+        """Admin reset (reference ``reset_attempts``): drop the student's
+        attempts on one problem so they may resubmit.  → rows removed."""
+        cur = self.db.execute(
+            "DELETE FROM grader_submissions WHERE user_email=? AND "
+            "problem=?", (user_email, problem))
+        return int(cur.rowcount)
 
     def get(self, sid: int) -> Optional[dict]:
         rows = self.db.query(

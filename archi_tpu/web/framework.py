@@ -36,6 +36,15 @@ class Request:
             return {}
         return json.loads(self.body.decode("utf-8"))
 
+    def form(self) -> dict[str, str]:
+        """application/x-www-form-urlencoded body → {field: first value}
+        (server-rendered pages, e.g. the grader web UI)."""
+        if not self.body:
+            return {}
+        parsed = urllib.parse.parse_qs(
+            self.body.decode("utf-8"), keep_blank_values=True)
+        return {k: v[0] for k, v in parsed.items()}
+
     def param(self, name: str, default: Optional[str] = None) -> Optional[str]:
         if name in self.path_params:
             return self.path_params[name]

@@ -18,7 +18,13 @@ from archi_tpu.web.framework import App, Request, error_response
 
 
 def create_grader_app(*, grading_archi, image_archi=None,
-                      grader_service=None, app_db=None) -> App:
+                      grader_service=None, app_db=None,
+                      roster=None, admin_password=None,
+                      data_path=None, total_problems=None,
+                      session_service=None) -> App:
+    """JSON API; when ``roster`` + ``admin_password`` + ``data_path`` are
+    configured, the student/admin HTML layer (``web/grader_ui.py``) is
+    mounted on the same app and shares this queue."""
     app = App("grader")
     if grader_service is None:
         if app_db is None:
@@ -27,6 +33,20 @@ def create_grader_app(*, grading_archi, image_archi=None,
             app_db = AppDatabase(":memory:")
         grader_service = GraderService(app_db)
     svc = grader_service
+
+    if roster is not None and admin_password and data_path:
+        from archi_tpu.web.grader_ui import GraderUI, add_grader_ui, \
+            load_roster
+
+        ui = GraderUI(
+            grading_archi=grading_archi, image_archi=image_archi,
+            grader_service=svc,
+            roster=(load_roster(roster) if isinstance(roster, str)
+                    else roster),
+            admin_password=admin_password, data_path=data_path,
+            total_problems=total_problems,
+            session_service=session_service)
+        add_grader_ui(app, ui)
 
     def _who(req: Request) -> str:
         return req.headers.get("x-user-email", "") or "anonymous"

@@ -38,6 +38,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=96)
     ap.add_argument("--threads", type=int, default=24)
+    ap.add_argument("--sub-rows", type=int, default=4096,
+                    help="rows per relay request (must divide the block). "
+                         "3 MB requests x 24 threads won on the multi-core "
+                         "r3 rig; on a 1-core host Python per-request "
+                         "overhead dominates and 48 MB x 8 threads "
+                         "measured ~21 MB/s vs ~18 for the default")
     ap.add_argument("--out", default="/tmp/archi_host_store/config4.bf16")
     args = ap.parse_args()
 
@@ -71,7 +77,8 @@ def main() -> None:
     # while many ~3 MB requests in flight sustained tens of MB/s — so
     # the block is cut into fixed ~3 MB sub-slices drained by the pool,
     # not into nt equal shares.
-    sub_rows = 4096                       # 4096 x 384 bf16 = 3 MB
+    sub_rows = args.sub_rows              # 4096 x 384 bf16 = 3 MB
+    assert BLOCK_ROWS % sub_rows == 0
     n_sub = BLOCK_ROWS // sub_rows
 
     # ONE compiled program for every sub-slice: the offset must be a

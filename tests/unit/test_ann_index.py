@@ -10,6 +10,8 @@ from archi_tpu.engine.ann_index import AnnFlatIndex
 from archi_tpu.engine.flat_index import FlatIndex
 from archi_tpu.engine.ivf_index import IVFIndex
 
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
+
 
 def _clustered(rng, n_clusters=8, per=64, d=32):
     centers = rng.standard_normal((n_clusters, d)).astype(np.float32)

@@ -14,6 +14,8 @@ from archi_tpu.models.bert import BertConfig, encode, init_params
 from archi_tpu.models.hf_loader import params_from_state_dict
 from archi_tpu.models.tokenizer import WordPieceTokenizer
 
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -142,3 +142,20 @@ def test_save_load_preserves_int_ids(tmp_path, rng):
     assert idx2.delete([12]) == 1  # delete-by-original-int-id works
     got, _, _ = idx2.search(emb[0], k=1)
     assert got[0][0] == 10
+
+
+def test_numpy_int_ids_roundtrip_save_load(tmp_path):
+    """np.arange ids must reload as ints, not strings — np.int64 is not a
+    Python int and used to fall through jsonable_ids' str() branch,
+    breaking delete-by-id after reload."""
+    import jax.numpy as jnp
+
+    idx = FlatIndex(16, dtype=jnp.float32)
+    v = np.random.default_rng(0).standard_normal((8, 16)).astype(np.float32)
+    idx.add(v, ids=np.arange(8))
+    p = str(tmp_path / "idx")
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    ids, _, _ = idx2.search(v[3:4], k=1)
+    assert ids[0][0] == 3 and isinstance(ids[0][0], int)
+    assert idx2.delete([3]) == 1

@@ -9,6 +9,8 @@ from archi_tpu.engine.ivfpq_index import IVFPQIndex
 from archi_tpu.engine.pq import PQFlatIndex
 from archi_tpu.ops.pallas_topk import NEG_INF
 
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
+
 
 def _corpus(rng, n=4096, d=64, clusters=32, noise=0.15):
     centers = rng.standard_normal((clusters, d)).astype(np.float32)

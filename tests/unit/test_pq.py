@@ -11,6 +11,8 @@ import pytest
 from archi_tpu.engine.pq import PQCodec, PQFlatIndex, adc_topk
 from archi_tpu.ops.pallas_topk import NEG_INF
 
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
+
 
 def _corpus(rng, n=4096, d=64, clusters=32):
     """Clustered unit vectors — realistic for PQ (pure iid gaussian is the

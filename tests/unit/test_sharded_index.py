@@ -8,6 +8,8 @@ import pytest
 from archi_tpu.engine.flat_index import FlatIndex
 from archi_tpu.engine.sharded_index import ShardedFlatIndex, default_mesh
 
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
+
 
 @pytest.fixture(scope="module")
 def mesh():

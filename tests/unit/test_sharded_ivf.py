@@ -5,6 +5,9 @@ import numpy as np
 
 from archi_tpu.engine.sharded_ivf import ShardedIVFIndex
 from tests.unit.test_ivf import _clustered_data, _norm
+import pytest
+
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
 
 
 def test_sharded_ivf_exact_at_full_probe(rng):

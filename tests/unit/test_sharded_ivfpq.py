@@ -8,6 +8,9 @@ from archi_tpu.engine.ivfpq_index import IVFPQIndex
 from archi_tpu.engine.sharded_ivfpq import ShardedIVFPQIndex
 from archi_tpu.ops.pallas_topk import NEG_INF
 from tests.unit.test_ivf import _clustered_data, _norm
+import pytest
+
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
 
 
 def _recall(rows, exact):

@@ -10,6 +10,8 @@ from archi_tpu.models.train_encoder import (
     make_pairs, save_model_dir, state_dict_from_params, train,
 )
 
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
+
 CORPUS = [
     "submit slurm array jobs with sbatch on the batch cluster partition",
     "gpu quota allocation increase request for the gpu partition",

@@ -10,6 +10,8 @@ import pytest
 from archi_tpu.engine.xl_index import XlPQIndex
 from archi_tpu.ops.pallas_topk import NEG_INF
 
+pytestmark = pytest.mark.heavy  # kernel/mesh tier — excluded from the fast default run
+
 
 def _corpus(rng, n, d=64, clusters=64, noise=0.12):
     centers = rng.standard_normal((clusters, d)).astype(np.float32)
