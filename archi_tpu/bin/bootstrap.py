@@ -73,6 +73,27 @@ def _build_index(dim: int, index_cfg: dict):
         from archi_tpu.engine.sharded_index import ShardedFlatIndex
 
         return ShardedFlatIndex(dim, **kw)
+    if index_type == "ivfpq_xl_sharded":
+        # pod-slice XL: one XlPQIndex per device, per-shard host memmap
+        # rerank tier, global merge (engine/sharded_xl.py)
+        from archi_tpu.engine.sharded_xl import ShardedXlPQIndex
+
+        return ShardedXlPQIndex(
+            dim,
+            store_dir=index_cfg.get("store_dir"),
+            nlist=index_cfg.get("nlist", 4096),
+            block=index_cfg.get("block", 512),
+            pq_m=index_cfg.get("pq_m", 48),
+            pq_refine_m=index_cfg.get("pq_refine_m", 48),
+            nprobe_blocks=index_cfg.get("nprobe_blocks") or 128,
+            cell_gate=index_cfg.get("cell_gate"),
+            block_rank_sub=index_cfg.get("block_rank_sub", 8),
+            extract=index_cfg.get("extract", "auto"),
+            hier_t=index_cfg.get("hier_t", 64),
+            rerank_overfetch=index_cfg.get("rerank_overfetch", 16),
+            min_snapshot_rows=index_cfg.get("min_snapshot_rows", 1 << 17),
+            build_block_rows=index_cfg.get("build_block_rows", 1 << 17),
+            **kw)
     if index_type == "ivfpq_xl":
         # beyond-HBM scale: host memmap full-precision plane + device
         # IVF-PQ snapshot + device exact fresh tail (engine/xl_index.py)

@@ -205,7 +205,15 @@ class XlPQIndex:
         if not self._needs_refresh():
             return
         if not self.async_refresh:
-            self.refresh_snapshot()
+            # a refresh failure must not propagate out of add(): the rows
+            # ARE appended (host plane + exact tail) and serving stays
+            # correct on the stale snapshot — raising here would desync
+            # callers that track rows (e.g. ShardedXlPQIndex's global map)
+            try:
+                self.refresh_snapshot()
+            except Exception:
+                logger.exception("xl snapshot refresh failed; serving "
+                                 "continues on the stale tier")
             return
         with self._build_lock:
             t = self._refresh_thread
@@ -288,15 +296,17 @@ class XlPQIndex:
                         n_snap_new, n - n_snap_new)
 
     # ---------------------------------------------------------------- search
-    def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
-               impl="auto", nprobe_blocks: int | None = None):
+    def search_dispatch_parts(self, queries, k: int = 10, *,
+                              filter_mask=None, bias=None, impl="auto",
+                              nprobe_blocks: int | None = None):
+        """Launch the device work of both tiers WITHOUT blocking.
+
+        → (device_parts, ctx): fetch ``device_parts`` (a flat list of jax
+        arrays) with one ``jax.device_get`` tree call — possibly batched
+        with other shards' parts (``ShardedXlPQIndex``) — then pass the
+        fetched values to ``search_finalize_parts`` for the host rerank +
+        tier merge.  ``queries`` must already be L2-normalized [B, D]."""
         queries = np.asarray(queries, np.float32)
-        squeeze = queries.ndim == 1
-        if squeeze:
-            queries = queries[None, :]
-        if self.normalize:
-            queries = queries / np.maximum(
-                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
         b = queries.shape[0]
         with self._lock:
             ivf, n_snap, snap_bias = self._ivf, self._n_snap, self._snap_bias
@@ -310,7 +320,9 @@ class XlPQIndex:
         if bias is not None:
             ub = np.asarray(bias, np.float32)   # [N] shared or [B, N]
 
-        parts_v, parts_r = [], []
+        parts: list = []
+        ctx = {"queries": queries, "k": k, "b": b, "n_snap": n_snap,
+               "has_snap": False, "has_tail": False, "rb": None}
         qd = jnp.asarray(queries)
         if ivf is not None and n_snap > 0:
             sb = snap_bias
@@ -337,9 +349,10 @@ class XlPQIndex:
                 cell_gate=self.cell_gate,
                 bias=sb, normalize_queries=False, refine_overfetch=1,
                 extract=self.extract, hier_t=self.hier_t)
-            vals_h, rows_h = jax.device_get((vals_d, rows_d))
-            # exact host rescore (finite bias re-applied; NEG_INF slots
-            # stay dead)
+            parts += [vals_d, rows_d]
+            ctx["has_snap"] = True
+            ctx["c"] = c
+            # finite bias for the host rescore (NEG_INF slots stay dead)
             rb = None
             if ub is not None and ub.ndim == 1:
                 rb = np.zeros((n_snap,), np.float32)
@@ -348,10 +361,7 @@ class XlPQIndex:
                 rb = np.zeros((b, n_snap), np.float32)
                 w = min(ub.shape[1], n_snap)
                 rb[:, :w] = ub[:, :w]
-            sv, sr = exact_rerank(self.store, queries, vals_h, rows_h,
-                                  k=min(k, c), bias=rb)
-            parts_v.append(sv)
-            parts_r.append(sr)
+            ctx["rb"] = rb
 
         n_tail = self.n_rows - n_snap
         if n_tail > 0 and len(tail) > 0:
@@ -372,9 +382,31 @@ class XlPQIndex:
             tv, tr = tail.search_dispatch(qd, k=min(k, max(len(tail), 1)),
                                           filter_mask=t_fm, bias=t_b,
                                           impl=impl)
-            tv, tr = jax.device_get((tv, tr))
+            parts += [tv, tr]
+            ctx["has_tail"] = True
+        return parts, ctx
+
+    def search_finalize_parts(self, ctx, fetched: list):
+        """Host half: exact rerank of the snapshot candidates against the
+        host plane, tail offset, tier merge.  ``fetched`` = host values of
+        the arrays ``search_dispatch_parts`` returned, in order.
+        → (vals [B, k], rows [B, k]) — LOCAL rows of this index."""
+        queries, k, b = ctx["queries"], ctx["k"], ctx["b"]
+        n_snap = ctx["n_snap"]
+        parts_v, parts_r = [], []
+        i = 0
+        if ctx["has_snap"]:
+            vals_h, rows_h = fetched[i], fetched[i + 1]
+            i += 2
+            sv, sr = exact_rerank(self.store, queries, vals_h, rows_h,
+                                  k=min(k, ctx["c"]), bias=ctx["rb"])
+            parts_v.append(sv)
+            parts_r.append(sr)
+        if ctx["has_tail"]:
+            tv, tr = fetched[i], fetched[i + 1]
+            i += 2
             parts_v.append(np.asarray(tv, np.float32))
-            parts_r.append(np.where(tv > -1e29,
+            parts_r.append(np.where(np.asarray(tv) > -1e29,
                                     np.asarray(tr, np.int64) + n_snap, -1))
 
         if not parts_v:
@@ -392,6 +424,21 @@ class XlPQIndex:
                               constant_values=NEG_INF)
                 rows = np.pad(rows, ((0, 0), (0, k - kk)),
                               constant_values=-1)
+        return vals, rows
+
+    def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
+               impl="auto", nprobe_blocks: int | None = None):
+        queries = np.asarray(queries, np.float32)
+        squeeze = queries.ndim == 1
+        if squeeze:
+            queries = queries[None, :]
+        if self.normalize:
+            queries = queries / np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        parts, ctx = self.search_dispatch_parts(
+            queries, k, filter_mask=filter_mask, bias=bias, impl=impl,
+            nprobe_blocks=nprobe_blocks)
+        vals, rows = self.search_finalize_parts(ctx, jax.device_get(parts))
         ids = [
             [self._ids[int(r)] if (v > -1e29 and 0 <= r < self.n_rows)
              else None

@@ -81,3 +81,78 @@ def test_ingest_and_query_over_http(stack):
     r3 = requests.post(url + "/api/query/hybrid", json={
         "query": "sbatch slurm array", "k": 3})
     assert all("sbatch" not in d["page_content"] for d in r3.json())
+
+
+# ---------------------------------------------------------------- XL tier
+@pytest.fixture(scope="module")
+def xl_stack(tmp_path_factory):
+    """index.type: ivfpq_xl_sharded → the beyond-HBM pod-slice tier
+    (per-shard host plane + PQ snapshot + exact tail) behind the real
+    data-manager HTTP service (VERDICT r3 item 2)."""
+    assert len(jax.devices()) == 8
+    root = tmp_path_factory.mktemp("xl_dm")
+    overrides = {
+        "data_manager": {
+            "data_path": str(root / "data"),
+            "db_path": str(root / "catalog.db"),
+            "embedding_name": "hash",
+            "embedding_kwargs": {"dim": 64},
+            "embedding_dimensions": 64,
+            "index": {"type": "ivfpq_xl_sharded", "dtype": "float32",
+                      "tile_n": 64, "nlist": 8, "block": 32,
+                      "pq_m": 8, "pq_refine_m": 8,
+                      "nprobe_blocks": 1000000, "block_rank_sub": 1,
+                      "min_snapshot_rows": 4, "build_block_rows": 4,
+                      "store_dir": str(root / "planes")},
+        },
+        "services": {"data_manager": {"enabled": True, "host": "127.0.0.1",
+                                      "port": 0}},
+    }
+    app, ctx = build_data(overrides=overrides, initial_ingestion=False)
+    port = app.serve("127.0.0.1", 0, background=True)
+    yield f"http://127.0.0.1:{port}", ctx
+    app.shutdown()
+    ctx.scheduler.stop()
+
+
+def test_xl_sharded_ingest_query_delete_over_http(xl_stack):
+    from archi_tpu.engine.sharded_xl import ShardedXlPQIndex
+
+    url, ctx = xl_stack
+    assert isinstance(ctx.vectorstore.index, ShardedXlPQIndex)
+    assert ctx.vectorstore.index.n_shards == 8
+    for name, text in (
+        ("quota.md", "gpu quota allocation requests are reviewed weekly"),
+        ("slurm.md", "slurm array jobs are submitted with sbatch"),
+        ("storage.md", "eos storage namespaces enforce per user quotas"),
+        ("mail.md", "the mailing list archive is searchable by thread"),
+    ):
+        r = requests.post(url + "/api/upload", json={
+            "filename": name,
+            "content_b64": base64.b64encode(text.encode()).decode(),
+            "sync": False,
+        })
+        assert r.status_code == 200
+    sync = ctx.data_manager.index_manager.update_vectorstore()
+    assert sync["added"] == 4
+    # per-shard host planes are real memmaps on disk
+    import os
+    planes = os.listdir(ctx.vectorstore.index.store_dir)
+    assert any(p.endswith(".bf16") for p in planes)
+
+    r = requests.post(url + "/api/query/hybrid", json={
+        "query": "how do I submit slurm array jobs", "k": 2})
+    assert r.status_code == 200
+    assert "sbatch" in r.json()[0]["page_content"]
+    r2 = requests.post(url + "/api/query/semantic", json={
+        "query": "gpu quota", "k": 1})
+    assert "quota" in r2.json()[0]["page_content"]
+
+    # delete + resync tombstones across every XL tier
+    h = [d for d in ctx.catalog.list_documents()
+         if d["display_name"] == "slurm.md"][0]["resource_hash"]
+    requests.delete(url + f"/api/documents/{h}")
+    ctx.data_manager.index_manager.update_vectorstore()
+    r3 = requests.post(url + "/api/query/hybrid", json={
+        "query": "sbatch slurm array", "k": 4})
+    assert all("sbatch" not in d["page_content"] for d in r3.json())
