@@ -151,6 +151,16 @@ def exact_rerank(store: HostVectorStore, queries, vals, rows, *, k: int,
             picked = bias[safe]
         exact = exact + np.where(rows >= 0, picked, 0.0)
     scores = np.where(vals > -1e29, exact, vals)
+    # a spilled index (IVFPQIndex build_streaming spill_frac>0) can emit
+    # the same ORIGINAL row from two blocks; keep one copy per query so
+    # duplicates never burn top-k slots
+    srt = np.argsort(rows, axis=1, kind="stable")
+    rs = np.take_along_axis(rows, srt, axis=1)
+    dup_sorted = np.zeros_like(rs, dtype=bool)
+    dup_sorted[:, 1:] = (rs[:, 1:] == rs[:, :-1]) & (rs[:, 1:] >= 0)
+    dup = np.zeros_like(dup_sorted)
+    np.put_along_axis(dup, srt, dup_sorted, axis=1)
+    scores = np.where(dup, -np.inf, scores)
     kk = min(k, c)
     if kk < c // 2:
         # argpartition + small sort instead of a full C-wide argsort

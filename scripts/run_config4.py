@@ -134,6 +134,11 @@ def main() -> None:
         else 16384
     blk = int(args[args.index("--block") + 1]) if "--block" in args \
         else 512
+    # r4: probe-spill (boundary rows duplicated into their 2nd-nearest
+    # cell at build time) + OPQ rotation on the stage-1/refine codecs
+    spill = float(args[args.index("--spill") + 1]) if "--spill" in args \
+        else 0.0
+    opq = int(args[args.index("--opq") + 1]) if "--opq" in args else 0
     t0 = time.time()
     if index_path and (os.path.exists(index_path)
                        or os.path.exists(index_path + ".npz")):
@@ -147,7 +152,7 @@ def main() -> None:
             block_fn, N_BLOCKS, BLOCK_ROWS,
             nlist=nlist, block=blk, m=96, ksub=16, refine_m=96,
             train_blocks=2, train_sample=1 << 21, coarse_iters=8,
-            pq_iters=10, seed=0)
+            pq_iters=10, seed=0, spill_frac=spill, opq_iters=opq)
         if index_path:
             idx.save(index_path)
             print(f"saved index to {index_path}", flush=True)
@@ -400,6 +405,8 @@ def main() -> None:
                   "exact-rerank tier (77 GB memmap) — codes 9.8 GB on "
                   "device",
         "rows": int(N), "dim": D,
+        "build": {"nlist": nlist, "block": blk, "spill_frac": spill,
+                  "opq_iters": opq},
         "corpus_equiv_gb": round(N * D * 2 / 1e9, 1),
         "codes_gb": round(code_gb, 2),
         "build_s": round(build_s, 1),

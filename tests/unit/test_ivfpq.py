@@ -588,3 +588,86 @@ def test_hier_extract_with_bias_and_blocks(setup):
     _, _, rows = idx.search(q[:1], k=10, nprobe_blocks=16, extract="hier",
                             hier_t=32, bias=bias)
     assert exact[0][0] not in set(rows[0])
+
+
+# ------------------------------------------------------------- probe-spill
+def test_spill_build_improves_budget_recall_and_dedups():
+    """spill_frac > 0 duplicates cell-boundary rows into their 2nd cell:
+    candidate recall at a SMALL block budget must not fall (and typically
+    rises), len() counts distinct rows, no duplicate rows in results,
+    and save/load keeps the distinct-row count (VERDICT r3 item 1)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = _corpus(rng, n=8192, d=64, clusters=96, noise=0.3)
+    q = x[rng.choice(8192, 16, replace=False)] + \
+        0.05 * rng.standard_normal((16, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    n_blocks, block_rows = 8, 1024
+    blocks = [jnp.asarray(x[i * block_rows:(i + 1) * block_rows])
+              for i in range(n_blocks)]
+
+    def build(frac):
+        return IVFPQIndex.build_streaming(
+            lambda i: blocks[i], n_blocks, block_rows,
+            nlist=64, block=64, m=16, ksub=16, refine_m=16,
+            seed=0, train_blocks=8, spill_frac=frac)
+
+    base, spilled = build(0.0), build(0.25)
+    assert len(base) == len(spilled) == 8192
+    assert int((spilled.block_rows >= 0).sum()) > 8192   # dup slots exist
+    exact = np.argsort(-(x @ q.T), axis=0)[:10].T
+    for idx in (base, spilled):
+        idx.ensure_block_centroids(dtype=jnp.float32)
+
+    def coverage(idx, npb):
+        # k = all probed slots → measures pure probe COVERAGE of the true
+        # top-10 (what spill changes), not ADC extraction resolution
+        _, rows = idx.search_dispatch(q, k=npb * 64, nprobe_blocks=npb,
+                                      refine_overfetch=1)
+        rows = np.asarray(rows)
+        return np.mean([len(set(rows[b]) & set(exact[b])) / 10
+                        for b in range(16)])
+
+    # duplicates must buy coverage at tight budgets (boundary misses
+    # dominate there) and cost at most noise at moderate ones
+    gains = [coverage(spilled, nb) - coverage(base, nb) for nb in (1, 2)]
+    assert max(gains) > 0.0, gains
+    assert coverage(spilled, 8) >= coverage(base, 8) - 0.06
+
+    # ADC-only search output carries no duplicate rows
+    _, vals, rows = spilled.search(q, k=20, nprobe_blocks=32)
+    for b in range(16):
+        live = [int(r) for r, v in zip(rows[b], vals[b]) if v > -1e29]
+        assert len(live) == len(set(live))
+
+    # save/load: distinct-row count survives (slots stay > rows)
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "spilled")
+    spilled.save(p)
+    re = IVFPQIndex.load(p)
+    assert len(re) == 8192
+    assert int((re.block_rows >= 0).sum()) > 8192
+
+
+def test_spill_rerank_path_dedups_candidates():
+    """Host exact rerank on a spilled index: duplicates never burn top-k
+    slots (exact_rerank keeps one copy per row per query)."""
+    import ml_dtypes
+
+    from archi_tpu.engine.host_store import HostVectorStore, exact_rerank
+
+    store = HostVectorStore(8, dtype=ml_dtypes.bfloat16)
+    v = np.random.default_rng(0).standard_normal((32, 8)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    store.add(v)
+    q = v[:2]
+    # candidate stream with row 5 duplicated (as a spilled copy would)
+    rows = np.asarray([[5, 5, 3, 9, 1, 7], [5, 2, 2, 8, 0, 6]])
+    vals = np.ones_like(rows, np.float32)
+    rv, rr = exact_rerank(store, q, vals, rows, k=5)
+    for b in range(2):
+        live = [int(r) for r, val in zip(rr[b], rv[b]) if val > -1e29]
+        assert len(live) == len(set(live)), rr[b]
+    # and the true best row still wins
+    assert int(rr[0][0]) == 5 or int(rr[0][0]) == 0
