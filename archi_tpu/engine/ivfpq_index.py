@@ -1054,6 +1054,25 @@ class IVFPQIndex:
         return ids_out, vals, rows_out
 
     # -------------------------------------------------------------- serialize
+    @staticmethod
+    def _d2h(arr, chunk_bytes: int = 256 << 20) -> np.ndarray:
+        """Device->host copy in bounded slices.
+
+        A one-shot np.asarray of a multi-GB code array stages the whole
+        transfer at once, which exhausts the transfer path at 100M-row
+        scale (observed: RESOURCE_EXHAUSTED saving ~5.5 GB refine codes).
+        Slicing on the leading axis keeps each staged copy small; the
+        result lands in one preallocated host buffer.
+        """
+        arr = jnp.asarray(arr)
+        if arr.nbytes <= chunk_bytes or arr.ndim == 0 or not arr.shape[0]:
+            return np.asarray(arr)
+        rows = max(1, chunk_bytes // max(1, arr.nbytes // arr.shape[0]))
+        out = np.empty(arr.shape, dtype=np.dtype(arr.dtype))
+        for s in range(0, arr.shape[0], rows):
+            out[s:s + rows] = np.asarray(arr[s:s + rows])
+        return out
+
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         extra = {}
@@ -1063,16 +1082,15 @@ class IVFPQIndex:
             if self.refine_codec.rotation is not None:
                 extra["refine_rotation"] = np.asarray(
                     self.refine_codec.rotation)
-            extra["refine_codes"] = np.asarray(self.refine_codes)
+            extra["refine_codes"] = self._d2h(self.refine_codes)
         if self.block_centroids is not None:
             # bf16 can't round-trip plain npz (numpy loads the custom
             # dtype as void V2) — store a uint16 bit view
-            bc = np.asarray(self.block_centroids.astype(jnp.bfloat16))
+            bc = self._d2h(self.block_centroids.astype(jnp.bfloat16))
             extra["block_centroids_u16"] = bc.view(np.uint16)
-        np.savez_compressed(
-            path,
+        arrays = dict(
             centroids=np.asarray(self.centroids),
-            code_blocks=np.asarray(self.code_blocks),
+            code_blocks=self._d2h(self.code_blocks),
             block_rows=self.block_rows,
             cell_blocks=np.asarray(self.cell_blocks),
             **self.codec.save_arrays(),
@@ -1082,6 +1100,11 @@ class IVFPQIndex:
                              # distinct rows (slots > rows under spill)
                              "n_rows": self._n_rows}),
         )
+        # PQ codes are near-uniform bytes: zlib buys ~nothing and costs
+        # minutes at the 10 GB scale — store big indexes uncompressed
+        total = sum(getattr(a, "nbytes", 0) for a in arrays.values())
+        savez = np.savez if total > (2 << 30) else np.savez_compressed
+        savez(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
