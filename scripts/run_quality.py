@@ -11,11 +11,21 @@ Two embedder sections (VERDICT r2 #2):
   baseline);
 - ``trained``: a real WordPiece+BERT encoder CONTRASTIVELY TRAINED
   IN-IMAGE on the TPU (``models/train_encoder.py``) over the fixture
-  corpus — self-supervised inverse-cloze views only, never the eval
-  queries — served through ``JaxEmbedder`` from a saved HF snapshot,
+  corpus, served through ``JaxEmbedder`` from a saved HF snapshot,
   proving tokenizer → encoder → index → retriever with learned
   representations.  A pretrained MiniLM/bge snapshot remains a pure
   ``model_dir`` swap.
+
+Held-out protocol (VERDICT r3 item 3): training supervision derives
+from DOCUMENT TEXTS ALONE — self-supervised ICT keyword/span views,
+corpus-mined paraphrase pairs (acronym↔expansion, definition/alias
+sentences, DF-weighted salient-term views — ``mine_pairs``), and
+generic/pseudo noise-token splicing (``noise_vocab``).  The eval
+queries come from the fixture's frozen question templates and the
+hard-query template family ("problem with {t2} and {t3} setup"),
+whose phrasings ("problem", "setup", question forms) appear nowhere
+in the corpus or the miners — a disjoint template family, frozen in
+``benchmarking/fixture.py`` before this round's training changes.
 
 Usage: python scripts/run_quality.py [out.json] [--encoder hash|trained|both]
        [--model-dir DIR] [--steps N]
@@ -124,7 +134,7 @@ def trained_embedder(model_dir: str, steps: int):
 def main() -> None:
     args = sys.argv[1:]
     out_path = args[0] if args and not args[0].startswith("-") \
-        else "QUALITY_r03.json"
+        else "QUALITY_r04.json"
     which = args[args.index("--encoder") + 1] if "--encoder" in args \
         else "both"
     model_dir = args[args.index("--model-dir") + 1] if "--model-dir" in args \
@@ -138,6 +148,16 @@ def main() -> None:
             "documents": len(fixture_corpus()[0]),
             "retriever": "hybrid k=5, bm25 0.6 / semantic 0.4",
         },
+        "held_out_protocol": (
+            "training supervision = document texts only (ICT views + "
+            "corpus-mined acronym/definition/alias/salient-term pairs + "
+            "noise-token splicing; models/train_encoder.py). Eval "
+            "queries = the fixture's frozen question templates plus the "
+            "hard-query template family ('problem with {t2} and {t3} "
+            "setup') — a disjoint template family whose phrasings appear "
+            "nowhere in the corpus or miners; frozen in "
+            "benchmarking/fixture.py before this round's training "
+            "changes."),
     }
     if which in ("hash", "both"):
         payload["hash"] = run_section(
@@ -148,9 +168,9 @@ def main() -> None:
         payload["trained"] = run_section(
             trained_embedder(model_dir, steps),
             "WordPiece+BERT bi-encoder contrastively trained in-image on "
-            "TPU (models/train_encoder.py; self-supervised ICT views of "
-            "the corpus, eval queries unseen), served via JaxEmbedder "
-            "from an HF-format snapshot")
+            "TPU (models/train_encoder.py; ICT views + corpus-mined "
+            "paraphrase pairs + noise-token splicing, eval queries "
+            "unseen), served via JaxEmbedder from an HF-format snapshot")
         print(json.dumps(payload["trained"], indent=2), flush=True)
         # headline = the real-encoder path (VERDICT r2 #2)
         payload["source_accuracy"] = payload["trained"]["source_accuracy"]

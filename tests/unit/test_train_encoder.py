@@ -116,3 +116,52 @@ def test_saved_snapshot_loads_in_jax_embedder(trained, tmp_path):
     # loaded weights retrieve like the in-memory ones
     assert v1 @ d1 > v2 @ d1
     np.testing.assert_allclose(np.linalg.norm(v1), 1.0, rtol=1e-4)
+
+
+# --------------------------------------------------- corpus-mined pairs (r4)
+def test_mine_pairs_acronyms_definitions_aliases():
+    from archi_tpu.models.train_encoder import mine_pairs
+
+    texts = [
+        "The Compact Muon Solenoid (CMS) records collisions. "
+        "CMS data flows through the tier sites.",
+        "WLCG (Worldwide Lhc Computing Grid) coordinates the sites.",
+        "xrootd is a protocol for streaming remote files efficiently.",
+        "The fair-share scheduler, also known as fairshare, balances jobs.",
+        "A Mismatched Thing (NOPE) should not match initials.",
+    ] * 2
+    pairs = mine_pairs(texts)
+    qs = {q for q, _d in pairs}
+    # acronym both ways + expansion↔acronym cross pairs
+    assert "CMS" in qs and "Compact Muon Solenoid" in qs
+    assert ("CMS", "Compact Muon Solenoid") in pairs
+    assert "WLCG" in qs
+    # initials mismatch rejected
+    assert "NOPE" not in qs
+    # definition sentence: term retrieves its defining chunk
+    assert any(q == "xrootd" for q, d in pairs if "protocol" in d)
+    # alias: both names retrieve the chunk, alias maps to term
+    assert any("fairshare" == q for q, _d in pairs)
+    # salient-term views exist and avoid the highest-DF words
+    sal = [q for q, _d in pairs if len(q.split()) >= 2
+           and "the" not in q.split()]
+    assert sal
+
+
+def test_noise_vocab_and_query_splicing():
+    from archi_tpu.models.train_encoder import make_pairs, noise_vocab
+
+    texts = [f"service note {w} covers topic{i} details and checks"
+             for i, w in enumerate(["alpha", "beta", "gamma", "delta"])] * 8
+    noise = noise_vocab(texts, n_pseudo=16)
+    assert "service" in noise or "note" in noise   # high-DF register
+    assert any(w not in " ".join(texts) for w in noise)  # pseudo-words
+    rng = np.random.default_rng(0)
+    noisy = make_pairs(texts, rng, noise=noise)
+    clean = make_pairs(texts, np.random.default_rng(0), noise=None)
+    # some query views contain injected tokens absent from their chunk
+    injected = sum(
+        1 for q, d in noisy
+        if any(w not in d.lower().split() for w in q.split()))
+    assert injected > len(noisy) // 10
+    assert len(noisy) == len(clean)
