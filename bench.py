@@ -232,9 +232,32 @@ def main() -> None:
             out = fwd(params, ids_from(out), mask)
         float(jnp.sum(out))
         dt = max((time.time() - t0 - rtt) / steps, 1e-9)
+
+        # MFU (VERDICT r3 item 6): matmul FLOPs per sequence —
+        # linears (qkvo 4H^2 + FFN 2HF, x2 FLOPs/MAC, per token) +
+        # attention dots (QK^T + PV: 4*nh*S^2*hd per sequence).
+        H, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+        nh = cfg.num_heads
+        hd = H // nh
+        lin_flops = L * 2 * es * (4 * H * H + 2 * H * F)
+        attn_flops = L * 4 * nh * es * es * hd
+        tflops = (lin_flops + attn_flops) * (eb / dt) / 1e12
+        # Shape-specific roofline (docs/roofline.md): linears measured
+        # at 132 TFLOP/s standalone for K in {384,1536} contractions;
+        # hd=32 attention dots at the serial-MXU tile rate ~7.8 TFLOP/s
+        # across 6 kernel designs.  PEAK_BF16 = chip headline.
+        PEAK_BF16, LIN_FLOOR, ATTN_FLOOR = 197e12, 132e12, 7.8e12
+        shape_ceiling = (lin_flops + attn_flops) / (
+            lin_flops / LIN_FLOOR + attn_flops / ATTN_FLOOR) / 1e12
         enc = {"encoder_chunks_per_s": round(eb / dt, 1),
                "encoder_tokens_per_s": round(eb * es / dt, 1),
-               "encoder_shape": f"b{eb} s{es}"}
+               "encoder_shape": f"b{eb} s{es}",
+               "encoder_tflops": round(tflops, 1),
+               "encoder_mfu_headline": round(tflops / (PEAK_BF16 / 1e12),
+                                             3),
+               "encoder_mfu_shape_roofline": round(tflops / shape_ceiling,
+                                                   3),
+               "encoder_shape_roofline_tflops": round(shape_ceiling, 1)}
     except Exception as e:  # encoder bench is best-effort
         enc = {"encoder_error": f"{type(e).__name__}: {e}"}
 

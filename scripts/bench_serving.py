@@ -12,7 +12,24 @@ This reproduces the docs/serving.md table; the max_batch sweep shows
 the ceiling moving with the large-batch kernel auto-tiling (batch-256
 fused scans run ~78k QPS standalone).
 
+Modes:
+  (default)       relay-per-dispatch: every batch uploads queries and
+                  pulls results synchronously — what an HTTP handler
+                  does.  On this rig each dispatch pays the ~26 ms
+                  relay RTT, so this measures the *deployed-over-a-
+                  tunnel* ceiling, not the scheduler's.
+  --in-process    the co-located ceiling (VERDICT r3 item 5): queries
+                  pre-staged on device, run_batch gathers rows on
+                  device and dispatches async (JAX queues the work; no
+                  per-batch host sync), one sync at the end.  Also runs
+                  a scheduler-only pass (host no-op batch fn) isolating
+                  the MicroBatcher machinery itself.  Publishes p50/p99
+                  client latency: every 32nd request blocks on its own
+                  device result (one relay RTT, subtracted — on a
+                  co-located host that sync is microseconds).
+
 Usage: python scripts/bench_serving.py [--clients 256] [--batches 32,256]
+                                       [--in-process]
 """
 
 from __future__ import annotations
@@ -25,6 +42,10 @@ import time
 import numpy as np
 
 
+def _pctl(samples, p):
+    return round(float(np.percentile(np.asarray(samples), p)) * 1e3, 2)
+
+
 def main() -> None:
     args = sys.argv[1:]
     clients = (int(args[args.index("--clients") + 1])
@@ -34,6 +55,7 @@ def main() -> None:
         else "32,128,256").split(",")]
     per_client = (int(args[args.index("--per-client") + 1])
                   if "--per-client" in args else 40)
+    in_process = "--in-process" in args
 
     import jax
 
@@ -42,7 +64,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from archi_tpu.engine.batcher import MicroBatcher
-    from archi_tpu.engine.topk import topk_scores
+    from archi_tpu.engine.topk import _on_tpu, topk_scores
+
+    impl = "pallas" if _on_tpu() else "xla"
 
     N, D, K = 1 << 20, 384, 10
     corpus = jax.random.normal(jax.random.PRNGKey(0), (N, D),
@@ -69,7 +93,7 @@ def main() -> None:
             if bp > b:
                 q = jnp.concatenate(
                     [q, jnp.zeros((bp - b, D), jnp.float32)])
-            v, i = topk_scores(q, corpus, bias, n_act, k=K, impl="pallas")
+            v, i = topk_scores(q, corpus, bias, n_act, k=K, impl=impl)
             v, i = np.asarray(v), np.asarray(i)
             batch_sizes.append(b)
             return [(v[j], i[j]) for j in range(b)]
@@ -115,6 +139,130 @@ def main() -> None:
         results["sweep"].append(entry)
         print(json.dumps(entry), flush=True)
 
+    def measure_rtt() -> float:
+        x = jnp.zeros((), jnp.float32) + 1.0
+        float(x)
+        return float(np.median([
+            (lambda t0: (float(jnp.asarray(i, jnp.float32) + x),
+                         time.time() - t0)[1])(time.time())
+            for i in range(7)]))
+
+    def client_pump(submit_fn, lat_out=None, sample_every=0,
+                    rtt_sub=0.0):
+        """Drive `clients` threads x `per_client` requests through
+        submit_fn(global_request_index); returns elapsed seconds.
+        Optionally records a latency sample (minus rtt_sub) for every
+        `sample_every`-th request per client via the value submit_fn
+        returns (a callable that blocks until the result is real)."""
+        done = threading.Barrier(clients + 1)
+
+        def client(cid):
+            done.wait()
+            for j in range(per_client):
+                t0 = time.time()
+                blocker = submit_fn(cid * per_client + j)
+                if sample_every and j % sample_every == 0:
+                    if blocker is not None:
+                        blocker()
+                    if lat_out is not None:
+                        lat_out.append(
+                            max(time.time() - t0 - rtt_sub, 0.0))
+                elif lat_out is not None and not sample_every:
+                    lat_out.append(time.time() - t0)
+            done.wait()
+
+        ts = [threading.Thread(target=client, args=(c,))
+              for c in range(clients)]
+        for t in ts:
+            t.start()
+        done.wait()
+        t0 = time.time()
+        done.wait()
+        dt = time.time() - t0
+        for t in ts:
+            t.join()
+        return dt
+
+    def run_scheduler_only():
+        """The MicroBatcher machinery alone: host no-op batch fn.
+        Bounds what the scheduler itself can coalesce+fan-out per
+        second — any gap between this and the device mode is device
+        work, not scheduling."""
+        def run_batch(sig, reqs):
+            return [None] * len(reqs)
+
+        mb = MicroBatcher(run_batch, max_batch=256, max_wait_s=0.004,
+                          workers=4)
+        lats = []
+        dt = client_pump(lambda gi: mb.submit(gi) or (lambda: None),
+                         lat_out=lats)
+        mb.close()
+        entry = {"mode": "scheduler_only_noop",
+                 "qps": round(clients * per_client / dt, 1),
+                 "lat_p50_ms": _pctl(lats, 50),
+                 "lat_p99_ms": _pctl(lats, 99)}
+        results["sweep"].append(entry)
+        print(json.dumps(entry), flush=True)
+
+    def run_in_process(max_batch: int, rtt: float):
+        """Co-located ceiling: queries pre-staged on device; run_batch
+        gathers rows device-side and dispatches the fused scan ASYNC
+        (JAX queues it — no host sync per batch, which is exactly what
+        a co-located deployment's dispatch costs).  One block at the
+        end closes the pipeline; every 32nd request per client blocks
+        on its own result for a true submit->result latency sample
+        (minus one measured relay RTT — the sync a co-located host
+        would not pay)."""
+        dev_q = jnp.asarray(queries)            # staged once
+        jax.block_until_ready(dev_q)
+        batch_sizes = []
+        last = [None]
+
+        def run_batch(sig, reqs):
+            idx = np.asarray(reqs, np.int32)
+            b = len(idx)
+            bp = 1 << (b - 1).bit_length()
+            if bp > b:
+                idx = np.pad(idx, (0, bp - b))
+            q = jnp.take(dev_q, jnp.asarray(idx), axis=0)
+            v, i = topk_scores(q, corpus, bias, n_act, k=K,
+                               impl=impl)
+            batch_sizes.append(b)
+            last[0] = v
+            return [(v, i, j) for j in range(b)]
+
+        mb = MicroBatcher(run_batch, max_batch=max_batch,
+                          max_wait_s=0.004, workers=4)
+        bsz = 1
+        while bsz <= max_batch:                 # warm pow2 buckets
+            run_batch(None, list(range(bsz)))
+            bsz *= 2
+        jax.block_until_ready(last[0])
+        del batch_sizes[:]
+
+        lats = []
+
+        def submit(gi):
+            v, i, j = mb.submit(gi)
+            return lambda: float(v[j, 0])       # one scalar pull
+
+        dt = client_pump(submit, lat_out=lats, sample_every=32,
+                         rtt_sub=rtt)
+        jax.block_until_ready(last[0])
+        mb.close()
+        total = clients * per_client
+        entry = {"mode": "in_process_async", "max_batch": max_batch,
+                 "qps": round(total / dt, 1),
+                 "mean_batch": round(float(np.mean(batch_sizes)), 1)
+                 if batch_sizes else 0.0,
+                 "n_batches": len(batch_sizes),
+                 "lat_p50_ms": _pctl(lats, 50),
+                 "lat_p99_ms": _pctl(lats, 99),
+                 "lat_samples": len(lats),
+                 "relay_rtt_ms_subtracted": round(rtt * 1e3, 1)}
+        results["sweep"].append(entry)
+        print(json.dumps(entry), flush=True)
+
     # request-at-a-time baseline: same threads, no coalescing
     def run_unbatched():
         lock = threading.Lock()   # one device call at a time per worker
@@ -123,7 +271,7 @@ def main() -> None:
         def one(q):
             with sem:
                 v, i = topk_scores(jnp.asarray(q[None]), corpus, bias,
-                                   n_act, k=K, impl="pallas")
+                                   n_act, k=K, impl=impl)
                 return np.asarray(v)
 
         one(queries[0])            # compile b=1
@@ -150,9 +298,16 @@ def main() -> None:
         print(json.dumps({"unbatched_qps": results["unbatched_qps"]}),
               flush=True)
 
-    run_unbatched()
-    for mbs in batches:
-        run_once(mbs)
+    if in_process:
+        rtt = measure_rtt()
+        results["relay_rtt_ms"] = round(rtt * 1e3, 1)
+        run_scheduler_only()
+        for mbs in batches:
+            run_in_process(mbs, rtt)
+    else:
+        run_unbatched()
+        for mbs in batches:
+            run_once(mbs)
     print(json.dumps(results, indent=1))
 
 
