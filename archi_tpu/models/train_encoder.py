@@ -122,16 +122,28 @@ def mine_pairs(texts: list[str]) -> list[tuple[str, str]]:
 
     # --- salient-term views: lowest-DF terms identify the chunk
     rng = np.random.default_rng(11)
+    n_docs = len(texts)
     for words, t in zip(tokenized, texts):
         uniq = sorted(set(words), key=lambda w: (df.get(w, 0), w))
-        salient = [w for w in uniq if df.get(w, 0) < max(
-            2, len(texts) // 8)][:12]
+        salient = [w for w in uniq if df.get(w, 0) < max(2, n_docs // 8)][:12]
         if len(salient) < 2:
             continue
         for _ in range(2):
             k = int(rng.integers(2, min(5, len(salient) + 1)))
             sel = rng.choice(len(salient), size=k, replace=False)
             pairs.append((" ".join(salient[i] for i in sorted(sel)), t))
+        # mid-DF term-PAIR views: terms that are not individually
+        # distinctive (shared with sibling chunks) but jointly identify
+        # this one — real queries name 2-3 topic words without the
+        # chunk's rarest identifiers, and resolving the COMBINATION is
+        # a different skill than resolving a rare term
+        mid = [w for w in uniq
+               if max(2, n_docs // 8) <= df.get(w, 0) < max(3, n_docs // 2)]
+        if len(mid) >= 2:
+            for _ in range(2):
+                sel = rng.choice(len(mid), size=2, replace=False)
+                pairs.append(
+                    (" ".join(mid[i] for i in sorted(sel)), t))
     return pairs
 
 

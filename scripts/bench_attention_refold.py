@@ -1,0 +1,207 @@
+"""Attention-floor re-attack (VERDICT r3 item 6): can the hd=32 dots be
+made faster than the measured ~7.8 TFLOP/s serial-MXU tile rate?
+
+Two candidates the r1-r3 rounds did NOT measure:
+
+1. **Fold the attention dots into the adjacent linears.**  Per head,
+   ``logits_n = (X Wq_n)(X Wk_n)^T = X A_n X^T`` with the STATIC
+   ``A_n = Wq_n Wk_n^T  [H, H]`` precomposed at weight-load time, and
+   ``ctx = sum_n P_n (X W'_n)`` with ``W'_n = Wv_n Wo_n  [H, H]`` — every
+   runtime contraction becomes K=384 (MXU-efficient, measured 132 TFLOP/s
+   for these shapes) instead of K=32.  The catch this script quantifies:
+   the folded forms do nh*x more FLOPs (the rank-32 structure of A_n is
+   abandoned), so the win condition is rate_gain > FLOP_inflation, i.e.
+   132/7.8 = 16.9x > nh = 12 — arithmetically positive for the dots alone,
+   but the folded projections (24 H^2/token vs qkvo's 8 H^2) eat the
+   margin.  Both effects measured here, separately and end-to-end.
+
+2. **int8 attention dots.**  int8 MXU peak is 2x bf16; if the small-dot
+   floor were throughput-bound, int8 would halve it.  If it is
+   weight-load/pipeline-bound (the r3 hypothesis), int8 changes nothing.
+
+Methodology per the repo's honest-measurement rules: on-device inputs,
+each step's input chained on the previous output, ONE scalar sync at the
+end, relay RTT measured and subtracted, best of 3 trials.
+
+Result goes to docs/roofline.md as a dated experiment entry (win or
+refutation).  Reference analog: none — this probes the v5e MXU's
+behavior for the reference's torch/sdpa embed path re-architected
+TPU-first (reference src/data_manager/vectorstore/manager.py:373).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/archi_tpu_jax_cache")
+    import jax.numpy as jnp
+
+    B, S, H, NH = 256, 256, 384, 12
+    HD = H // NH
+    STEPS, TRIALS = 16, 3
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (B, S, H), jnp.bfloat16)
+    wq = jax.random.normal(ks[1], (H, H), jnp.bfloat16) * 0.05
+    wk = jax.random.normal(ks[2], (H, H), jnp.bfloat16) * 0.05
+    wv = jax.random.normal(ks[3], (H, H), jnp.bfloat16) * 0.05
+    wo = jax.random.normal(ks[4], (H, H), jnp.bfloat16) * 0.05
+    jax.block_until_ready(x)
+
+    def rtt() -> float:
+        z = jnp.zeros((), jnp.float32) + 1.0
+        float(z)
+        return float(np.median([
+            (lambda t0: (float(jnp.asarray(i, jnp.float32) + z),
+                         time.time() - t0)[1])(time.time())
+            for i in range(7)]))
+
+    _rtt = rtt()
+
+    def timeit(fn, x0):
+        out = fn(x0)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.time()
+            o = x0
+            for _ in range(STEPS):
+                o = fn(o)
+            float(jnp.sum(o[0, 0] if o.ndim > 2 else o))
+            best = min(best, max(time.time() - t0 - _rtt, 1e-9))
+        return best / STEPS
+
+    def heads(t):
+        return t.reshape(B, S, NH, HD).transpose(0, 2, 1, 3)  # [B,NH,S,HD]
+
+    results = {"shape": f"B{B} S{S} H{H} nh{NH} hd{HD}", "variants": {}}
+
+    # ---- baseline: qkvo projections + small-K attention dots (XLA) -------
+    @jax.jit
+    def baseline(xin):
+        q, k, v = heads(xin @ wq), heads(xin @ wk), heads(xin @ wv)
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits / np.sqrt(HD), axis=-1).astype(jnp.bfloat16)
+        ctx = jnp.einsum("bhst,bhtd->bhsd", p, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
+        return (ctx @ wo).astype(jnp.bfloat16)
+
+    # ---- folded: A_n = Wq_n Wk_n^T and W'_n = Wv_n Wo_n precomposed ------
+    wq_h = wq.reshape(H, NH, HD).transpose(1, 0, 2)       # [NH, H, HD]
+    wk_h = wk.reshape(H, NH, HD).transpose(1, 0, 2)
+    wv_h = wv.reshape(H, NH, HD).transpose(1, 0, 2)
+    wo_h = wo.reshape(NH, HD, H)                          # [NH, HD, H]
+    a_fold = jnp.einsum("hij,hkj->hik", wq_h, wk_h)       # [NH, H, H] static
+    w_fold = jnp.einsum("hij,hjk->hik", wv_h, wo_h)       # [NH, H, H] static
+    jax.block_until_ready((a_fold, w_fold))
+
+    @jax.jit
+    def folded(xin):
+        # all runtime contractions are K=H=384:
+        y = jnp.einsum("bse,hef->bhsf", xin, a_fold)      # nh big dots
+        logits = jnp.einsum("bhsf,btf->bhst", y, xin,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits / np.sqrt(HD), axis=-1).astype(jnp.bfloat16)
+        vp = jnp.einsum("bse,hef->bhsf", xin, w_fold)     # [B,NH,S,H]
+        return jnp.einsum("bhst,bhtf->bsf", p, vp).astype(jnp.bfloat16)
+
+    # ---- int8 attention dots (projections stay bf16) ----------------------
+    @jax.jit
+    def int8_attn(xin):
+        q, k, v = heads(xin @ wq), heads(xin @ wk), heads(xin @ wv)
+
+        def q8(t):
+            s = jnp.max(jnp.abs(t), axis=(-2, -1), keepdims=True) / 127.0
+            return jnp.clip(jnp.round(t / s), -127, 127).astype(jnp.int8), s
+
+        qi, qs = q8(q.astype(jnp.float32))
+        ki, ks_ = q8(k.astype(jnp.float32))
+        logits = jax.lax.dot_general(
+            qi, ki, ((((3,), (3,)), ((0, 1), (0, 1)))),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        logits = logits * (qs * ks_)
+        p = jax.nn.softmax(logits / np.sqrt(HD), axis=-1)
+        pi, ps = q8(p)
+        vi, vs = q8(v.astype(jnp.float32))
+        ctx = jax.lax.dot_general(
+            pi, vi, ((((3,), (2,)), ((0, 1), (0, 1)))),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        ctx = (ctx * (ps * vs)).astype(jnp.bfloat16)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
+        return (ctx @ wo).astype(jnp.bfloat16)
+
+    for name, fn, x0 in [("baseline_xla", baseline, x),
+                         ("folded_bigK", folded, x),
+                         ("int8_dots", int8_attn, x)]:
+        dt = timeit(fn, x0)
+        results["variants"][name] = {"ms_per_layer_attention": round(
+            dt * 1e3, 2)}
+        print(name, results["variants"][name], flush=True)
+
+    # ---- dots only (no projections), small-K vs folded big-K -------------
+    # per-step cost (~1-2 ms) is far below the relay RTT, so these run as
+    # a lax.scan of K serially-dependent dots inside ONE device call: the
+    # input is scaled by a carry derived from the previous output (a
+    # scalar multiply XLA folds into the dot — no extra traffic, no
+    # hoisting, no server-side memoization of identical calls).
+    K_SCAN = 64
+
+    def timed_scan(run):
+        o = run()
+        jax.block_until_ready(o)
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.time()
+            float(run())
+            best = min(best, max(time.time() - t0 - _rtt, 1e-9))
+        return best / K_SCAN
+
+    k0 = heads(x @ wk)
+    q0 = heads(x @ wq)
+    y0 = jnp.einsum("bse,hef->bhsf", x, a_fold)
+    jax.block_until_ready((k0, q0, y0))
+
+    @jax.jit
+    def scan_small():
+        def body(c, _):
+            lg = jnp.einsum("bhsd,bhtd->bhst", q0 * c.astype(jnp.bfloat16), k0,
+                            preferred_element_type=jnp.float32)
+            return 1.0 + lg[0, 0, 0, 0] * 1e-20, ()
+        c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K_SCAN)
+        return c
+
+    @jax.jit
+    def scan_big():
+        def body(c, _):
+            lg = jnp.einsum("bhsf,btf->bhst", y0 * c.astype(jnp.bfloat16), x,
+                            preferred_element_type=jnp.float32)
+            return 1.0 + lg[0, 0, 0, 0] * 1e-20, ()
+        c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K_SCAN)
+        return c
+
+    useful = 2 * B * NH * S * S * HD
+    dt_small = timed_scan(scan_small)
+    results["variants"]["qk_dots_smallK"] = {
+        "ms": round(dt_small * 1e3, 3),
+        "useful_tflops": round(useful / dt_small / 1e12, 1)}
+    dt_big = timed_scan(scan_big)
+    results["variants"]["qk_dots_foldedK384"] = {
+        "ms": round(dt_big * 1e3, 3),
+        "useful_tflops": round(useful / dt_big / 1e12, 1),
+        "note": f"same useful logits, K={H} contraction, "
+                f"{H // HD}x raw FLOPs"}
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
