@@ -1055,22 +1055,33 @@ class IVFPQIndex:
 
     # -------------------------------------------------------------- serialize
     @staticmethod
-    def _d2h(arr, chunk_bytes: int = 256 << 20) -> np.ndarray:
+    def _d2h(arr, chunk_bytes: int = 8 << 20) -> np.ndarray:
         """Device->host copy in bounded slices.
 
         A one-shot np.asarray of a multi-GB code array stages the whole
         transfer at once, which exhausts the transfer path at 100M-row
-        scale (observed: RESOURCE_EXHAUSTED saving ~5.5 GB refine codes).
-        Slicing on the leading axis keeps each staged copy small; the
-        result lands in one preallocated host buffer.
+        scale (observed: RESOURCE_EXHAUSTED saving ~5.5 GB refine codes;
+        a 256 MB slice ALSO exhausted it — this rig's TPU relay bounds a
+        single staged transfer somewhere under that, the same reason the
+        host-store fill uploads in 3 MB sub-slices).  Small slices land
+        in one preallocated host buffer; on a ResourceExhausted the
+        chunk halves and the slice retries (floor 1 MB).
         """
         arr = jnp.asarray(arr)
-        if arr.nbytes <= chunk_bytes or arr.ndim == 0 or not arr.shape[0]:
+        if arr.ndim == 0 or not arr.shape[0] or arr.nbytes <= (1 << 20):
             return np.asarray(arr)
-        rows = max(1, chunk_bytes // max(1, arr.nbytes // arr.shape[0]))
+        row_bytes = max(1, arr.nbytes // arr.shape[0])
+        rows = max(1, int(chunk_bytes) // row_bytes)
         out = np.empty(arr.shape, dtype=np.dtype(arr.dtype))
-        for s in range(0, arr.shape[0], rows):
-            out[s:s + rows] = np.asarray(arr[s:s + rows])
+        s = 0
+        while s < arr.shape[0]:
+            try:
+                out[s:s + rows] = np.asarray(arr[s:s + rows])
+                s += rows
+            except Exception:
+                if rows * row_bytes <= (1 << 20):
+                    raise
+                rows = max(1, rows // 2)
         return out
 
     def save(self, path: str) -> None:
