@@ -388,7 +388,8 @@ class IVFPQIndex:
                 code_blocks.dtype == jnp.uint8:
             self.code_blocks = code_blocks
         else:
-            self.code_blocks = jnp.asarray(code_blocks).astype(jnp.uint8)
+            self.code_blocks = self._h2d(
+                np.asarray(code_blocks).astype(np.uint8, copy=False))
         self.block_rows = np.asarray(block_rows)   # [n_blocks, blk] (-1 pad)
         # int32 on host BEFORE upload (halves the transfer, skips the int64
         # device buffer); validity mask derived on device, not re-uploaded
@@ -433,7 +434,36 @@ class IVFPQIndex:
                 refine_codes.dtype == jnp.uint8:
             self.refine_codes = refine_codes   # no astype copy (see above)
         else:
-            self.refine_codes = jnp.asarray(refine_codes).astype(jnp.uint8)
+            self.refine_codes = self._h2d(
+                np.asarray(refine_codes).astype(np.uint8, copy=False))
+
+    @staticmethod
+    def _h2d(arr_np: np.ndarray, chunk_bytes: int = 32 << 20):
+        """Host->device upload in bounded slices (the mirror of ``_d2h``:
+        this rig's relay bounds single staged transfers, and a one-shot
+        jnp.asarray of a multi-GB code array would also transiently
+        double host RAM).  Chunks land in a donated device buffer via
+        dynamic_update_slice — no transient device-side duplicate."""
+        if arr_np.nbytes <= chunk_bytes or arr_np.ndim == 0 \
+                or not arr_np.shape[0]:
+            return jnp.asarray(arr_np)
+        rows = max(1, int(chunk_bytes) // max(1, arr_np.nbytes
+                                              // arr_np.shape[0]))
+        upd = jax.jit(
+            lambda b, c, s: jax.lax.dynamic_update_slice_in_dim(b, c, s, 0),
+            donate_argnums=0)
+        buf = jnp.zeros(arr_np.shape, arr_np.dtype)
+        s = 0
+        while s < arr_np.shape[0]:
+            if s + rows > arr_np.shape[0]:
+                # tail: re-slice the LAST full window (rewrites a few
+                # already-written rows with identical data) so every
+                # chunk has one shape -> ONE compiled program total
+                s = arr_np.shape[0] - rows
+            buf = upd(buf, jnp.asarray(arr_np[s:s + rows]),
+                      jnp.asarray(s, jnp.int32))
+            s += rows
+        return buf
 
     def _id_of(self, row: int):
         return self._ids[row] if self._ids is not None else row
