@@ -1130,10 +1130,10 @@ class IVFPQIndex:
             bc = self._d2h(self.block_centroids.astype(jnp.bfloat16))
             extra["block_centroids_u16"] = bc.view(np.uint16)
         arrays = dict(
-            centroids=np.asarray(self.centroids),
+            centroids=self._d2h(self.centroids),
             code_blocks=self._d2h(self.code_blocks),
             block_rows=self.block_rows,
-            cell_blocks=np.asarray(self.cell_blocks),
+            cell_blocks=self._d2h(self.cell_blocks),
             **self.codec.save_arrays(),
             **extra,
             meta=json.dumps({"ids": None if self._ids is None
