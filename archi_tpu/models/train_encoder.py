@@ -170,7 +170,8 @@ def noise_vocab(texts: list[str], *, top_frac: float = 0.02,
 
 def make_pairs(texts: list[str], rng: np.random.Generator,
                n_views: int = 4,
-               noise: list[str] | None = None) -> list[tuple[str, str]]:
+               noise: list[str] | None = None,
+               splice_prob: float = 0.4) -> list[tuple[str, str]]:
     """Self-supervised (query, positive) pairs from raw chunks.
 
     Views per chunk: keyword subsamples (drop ~60% of words, keep order)
@@ -199,7 +200,7 @@ def make_pairs(texts: list[str], rng: np.random.Generator,
                 span = rng.integers(3, max(4, len(words) // 2))
                 start = rng.integers(0, max(1, len(words) - span))
                 qw = words[start:start + span]
-            if noise and rng.random() < 0.4:
+            if noise and rng.random() < splice_prob:
                 for _j in range(int(rng.integers(1, 4))):
                     qw.insert(int(rng.integers(0, len(qw) + 1)),
                               noise[int(rng.integers(0, len(noise)))])
@@ -223,6 +224,7 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
           lr: float = 3e-4, tau: float = 0.05, seq_len: int = 96,
           seed: int = 0, config: BertConfig | None = None,
           mine: bool = True, noise_augment: bool = True,
+          splice_prob: float = 0.4, hard_neg_frac: float = 0.0,
           log_every: int = 100, log=print):
     """→ (config, params, tokenizer).  ``queries``: optional extra
     (query, positive_text) supervision mixed into the pair pool.
@@ -230,7 +232,17 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
     ``noise_augment``: splice generic/pseudo noise tokens into query
     views (``noise_vocab``) so off-corpus query words don't hijack the
     embedding.  Both derive from the corpus alone — never from eval
-    queries."""
+    queries.
+
+    Batches hold AT MOST ONE pair per positive chunk: with thousands of
+    views over a few hundred chunks, uniform pair sampling puts ~B²/2N
+    duplicate positives in every batch, and each duplicate is a FALSE
+    NEGATIVE in the in-batch InfoNCE label matrix (the loss pushes two
+    views of the same chunk apart).  ``hard_neg_frac``: fraction of
+    steps whose batch is a tf-idf NEIGHBORHOOD of a seed chunk instead
+    of a uniform draw — the in-batch negatives then share surface terms
+    with the positive (sibling topics, term-colliding distractors), the
+    discrimination real keyword queries need."""
     import optax
 
     rng = np.random.default_rng(seed)
@@ -238,7 +250,7 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
     config = config or small_config(tokenizer.vocab_size)
     params = init_params(config, seed=seed)
 
-    pairs = make_pairs(texts, rng,
+    pairs = make_pairs(texts, rng, splice_prob=splice_prob,
                        noise=noise_vocab(texts) if noise_augment else None)
     if mine:
         pairs.extend(mine_pairs(texts))
@@ -249,6 +261,46 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
         raise ValueError("no trainable pairs from corpus")
     q_tok = [tokenizer.encode(q, max_length=seq_len) for q, _ in pairs]
     d_tok = [tokenizer.encode(d, max_length=seq_len) for _, d in pairs]
+
+    # --- group pair indices by positive chunk (one per batch) ---------
+    pos_ids: dict[str, int] = {}
+    pair_pos = np.empty(len(pairs), np.int32)
+    by_pos: list[list[int]] = []
+    for i, (_q, d) in enumerate(pairs):
+        pid = pos_ids.setdefault(d, len(pos_ids))
+        if pid == len(by_pos):
+            by_pos.append([])
+        by_pos[pid].append(i)
+        pair_pos[i] = pid
+    n_pos = len(by_pos)
+
+    neighbors = None
+    if hard_neg_frac > 0.0 and n_pos > batch:
+        # tf-idf cosine neighborhoods over the positive chunks
+        uniq = [None] * n_pos
+        for d, pid in pos_ids.items():
+            uniq[pid] = d
+        vocab: dict[str, int] = {}
+        rows, cols, vals = [], [], []
+        dfc: dict[str, int] = {}
+        toks = [set(_WORD_RE.findall(d.lower())) for d in uniq]
+        for ws in toks:
+            for w in ws:
+                dfc[w] = dfc.get(w, 0) + 1
+        for r, ws in enumerate(toks):
+            for w in ws:
+                if dfc[w] >= n_pos // 2:      # drop corpus-generic terms
+                    continue
+                c = vocab.setdefault(w, len(vocab))
+                rows.append(r)
+                cols.append(c)
+                vals.append(np.log(n_pos / dfc[w]))
+        m = np.zeros((n_pos, len(vocab)), np.float32)
+        m[rows, cols] = vals
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-9)
+        sim = m @ m.T
+        np.fill_diagonal(sim, -1.0)
+        neighbors = np.argsort(-sim, axis=1)[:, : batch * 2]
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
     opt = optax.adamw(sched, weight_decay=0.01)
@@ -273,9 +325,17 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    n = len(pairs)
     for s in range(steps):
-        idx = rng.choice(n, size=min(batch, n), replace=False)
+        b = min(batch, n_pos)
+        if neighbors is not None and rng.random() < hard_neg_frac:
+            seed_pid = int(rng.integers(0, n_pos))
+            pool = neighbors[seed_pid]
+            sel_pos = np.concatenate([[seed_pid],
+                                      rng.permutation(pool)[: b - 1]])
+        else:
+            sel_pos = rng.choice(n_pos, size=b, replace=False)
+        idx = [by_pos[p][int(rng.integers(0, len(by_pos[p])))]
+               for p in sel_pos]
         q_ids, q_mask = _pad([q_tok[i] for i in idx], seq_len)
         d_ids, d_mask = _pad([d_tok[i] for i in idx], seq_len)
         params, opt_state, loss = step_fn(

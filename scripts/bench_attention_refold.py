@@ -171,30 +171,35 @@ def main() -> None:
     y0 = jnp.einsum("bse,hef->bhsf", x, a_fold)
     jax.block_until_ready((k0, q0, y0))
 
+    # NOTE: the operand arrays MUST be jit *arguments*, not closures — a
+    # closed-over device array is baked into the HLO as a constant, and
+    # y0 (600 MB bf16) overflows the remote-compile request body.
     @jax.jit
-    def scan_small():
+    def scan_small(q_in, k_in):
         def body(c, _):
-            lg = jnp.einsum("bhsd,bhtd->bhst", q0 * c.astype(jnp.bfloat16), k0,
+            lg = jnp.einsum("bhsd,bhtd->bhst",
+                            q_in * c.astype(jnp.bfloat16), k_in,
                             preferred_element_type=jnp.float32)
             return 1.0 + lg[0, 0, 0, 0] * 1e-20, ()
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K_SCAN)
         return c
 
     @jax.jit
-    def scan_big():
+    def scan_big(y_in, x_in):
         def body(c, _):
-            lg = jnp.einsum("bhsf,btf->bhst", y0 * c.astype(jnp.bfloat16), x,
+            lg = jnp.einsum("bhsf,btf->bhst",
+                            y_in * c.astype(jnp.bfloat16), x_in,
                             preferred_element_type=jnp.float32)
             return 1.0 + lg[0, 0, 0, 0] * 1e-20, ()
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K_SCAN)
         return c
 
     useful = 2 * B * NH * S * S * HD
-    dt_small = timed_scan(scan_small)
+    dt_small = timed_scan(lambda: scan_small(q0, k0))
     results["variants"]["qk_dots_smallK"] = {
         "ms": round(dt_small * 1e3, 3),
         "useful_tflops": round(useful / dt_small / 1e12, 1)}
-    dt_big = timed_scan(scan_big)
+    dt_big = timed_scan(lambda: scan_big(y0, x))
     results["variants"]["qk_dots_foldedK384"] = {
         "ms": round(dt_big * 1e3, 3),
         "useful_tflops": round(useful / dt_big / 1e12, 1),
