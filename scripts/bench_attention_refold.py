@@ -171,40 +171,50 @@ def main() -> None:
     y0 = jnp.einsum("bse,hef->bhsf", x, a_fold)
     jax.block_until_ready((k0, q0, y0))
 
-    # NOTE: the operand arrays MUST be jit *arguments*, not closures — a
-    # closed-over device array is baked into the HLO as a constant, and
-    # y0 (600 MB bf16) overflows the remote-compile request body.
+    # NOTES on defeating the compiler here: (a) the operand arrays MUST
+    # be jit *arguments*, not closures — a closed-over device array is
+    # baked into the HLO as a constant, and y0 (600 MB bf16) overflows
+    # the remote-compile request body; (b) a SCALAR carry multiplied
+    # into the einsum operand is useless — einsum is linear, so XLA
+    # rewrites einsum(q*c, k) = c*einsum(q, k) and hoists the
+    # loop-invariant dot out of the scan (measured: the whole scan ran
+    # in ~0 ms).  The carry must be the big operand itself, perturbed
+    # nonlinearly from the previous logits (tanh of the row means,
+    # broadcast-added — a cheap VPU pass next to the MXU dot).
     @jax.jit
     def scan_small(q_in, k_in):
-        def body(c, _):
-            lg = jnp.einsum("bhsd,bhtd->bhst",
-                            q_in * c.astype(jnp.bfloat16), k_in,
+        def body(q_c, _):
+            lg = jnp.einsum("bhsd,bhtd->bhst", q_c, k_in,
                             preferred_element_type=jnp.float32)
-            return 1.0 + lg[0, 0, 0, 0] * 1e-20, ()
-        c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K_SCAN)
-        return c
+            d = jnp.tanh(jnp.mean(lg, axis=-1))[..., None] * 1e-6
+            return q_c + d.astype(q_c.dtype), ()
+        q_f, _ = jax.lax.scan(body, q_in, None, length=K_SCAN)
+        return jnp.sum(q_f[0, 0, 0])
 
     @jax.jit
     def scan_big(y_in, x_in):
-        def body(c, _):
-            lg = jnp.einsum("bhsf,btf->bhst",
-                            y_in * c.astype(jnp.bfloat16), x_in,
+        def body(y_c, _):
+            lg = jnp.einsum("bhsf,btf->bhst", y_c, x_in,
                             preferred_element_type=jnp.float32)
-            return 1.0 + lg[0, 0, 0, 0] * 1e-20, ()
-        c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K_SCAN)
-        return c
+            d = jnp.tanh(jnp.mean(lg, axis=-1))[..., None] * 1e-6
+            return y_c + d.astype(y_c.dtype), ()
+        y_f, _ = jax.lax.scan(body, y_in, None, length=K_SCAN)
+        return jnp.sum(y_f[0, 0, 0])
 
     useful = 2 * B * NH * S * S * HD
     dt_small = timed_scan(lambda: scan_small(q0, k0))
     results["variants"]["qk_dots_smallK"] = {
         "ms": round(dt_small * 1e3, 3),
-        "useful_tflops": round(useful / dt_small / 1e12, 1)}
+        "useful_tflops_lower_bound": round(useful / dt_small / 1e12, 1)}
     dt_big = timed_scan(lambda: scan_big(y0, x))
     results["variants"]["qk_dots_foldedK384"] = {
         "ms": round(dt_big * 1e3, 3),
-        "useful_tflops": round(useful / dt_big / 1e12, 1),
+        "useful_tflops_lower_bound": round(useful / dt_big / 1e12, 1),
         "note": f"same useful logits, K={H} contraction, "
-                f"{H // HD}x raw FLOPs"}
+                f"{H // HD}x raw FLOPs; both scans also pay an identical "
+                f"~0.8 GB/step logits-consumption read (the serial-carry "
+                f"device, softmax's analog) — the small-vs-big DELTA "
+                f"isolates the dot cost"}
     print(json.dumps(results, indent=1))
 
 

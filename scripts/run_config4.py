@@ -154,8 +154,16 @@ def main() -> None:
             train_blocks=2, train_sample=1 << 21, coarse_iters=8,
             pq_iters=10, seed=0, spill_frac=spill, opq_iters=opq)
         if index_path:
-            idx.save(index_path)
-            print(f"saved index to {index_path}", flush=True)
+            # serialization must never cost a finished 40-min build its
+            # sweep: d2h of ~11 GB of codes has failed before under
+            # post-build HBM/relay pressure — warn and sweep anyway
+            try:
+                idx.save(index_path)
+                print(f"saved index to {index_path}", flush=True)
+            except Exception as e:
+                print(f"index save FAILED ({type(e).__name__}: "
+                      f"{str(e)[:160]}) — continuing to sweep without "
+                      f"an on-disk index", flush=True)
     t_bc = time.time()
     if "--sub" in args:
         # sub-block ranking granularity (MAX over `sub` finer means per
