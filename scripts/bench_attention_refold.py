@@ -171,35 +171,40 @@ def main() -> None:
     y0 = jnp.einsum("bse,hef->bhsf", x, a_fold)
     jax.block_until_ready((k0, q0, y0))
 
-    # NOTES on defeating the compiler here: (a) the operand arrays MUST
-    # be jit *arguments*, not closures — a closed-over device array is
-    # baked into the HLO as a constant, and y0 (600 MB bf16) overflows
-    # the remote-compile request body; (b) a SCALAR carry multiplied
-    # into the einsum operand is useless — einsum is linear, so XLA
-    # rewrites einsum(q*c, k) = c*einsum(q, k) and hoists the
-    # loop-invariant dot out of the scan (measured: the whole scan ran
-    # in ~0 ms).  The carry must be the big operand itself, perturbed
-    # nonlinearly from the previous logits (tanh of the row means,
-    # broadcast-added — a cheap VPU pass next to the MXU dot).
+    # NOTES on defeating the compiler here (each mode below was MEASURED
+    # collapsing before the fix):
+    # (a) the operand arrays MUST be jit *arguments*, not closures — a
+    #     closed-over device array is baked into the HLO as a constant,
+    #     and y0 (600 MB bf16) overflows the remote-compile request;
+    # (b) a SCALAR carry multiplied into an einsum operand is useless —
+    #     einsum is linear, so XLA rewrites einsum(q*c,k) = c*einsum(q,k)
+    #     and hoists the loop-invariant dot out of the scan (~0 ms);
+    # (c) a LINEAR reduction of the logits is equally useless —
+    #     mean_t(q @ k^T) = q @ mean_t(k), so the [S,T] logits are never
+    #     formed (measured: both scans timed only their carry traffic).
+    #     tanh must hit the logits ELEMENTWISE before the reduction.
+    # The carry is the SMALL operand (k / x, ~50 MB) in both scans so the
+    # per-step carry traffic is identical and the small-vs-big delta
+    # isolates the dot + its fused tanh/reduce epilogue.
     @jax.jit
     def scan_small(q_in, k_in):
-        def body(q_c, _):
-            lg = jnp.einsum("bhsd,bhtd->bhst", q_c, k_in,
+        def body(k_c, _):
+            lg = jnp.einsum("bhsd,bhtd->bhst", q_in, k_c,
                             preferred_element_type=jnp.float32)
-            d = jnp.tanh(jnp.mean(lg, axis=-1))[..., None] * 1e-6
-            return q_c + d.astype(q_c.dtype), ()
-        q_f, _ = jax.lax.scan(body, q_in, None, length=K_SCAN)
-        return jnp.sum(q_f[0, 0, 0])
+            d = jnp.mean(jnp.tanh(lg), axis=2)[..., None] * 1e-6
+            return k_c + d.astype(k_c.dtype), ()
+        k_f, _ = jax.lax.scan(body, k_in, None, length=K_SCAN)
+        return jnp.sum(k_f[0, 0, 0])
 
     @jax.jit
     def scan_big(y_in, x_in):
-        def body(y_c, _):
-            lg = jnp.einsum("bhsf,btf->bhst", y_c, x_in,
+        def body(x_c, _):
+            lg = jnp.einsum("bhsf,btf->bhst", y_in, x_c,
                             preferred_element_type=jnp.float32)
-            d = jnp.tanh(jnp.mean(lg, axis=-1))[..., None] * 1e-6
-            return y_c + d.astype(y_c.dtype), ()
-        y_f, _ = jax.lax.scan(body, y_in, None, length=K_SCAN)
-        return jnp.sum(y_f[0, 0, 0])
+            d = jnp.mean(jnp.tanh(lg), axis=(1, 2))[..., None] * 1e-6
+            return x_c + d.astype(x_c.dtype), ()
+        x_f, _ = jax.lax.scan(body, x_in, None, length=K_SCAN)
+        return jnp.sum(x_f[0, 0])
 
     useful = 2 * B * NH * S * S * HD
     dt_small = timed_scan(lambda: scan_small(q0, k0))
