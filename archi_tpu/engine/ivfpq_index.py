@@ -407,6 +407,10 @@ class IVFPQIndex:
         # packed 4-bit mode: ksub=16 codes stored two-per-byte
         self.packed = (codec.ksub == 16 and
                        self.code_blocks.shape[2] == codec.m // 2)
+        # host mirrors of large code arrays (populated by build_streaming,
+        # which pays for the d2h when HBM still has headroom); save()
+        # prefers these over re-downloading under post-build pressure
+        self._host_mirror: dict[str, np.ndarray] = {}
         # block-budget probing state: per-block mini-centroids (lazily
         # decoded from the codes on first use — see ensure_block_centroids)
         # and the block → owning-cell map derived from cell_blocks.
@@ -782,6 +786,13 @@ class IVFPQIndex:
                     code_flat, xb, jnp.asarray(idx), jnp.asarray(cells),
                     jnp.asarray(pos))
         code_flat.block_until_ready()
+        # Host mirror of the settled stage-1 codes, pulled NOW — the one
+        # moment HBM holds only code_flat (~N*mc bytes) and nothing else
+        # big, so the sliced d2h has maximal headroom.  save() then never
+        # re-downloads under post-build pressure (observed: even 1-8 MB
+        # slice pulls RESOURCE_EXHAUSTED once refine codes + mirrors of
+        # the build were resident).  ~N*mc bytes of host RAM.
+        codes_host = cls._d2h(code_flat)
 
         # ---- pass C (refine only): regenerate blocks, decode the settled
         # stage-1 codes back (gather by dest position — no re-encode), PQ
@@ -812,7 +823,6 @@ class IVFPQIndex:
                     jnp.asarray(assign_h[s: s + block_rows]),
                     jnp.asarray(dest[s: s + block_rows])))
             refine_codes = jnp.asarray(refine_host)
-            del refine_host
 
         code_blocks = code_flat.reshape(nb, block, mc)
         block_rows_map = gather.reshape(nb, block)
@@ -821,6 +831,11 @@ class IVFPQIndex:
         # with spill the slot count exceeds the row count (duplicates);
         # len() must stay the number of DISTINCT rows
         idx._n_rows = n if ids is None else len(idx._ids)
+        # host mirrors (already paid for above / staged by pass C) let
+        # save() skip every large d2h
+        idx._host_mirror = {"code_blocks": codes_host.reshape(nb, block, mc)}
+        if codec2 is not None:
+            idx._host_mirror["refine_codes"] = refine_host
         return idx
 
     # ------------------------------------------------------- block centroids
@@ -1123,7 +1138,10 @@ class IVFPQIndex:
             if self.refine_codec.rotation is not None:
                 extra["refine_rotation"] = np.asarray(
                     self.refine_codec.rotation)
-            extra["refine_codes"] = self._d2h(self.refine_codes)
+            extra["refine_codes"] = (
+                self._host_mirror.get("refine_codes")
+                if self._host_mirror.get("refine_codes") is not None
+                else self._d2h(self.refine_codes))
         if self.block_centroids is not None:
             # bf16 can't round-trip plain npz (numpy loads the custom
             # dtype as void V2) — store a uint16 bit view
@@ -1131,7 +1149,9 @@ class IVFPQIndex:
             extra["block_centroids_u16"] = bc.view(np.uint16)
         arrays = dict(
             centroids=self._d2h(self.centroids),
-            code_blocks=self._d2h(self.code_blocks),
+            code_blocks=(self._host_mirror.get("code_blocks")
+                         if self._host_mirror.get("code_blocks") is not None
+                         else self._d2h(self.code_blocks)),
             block_rows=self.block_rows,
             cell_blocks=self._d2h(self.cell_blocks),
             **self.codec.save_arrays(),
