@@ -255,6 +255,7 @@ class ShardedXlPQIndex:
                 "dim": self.dim, "n_shards": self.n_shards,
                 "ids": jsonable_ids(self._ids),
                 "store_dir": self.store_dir,
+                "normalize": self.normalize,
             }))
 
     @classmethod
@@ -265,7 +266,7 @@ class ShardedXlPQIndex:
         base = path[:-4] if path.endswith(".npz") else path
         idx = cls.__new__(cls)
         idx.dim = meta["dim"]
-        idx.normalize = True
+        idx.normalize = bool(meta.get("normalize", True))
         idx.devices = list(devices if devices is not None
                            else jax.devices())[:meta["n_shards"]]
         if len(idx.devices) != meta["n_shards"]:
