@@ -39,10 +39,17 @@ def _extract_archive(path: str) -> str:
         tmp = dest + ".tmp"
         if zipfile.is_zipfile(path):
             with zipfile.ZipFile(path) as z:
+                # refuse zip-slip members (absolute / parent-escaping)
+                for name in z.namelist():
+                    p = os.path.normpath(name)
+                    if p.startswith(("/", "..")) or os.path.isabs(name):
+                        raise ValueError(f"unsafe archive member: {name}")
                 z.extractall(tmp)
         else:
             with tarfile.open(path) as t:
-                t.extractall(tmp)
+                # 'data' filter rejects path traversal, links out of the
+                # tree, and devices (default from Python 3.14)
+                t.extractall(tmp, filter="data")
         os.rename(tmp, dest)
     if os.path.isfile(os.path.join(dest, "corpus.jsonl")):
         return dest

@@ -124,6 +124,22 @@ class HostVectorStore:
             self._write_meta()
 
 
+def mark_duplicate_rows(rows: np.ndarray) -> np.ndarray:
+    """[B, C] candidate row ids (columns in descending preference order)
+    → bool [B, C] marking every occurrence AFTER THE FIRST of each
+    non-negative row.  The stable argsort visits equal rows in column
+    order, so the kept copy is the earliest = best-preferred one.
+    Shared by ``exact_rerank`` and the spilled ADC-only path in
+    ``IVFPQIndex.search``."""
+    srt = np.argsort(rows, axis=1, kind="stable")
+    rs = np.take_along_axis(rows, srt, axis=1)
+    dup_s = np.zeros_like(rs, dtype=bool)
+    dup_s[:, 1:] = (rs[:, 1:] == rs[:, :-1]) & (rs[:, 1:] >= 0)
+    dup = np.zeros_like(dup_s)
+    np.put_along_axis(dup, srt, dup_s, axis=1)
+    return dup
+
+
 def exact_rerank(store: HostVectorStore, queries, vals, rows, *, k: int,
                  bias=None):
     """Re-score candidate rows with exact inner products from the host tier.
@@ -154,13 +170,7 @@ def exact_rerank(store: HostVectorStore, queries, vals, rows, *, k: int,
     # a spilled index (IVFPQIndex build_streaming spill_frac>0) can emit
     # the same ORIGINAL row from two blocks; keep one copy per query so
     # duplicates never burn top-k slots
-    srt = np.argsort(rows, axis=1, kind="stable")
-    rs = np.take_along_axis(rows, srt, axis=1)
-    dup_sorted = np.zeros_like(rs, dtype=bool)
-    dup_sorted[:, 1:] = (rs[:, 1:] == rs[:, :-1]) & (rs[:, 1:] >= 0)
-    dup = np.zeros_like(dup_sorted)
-    np.put_along_axis(dup, srt, dup_sorted, axis=1)
-    scores = np.where(dup, -np.inf, scores)
+    scores = np.where(mark_duplicate_rows(rows), -np.inf, scores)
     kk = min(k, c)
     if kk < c // 2:
         # argpartition + small sort instead of a full C-wide argsort

@@ -399,8 +399,11 @@ class IVFPQIndex:
             jnp.float32)
         self.cell_blocks = jnp.asarray(cell_blocks, jnp.int32)
         self._ids = list(ids) if ids is not None else None
-        self._n_rows = int((self.block_rows >= 0).sum()) if ids is None \
-            else len(self._ids)
+        # occupied SLOTS (> distinct rows when spill duplicates exist) —
+        # cached: block_rows is ~0.5 GB at 100M scale and the spill check
+        # on every ADC-only search() must not rescan it
+        self._n_slots = int((self.block_rows >= 0).sum())
+        self._n_rows = self._n_slots if ids is None else len(self._ids)
         self.nlist = self.centroids.shape[0]
         self.block = self.code_blocks.shape[1]
         self.dim = self.centroids.shape[1]
@@ -1075,18 +1078,14 @@ class IVFPQIndex:
                                       k=k, bias=bias)
         vals = np.asarray(vals)
         rows_out = np.asarray(rows)
-        if rerank_store is None and \
-                int((self.block_rows >= 0).sum()) > self._n_rows:
+        if rerank_store is None and self._n_slots > self._n_rows:
             # spilled index, no rerank tier: the ADC top-k can hold the
             # same original row twice — keep the better-scored copy
-            srt = np.argsort(rows_out, axis=1, kind="stable")
-            rs = np.take_along_axis(rows_out, srt, axis=1)
-            dup_s = np.zeros_like(rs, dtype=bool)
-            dup_s[:, 1:] = (rs[:, 1:] == rs[:, :-1]) & (rs[:, 1:] >= 0)
-            dup = np.zeros_like(dup_s)
-            np.put_along_axis(dup, srt, dup_s, axis=1)
-            # stable argsort scans candidates in score order (vals are
-            # already descending per query), so the kept copy is the best
+            # (vals are already descending per query, so the first
+            # occurrence mark_duplicate_rows keeps is the best)
+            from archi_tpu.engine.host_store import mark_duplicate_rows
+
+            dup = mark_duplicate_rows(rows_out)
             vals = np.where(dup, NEG_INF, vals)
             rows_out = np.where(dup, -1, rows_out)
             order = np.argsort(-vals, axis=1, kind="stable")

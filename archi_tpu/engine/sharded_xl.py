@@ -106,9 +106,10 @@ class ShardedXlPQIndex:
     def alive(self):
         """[capacity] f32 by GLOBAL row (pure-lexical ranking path)."""
         out = np.zeros((self.capacity,), np.float32)
-        for g, i in enumerate(self._ids):
-            if i is not None:
-                out[g] = 1.0
+        if self._ids:
+            out[:len(self._ids)] = np.fromiter(
+                (i is not None for i in self._ids), np.float32,
+                count=len(self._ids))
         return jnp.asarray(out)
 
     # ----------------------------------------------------------------- write

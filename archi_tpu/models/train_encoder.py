@@ -264,14 +264,12 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
 
     # --- group pair indices by positive chunk (one per batch) ---------
     pos_ids: dict[str, int] = {}
-    pair_pos = np.empty(len(pairs), np.int32)
     by_pos: list[list[int]] = []
     for i, (_q, d) in enumerate(pairs):
         pid = pos_ids.setdefault(d, len(pos_ids))
         if pid == len(by_pos):
             by_pos.append([])
         by_pos[pid].append(i)
-        pair_pos[i] = pid
     n_pos = len(by_pos)
 
     neighbors = None
@@ -329,7 +327,13 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
         b = min(batch, n_pos)
         if neighbors is not None and rng.random() < hard_neg_frac:
             seed_pid = int(rng.integers(0, n_pos))
+            # the pool spans ALL columns when n_pos <= 2*batch, so the
+            # seed itself (diag sim = -1, sorted last) can be inside it —
+            # drop it or the batch holds the seed's positive twice (the
+            # duplicate-positive false negative this sampler exists to
+            # prevent)
             pool = neighbors[seed_pid]
+            pool = pool[pool != seed_pid]
             sel_pos = np.concatenate([[seed_pid],
                                       rng.permutation(pool)[: b - 1]])
         else:

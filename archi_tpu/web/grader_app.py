@@ -12,6 +12,7 @@ audit trail.
 from __future__ import annotations
 
 import base64
+import hmac
 
 from archi_tpu.utils.grader_service import GraderService
 from archi_tpu.web.framework import App, Request, error_response
@@ -51,8 +52,25 @@ def create_grader_app(*, grading_archi, image_archi=None,
     def _who(req: Request) -> str:
         return req.headers.get("x-user-email", "") or "anonymous"
 
+    def _api_guard(req: Request):
+        """When an admin password is configured (a student-facing
+        deployment), the JSON API requires it in ``x-admin-password`` —
+        otherwise any student could list everyone's grades or approve
+        their own submission around the UI's gates.  Unconfigured
+        deployments (internal tools, tests, RBAC'd reverse proxies)
+        keep the open API."""
+        if not admin_password:
+            return None
+        pw = req.headers.get("x-admin-password", "")
+        if pw and hmac.compare_digest(pw, admin_password):
+            return None
+        return error_response("admin credentials required", 403)
+
     @app.post("/api/grade")
     def grade(req: Request):
+        denied = _api_guard(req)
+        if denied:
+            return denied
         body = req.json()
         submission = body.get("submission", "")
         images = [base64.b64decode(b) for b in body.get("images_b64", [])]
@@ -75,23 +93,40 @@ def create_grader_app(*, grading_archi, image_archi=None,
         return {"submission_id": sid, "grade": out.answer,
                 "status": "pending"}
 
+    def _sid(req: Request):
+        try:
+            return int(req.path_params["sid"])
+        except (KeyError, ValueError):
+            return None
+
     @app.get("/api/submissions")
     def submissions(req: Request):
+        denied = _api_guard(req)
+        if denied:
+            return denied
         return svc.list(status=req.param("status"))
 
     @app.get("/api/submissions/<sid>")
     def get_submission(req: Request):
-        sub = svc.get(int(req.path_params["sid"]))
+        denied = _api_guard(req)
+        if denied:
+            return denied
+        sid = _sid(req)
+        sub = svc.get(sid) if sid is not None else None
         if sub is None:
             return error_response("not found", 404)
         return sub
 
     def _decide(req: Request, status: str):
+        denied = _api_guard(req)
+        if denied:
+            return denied
         body = req.json()
+        sid = _sid(req)
         sub = svc.decide(
-            int(req.path_params["sid"]), status=status,
+            sid, status=status,
             final_grade=body.get("final_grade"), decided_by=_who(req),
-        )
+        ) if sid is not None else None
         if sub is None:
             return error_response("not found", 404)
         # back-compat: 'grade' reflects the operative (possibly overridden)

@@ -205,18 +205,36 @@ class GraderUI:
 
     def check_admin(self, req: Request) -> Optional[str]:
         """→ the posted admin password when valid, else None."""
+        import hmac
+
         pw = req.form().get("admin_password", "")
-        return pw if pw and pw == self.admin_password else None
+        return pw if pw and hmac.compare_digest(
+            pw, self.admin_password) else None
 
 
 def add_grader_ui(app: App, ui: GraderUI) -> App:
+    import hmac
+    import threading
+
     svc, sessions = ui.svc, ui.sessions
+    # one-attempt gate: get_for + add_submission is check-then-insert,
+    # and grading runs for seconds in between — an in-flight claim set
+    # (under a lock) keeps a double-posted finalize from grading and
+    # recording the same (student, problem) twice
+    _inflight: set = set()
+    _gate = threading.Lock()
 
     def require_student(req: Request):
         email = ui.student(req)
         if email is None:
             return None, _redirect("/login")
         return email, None
+
+    def _int_param(req: Request, name: str) -> Optional[int]:
+        try:
+            return int(req.path_params[name])
+        except (KeyError, ValueError):
+            return None
 
     # ------------------------------------------------------------ student
     @app.get("/login")
@@ -238,7 +256,7 @@ def add_grader_ui(app: App, ui: GraderUI) -> App:
         code = form.get("code", "").strip()
         if email not in ui.roster:
             return _redirect("/login?flash=Email+not+found+on+the+roster")
-        if ui.roster[email] != code:
+        if not hmac.compare_digest(ui.roster[email], code):
             return _redirect("/login?flash=Invalid+access+code")
         token = sessions.create(email)
         return _redirect("/", headers={
@@ -279,9 +297,9 @@ def add_grader_ui(app: App, ui: GraderUI) -> App:
         email, redir = require_student(req)
         if redir:
             return redir
-        n = int(req.path_params["n"])
-        if n < 1 or n > ui.total_problems():
-            return Response("Invalid problem number", 400)
+        n = _int_param(req, "n")
+        if n is None or n < 1 or n > ui.total_problems():
+            return Response("Invalid problem number", 404)
         sub = svc.get_for(email, n)
         if sub:  # one attempt: revisit shows the stored result
             return _render_result(ui, sub, n)
@@ -324,9 +342,9 @@ document.getElementById('submitForm').addEventListener('submit', e => {{
         email, redir = require_student(req)
         if redir:
             return redir
-        n = int(req.path_params["n"])
-        if n < 1 or n > ui.total_problems():
-            return Response("Invalid problem number", 400)
+        n = _int_param(req, "n")
+        if n is None or n < 1 or n > ui.total_problems():
+            return Response("Invalid problem number", 404)
         if svc.get_for(email, n):
             return _redirect(f"/problem/{n}")
         form = req.form()
@@ -366,26 +384,35 @@ errors before finalizing.</p>
         email, redir = require_student(req)
         if redir:
             return redir
-        n = int(req.path_params["n"])
-        if svc.get_for(email, n):
-            return _redirect(f"/problem/{n}")
-        form = req.form()
-        solution = form.get("approved_text", "").strip()
-        comments = form.get("additional_comments", "").strip()
-        if comments:
-            solution += "\n\nAdditional Comments:\n" + comments
-        if not solution:
-            return _redirect(f"/problem/{n}")
-        rubric = ui.get_rubric(n)
-        if rubric is None:
-            return Response(f"Rubric not found for problem {n}", 500)
-        out = ui.grading.invoke(submission=solution, rubric=rubric,
-                                max_points=ui.max_points)
-        sid = svc.add_submission(
-            solution[:4000], out.answer,
-            analysis=out.metadata.get("analysis"),
-            summary=out.metadata.get("summary"),
-            user_email=email, problem=n)
+        n = _int_param(req, "n")
+        if n is None or n < 1 or n > ui.total_problems():
+            return Response("Invalid problem number", 404)
+        key = (email, n)
+        with _gate:
+            if svc.get_for(email, n) or key in _inflight:
+                return _redirect(f"/problem/{n}")
+            _inflight.add(key)
+        try:
+            form = req.form()
+            solution = form.get("approved_text", "").strip()
+            comments = form.get("additional_comments", "").strip()
+            if comments:
+                solution += "\n\nAdditional Comments:\n" + comments
+            if not solution:
+                return _redirect(f"/problem/{n}")
+            rubric = ui.get_rubric(n)
+            if rubric is None:
+                return Response(f"Rubric not found for problem {n}", 500)
+            out = ui.grading.invoke(submission=solution, rubric=rubric,
+                                    max_points=ui.max_points)
+            sid = svc.add_submission(
+                solution[:4000], out.answer,
+                analysis=out.metadata.get("analysis"),
+                summary=out.metadata.get("summary"),
+                user_email=email, problem=n)
+        finally:
+            with _gate:
+                _inflight.discard(key)
         return _render_result(ui, svc.get(sid), n)
 
     @app.get("/thankyou")
@@ -476,8 +503,11 @@ errors before finalizing.</p>
         action = form.get("action", "")
         if action not in ("approve", "reject"):
             return Response("unknown action", 400)
+        sid = _int_param(req, "sid")
+        if sid is None:
+            return Response("not found", 404)
         sub = svc.decide(
-            int(req.path_params["sid"]),
+            sid,
             status="approved" if action == "approve" else "rejected",
             final_grade=form.get("final_grade", "").strip() or None,
             decided_by="admin")

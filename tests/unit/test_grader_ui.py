@@ -48,8 +48,9 @@ def app_and_svc(tmp_path):
     return app, svc
 
 
-def call(app, method, path, *, form=None, cookie=None, body=None):
-    headers = {}
+def call(app, method, path, *, form=None, cookie=None, body=None,
+         headers=None):
+    headers = dict(headers or {})
     if cookie:
         headers["cookie"] = cookie
     if form is not None:
@@ -226,18 +227,56 @@ def test_image_submission_transcribes_then_grades(app_and_svc):
 def test_out_of_range_problem(app_and_svc):
     app, _ = app_and_svc
     cookie = login(app)
-    assert call(app, "GET", "/problem/99", cookie=cookie).status == 400
-    assert call(app, "GET", "/problem/0", cookie=cookie).status == 400
+    assert call(app, "GET", "/problem/99", cookie=cookie).status == 404
+    assert call(app, "GET", "/problem/0", cookie=cookie).status == 404
+    assert call(app, "GET", "/problem/abc", cookie=cookie).status == 404
 
 
 def test_json_api_still_served_alongside_ui(app_and_svc):
     app, svc = app_and_svc
     import json
     r = call(app, "POST", "/api/grade",
-             body=json.dumps({"submission": "api submission"}).encode())
+             body=json.dumps({"submission": "api submission"}).encode(),
+             headers={"x-admin-password": ADMIN_PW})
     assert r.status == 200
     sid = json.loads(text(r))["submission_id"]
     assert svc.get(sid)["status"] == "pending"
+
+
+def test_json_api_locked_down_when_admin_password_configured(app_and_svc):
+    """A student must NOT be able to dump everyone's grades or approve
+    their own submission by hitting the JSON API next to the UI."""
+    app, svc = app_and_svc
+    import json
+    body = json.dumps({"submission": "s"}).encode()
+    assert call(app, "POST", "/api/grade", body=body).status == 403
+    assert call(app, "GET", "/api/submissions").status == 403
+    sid = svc.add_submission("s", "Grade: 1/10", user_email="a@mit.edu")
+    fake = json.dumps({"final_grade": "10/10"}).encode()
+    r = call(app, "POST", f"/api/submissions/{sid}/approve", body=fake)
+    assert r.status == 403
+    assert svc.get(sid)["status"] == "pending"
+    # the admin header unlocks the same routes
+    r = call(app, "GET", "/api/submissions",
+             headers={"x-admin-password": ADMIN_PW})
+    assert r.status == 200
+    r = call(app, "POST", f"/api/submissions/{sid}/approve", body=fake,
+             headers={"x-admin-password": ADMIN_PW})
+    assert r.status == 200 and json.loads(text(r))["grade"] == "10/10"
+
+
+def test_json_api_open_when_no_admin_password():
+    """Deployments without the student UI (internal tools behind RBAC)
+    keep the open API."""
+    import json
+    store = TpuVectorStore(FakeEmbeddings(), dtype=np.float32)
+    store.add_texts(["rubric reference content"])
+    app = create_grader_app(
+        grading_archi=Archi("GradingPipeline", vectorstore=store),
+        grader_service=GraderService(AppDatabase(":memory:")))
+    r = call(app, "POST", "/api/grade",
+             body=json.dumps({"submission": "api submission"}).encode())
+    assert r.status == 200
 
 
 def test_thankyou_and_logout(app_and_svc):
