@@ -803,7 +803,7 @@ class IVFPQIndex:
         # (N*m2 bytes) and uploaded once: a device-side concatenate would
         # put stage-1 codes + parts + output live simultaneously — over
         # HBM at 100M.
-        refine_codes = None
+        refine_host = None
         if codec2 is not None:
             @jax.jit
             def refine_block(flat, xb, ab, pos):
@@ -825,9 +825,19 @@ class IVFPQIndex:
                     code_flat, jnp.asarray(block_fn(i)),
                     jnp.asarray(assign_h[s: s + block_rows]),
                     jnp.asarray(dest[s: s + block_rows])))
-            refine_codes = jnp.asarray(refine_host)
 
+        # Reshape BEFORE the refine upload, then free the flat alias: the
+        # standalone reshape dispatch double-buffers the ~N*mc stage-1
+        # codes (donation is not honored through the tunnel), and with
+        # spill both copies + resident refine codes cross HBM
+        # (2x5.5 + 4.8 GB at 100M rows / spill 0.15 — the r4 build OOM).
+        # Ordered this way the peaks are 2x stage-1, THEN stage-1 +
+        # refine — each ~5 GB under the old combined peak.
         code_blocks = code_flat.reshape(nb, block, mc)
+        code_blocks.block_until_ready()
+        code_flat.delete()
+        refine_codes = (jnp.asarray(refine_host)
+                        if refine_host is not None else None)
         block_rows_map = gather.reshape(nb, block)
         idx = cls(centroids, codec, code_blocks, block_rows_map, cb, ids,
                   refine_codec=codec2, refine_codes=refine_codes)

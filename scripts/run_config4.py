@@ -153,17 +153,6 @@ def main() -> None:
             nlist=nlist, block=blk, m=96, ksub=16, refine_m=96,
             train_blocks=2, train_sample=1 << 21, coarse_iters=8,
             pq_iters=10, seed=0, spill_frac=spill, opq_iters=opq)
-        if index_path:
-            # serialization must never cost a finished 40-min build its
-            # sweep: d2h of ~11 GB of codes has failed before under
-            # post-build HBM/relay pressure — warn and sweep anyway
-            try:
-                idx.save(index_path)
-                print(f"saved index to {index_path}", flush=True)
-            except Exception as e:
-                print(f"index save FAILED ({type(e).__name__}: "
-                      f"{str(e)[:160]}) — continuing to sweep without "
-                      f"an on-disk index", flush=True)
     t_bc = time.time()
     if "--sub" in args:
         # sub-block ranking granularity (MAX over `sub` finer means per
@@ -179,6 +168,20 @@ def main() -> None:
     print(f"block centroids: {time.time()-t_bc:.0f}s "
           f"(n_blocks={idx.code_blocks.shape[0]}, "
           f"max_bpc={idx.cell_blocks.shape[1]})", flush=True)
+    if index_path and not (os.path.exists(index_path)
+                           or os.path.exists(index_path + ".npz")):
+        # save AFTER the block centroids: bc rides into the npz, and the
+        # sweep-critical decode ran at maximal HBM headroom first.
+        # Serialization must never cost a finished 40-min build its
+        # sweep: d2h has failed before under post-build HBM/relay
+        # pressure — warn and sweep anyway
+        try:
+            idx.save(index_path)
+            print(f"saved index to {index_path}", flush=True)
+        except Exception as e:
+            print(f"index save FAILED ({type(e).__name__}: "
+                  f"{str(e)[:160]}) — continuing to sweep without "
+                  f"an on-disk index", flush=True)
     jax.block_until_ready(idx.code_blocks)
     build_s = time.time() - t0
     code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
