@@ -39,7 +39,12 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
-    # pooling: "mean" (sentence-transformers MiniLM/bge default) or "cls"
+    # pooling: "mean" (sentence-transformers MiniLM/bge default), "cls",
+    # or "attn" (learned token-relevance softmax — a linear score per
+    # token gates the pooling, so generic/unseen query words can be
+    # DOWN-weighted instead of diluting the mean; trained in-image,
+    # round-trips through the HF snapshot as an extra `pooler_attn`
+    # tensor + `archi_pooling` config key)
     pooling: str = "mean"
     normalize: bool = True
 
@@ -95,6 +100,10 @@ def init_params(config: BertConfig, seed: int = 0, dtype=jnp.float32) -> dict:
             "ffn_ln_scale": ones(L, h), "ffn_ln_bias": zeros(L, h),
         },
     }
+    if config.pooling == "attn":
+        # zero-init → uniform softmax → exactly mean pooling at step 0,
+        # so the gate only departs from the mean where training pushes it
+        params["pool_attn"] = {"w": zeros(h)}
     return params
 
 
@@ -213,6 +222,16 @@ def encode(params: dict, input_ids, attention_mask, config: BertConfig,
     m = attention_mask.astype(jnp.float32)[:, :, None]
     if config.pooling == "cls":
         pooled = x[:, 0, :]
+    elif config.pooling == "attn":
+        # learned token-relevance gate: softmax(w·h_t) over valid tokens.
+        # Mean pooling weights every token 1/n, so short queries wrapped
+        # in generic/unseen words are hijacked by the wrapper; the gate
+        # learns (from noise-spliced training views) to suppress them.
+        scores = jnp.einsum("bsh,h->bs", x,
+                            params["pool_attn"]["w"].astype(jnp.float32))
+        scores = scores + (1.0 - m[:, :, 0]) * -1e9
+        alpha = jax.nn.softmax(scores, axis=-1)
+        pooled = jnp.einsum("bs,bsh->bh", alpha, x)
     else:  # mean pooling over non-pad tokens
         pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
     if config.normalize:

@@ -21,6 +21,10 @@ from archi_tpu.models.bert import BertConfig, init_params
 
 
 def config_from_hf(cfg: dict, *, pooling: str = "mean") -> BertConfig:
+    # in-image-trained snapshots record their pooling mode (e.g. the
+    # learned "attn" gate) in a custom key; plain HF checkpoints fall
+    # back to the caller's choice
+    pooling = cfg.get("archi_pooling", pooling)
     return BertConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -107,10 +111,14 @@ def params_from_state_dict(sd: dict, config: BertConfig, dtype=jnp.float32) -> d
         stacks["ffn_ln_bias"].append(g(f"encoder.layer.{i}.output.LayerNorm.bias"))
 
     to = lambda a: jnp.asarray(np.stack(a), dtype)  # noqa: E731
-    return {
+    params = {
         "embeddings": {k: jnp.asarray(v, dtype) for k, v in emb.items()},
         "layers": {k: to(v) for k, v in stacks.items()},
     }
+    if config.pooling == "attn":
+        params["pool_attn"] = {"w": jnp.asarray(g("pooler_attn.weight"),
+                                                dtype)}
+    return params
 
 
 def load_model_dir(model_dir: str, *, pooling: str = "mean", dtype=jnp.float32):

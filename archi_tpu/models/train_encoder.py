@@ -39,12 +39,12 @@ from archi_tpu.models.bert import BertConfig, encode, init_params
 from archi_tpu.models.tokenizer import WordPieceTokenizer
 
 
-def small_config(vocab_size: int) -> BertConfig:
+def small_config(vocab_size: int, pooling: str = "mean") -> BertConfig:
     """4-layer, 256-wide encoder — trains to convergence in minutes on
     one chip, big enough to learn real lexical+topical structure."""
     return BertConfig(vocab_size=vocab_size, hidden_size=256, num_layers=4,
                       num_heads=4, intermediate_size=1024,
-                      max_position_embeddings=256, pooling="mean")
+                      max_position_embeddings=256, pooling=pooling)
 
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
@@ -242,6 +242,7 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
           mine: bool = True, noise_augment: bool = True,
           splice_prob: float = 0.4, hard_neg_frac: float = 0.0,
           splice_mined: float = 0.0, mid_views: int = 2,
+          pooling: str = "mean",
           log_every: int = 100, log=print):
     """→ (config, params, tokenizer).  ``queries``: optional extra
     (query, positive_text) supervision mixed into the pair pool.
@@ -264,7 +265,7 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
 
     rng = np.random.default_rng(seed)
     tokenizer = WordPieceTokenizer.build_vocab(texts, size=vocab_size)
-    config = config or small_config(tokenizer.vocab_size)
+    config = config or small_config(tokenizer.vocab_size, pooling=pooling)
     params = init_params(config, seed=seed)
 
     noise = noise_vocab(texts) if noise_augment else None
@@ -407,6 +408,11 @@ def state_dict_from_params(params: dict, config: BertConfig) -> dict:
         sd[f"encoder.layer.{i}.output.LayerNorm.weight"] = \
             lay["ffn_ln_scale"][i]
         sd[f"encoder.layer.{i}.output.LayerNorm.bias"] = lay["ffn_ln_bias"][i]
+    if "pool_attn" in params:
+        # extra tensor beyond BertModel's schema; HF consumers ignore it
+        # (from_pretrained treats it as an unexpected key), our loader
+        # reads it back when config.json says archi_pooling == "attn"
+        sd["pooler_attn.weight"] = params["pool_attn"]["w"]
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
 
 
@@ -419,6 +425,8 @@ def save_model_dir(model_dir: str, config: BertConfig, params: dict,
         json.dump({
             "architectures": ["BertModel"],
             "model_type": "bert",
+            **({"archi_pooling": config.pooling}
+               if config.pooling != "mean" else {}),
             "vocab_size": config.vocab_size,
             "hidden_size": config.hidden_size,
             "num_hidden_layers": config.num_layers,

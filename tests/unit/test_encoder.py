@@ -121,6 +121,74 @@ def test_padding_invariance(rng):
     np.testing.assert_allclose(short, long, rtol=1e-5, atol=1e-5)
 
 
+def test_attn_pooling_zero_init_equals_mean(rng):
+    """pooling="attn" (learned token-relevance gate) is zero-initialised →
+    uniform softmax over valid tokens → EXACTLY mean pooling at step 0, so
+    training only departs from the mean where gradients push it."""
+    mk = lambda p: BertConfig(  # noqa: E731
+        vocab_size=200, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, pooling=p)
+    cfg_attn, cfg_mean = mk("attn"), mk("mean")
+    params = init_params(cfg_attn, seed=3)
+    assert np.all(np.asarray(params["pool_attn"]["w"]) == 0.0)
+    ids = rng.integers(0, 200, (3, 20)).astype(np.int32)
+    mask = np.ones((3, 20), np.int32)
+    mask[1, 7:] = 0
+    za = np.asarray(encode(params, ids, mask, cfg_attn))
+    zm = np.asarray(encode(params, ids, mask, cfg_mean))
+    np.testing.assert_allclose(za, zm, rtol=1e-5, atol=1e-6)
+
+
+def test_attn_pooling_padding_invariance(rng):
+    """The gate's -1e9 mask keeps padded tokens out of the softmax."""
+    config = BertConfig(
+        vocab_size=200, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, pooling="attn")
+    params = init_params(config, seed=1)
+    params["pool_attn"]["w"] = rng.normal(size=32).astype(np.float32)
+    ids = rng.integers(0, 200, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    short = np.asarray(encode(params, ids, mask, config))
+    ids_pad = np.zeros((2, 32), np.int32)
+    ids_pad[:, :10] = ids
+    mask_pad = np.zeros((2, 32), np.int32)
+    mask_pad[:, :10] = 1
+    long = np.asarray(encode(params, ids_pad, mask_pad, config))
+    np.testing.assert_allclose(short, long, rtol=1e-5, atol=1e-5)
+
+
+def test_attn_pooling_hf_roundtrip(tmp_path, rng):
+    """save_model_dir writes the gate as an extra `pooler_attn.weight`
+    tensor + `archi_pooling` config key; load_model_dir restores both
+    and the loaded model embeds identically."""
+    from archi_tpu.models.hf_loader import load_model_dir
+    from archi_tpu.models.train_encoder import save_model_dir
+
+    tok = WordPieceTokenizer.build_vocab(
+        ["slurm array jobs on the batch cluster",
+         "gpu quota increase for the gpu partition"])
+    config = BertConfig(
+        vocab_size=tok.vocab_size, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, pooling="attn")
+    params = init_params(config, seed=2)
+    # non-zero gate so the round-trip actually exercises the attn path
+    params["pool_attn"]["w"] = rng.normal(size=32).astype(np.float32)
+    d = str(tmp_path / "snap")
+    save_model_dir(d, config, params, tok)
+
+    cfg2, params2, vocab = load_model_dir(d)  # pooling read from config.json
+    assert cfg2.pooling == "attn"
+    assert vocab is not None
+    np.testing.assert_allclose(np.asarray(params2["pool_attn"]["w"]),
+                               np.asarray(params["pool_attn"]["w"]),
+                               rtol=1e-6)
+    ids = rng.integers(0, tok.vocab_size, (2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    z1 = np.asarray(encode(params, ids, mask, config))
+    z2 = np.asarray(encode(params2, ids, mask, cfg2))
+    np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-6)
+
+
 def test_tokenizer_basics():
     tok = WordPieceTokenizer.build_vocab(
         ["the quick brown fox jumps over the lazy dog", "hello world, hello TPU!"]
