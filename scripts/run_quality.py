@@ -28,7 +28,8 @@ in the corpus or the miners — a disjoint template family, frozen in
 ``benchmarking/fixture.py`` before this round's training changes.
 
 Usage: python scripts/run_quality.py [out.json] [--encoder hash|trained|both]
-       [--model-dir DIR] [--steps N]
+       [--model-dir DIR] [--steps N] [--batch N] [--pooling mean|cls|attn]
+       [--hard-neg F] [--splice-mined F] [--mid-views N]
 """
 
 from __future__ import annotations
@@ -111,7 +112,7 @@ def run_section(embedder, embedder_desc: str) -> dict:
     }
 
 
-def trained_embedder(model_dir: str, steps: int):
+def trained_embedder(model_dir: str, steps: int, train_kw: dict):
     """Load the trained snapshot, or train + save it first."""
     from archi_tpu.models.embedder import JaxEmbedder
 
@@ -121,11 +122,11 @@ def trained_embedder(model_dir: str, steps: int):
         texts, _m, _i = fixture_chunks()
         print(f"training encoder on {len(texts)} fixture chunks "
               f"({steps} steps, self-supervised ICT views — eval queries "
-              f"never seen)...", flush=True)
+              f"never seen; {train_kw})...", flush=True)
         t0 = time.time()
-        cfg, params, tok = train(texts, steps=steps, batch=128,
-                                 seq_len=96, seed=0,
-                                 log=lambda s: print(s, flush=True))
+        cfg, params, tok = train(texts, steps=steps, seed=0,
+                                 log=lambda s: print(s, flush=True),
+                                 **train_kw)
         print(f"trained in {time.time() - t0:.0f}s", flush=True)
         save_model_dir(model_dir, cfg, params, tok)
     return JaxEmbedder(model_dir=model_dir, max_length=128)
@@ -141,6 +142,16 @@ def main() -> None:
         else "/tmp/archi_trained_encoder"
     steps = int(args[args.index("--steps") + 1]) if "--steps" in args \
         else 1500
+    # training-recipe knobs (forwarded to train_encoder.train) so the
+    # winning experiment-harness variant is reproducible from the CLI
+    train_kw = {"batch": 128, "seq_len": 96}
+    for flag, key, cast in (("--batch", "batch", int),
+                            ("--pooling", "pooling", str),
+                            ("--hard-neg", "hard_neg_frac", float),
+                            ("--splice-mined", "splice_mined", float),
+                            ("--mid-views", "mid_views", int)):
+        if flag in args:
+            train_kw[key] = cast(args[args.index(flag) + 1])
     payload = {
         "fixture": {
             "corpus": "deterministic 40-topic support corpus "
@@ -166,7 +177,7 @@ def main() -> None:
         print(json.dumps(payload["hash"], indent=2), flush=True)
     if which in ("trained", "both"):
         payload["trained"] = run_section(
-            trained_embedder(model_dir, steps),
+            trained_embedder(model_dir, steps, train_kw),
             "WordPiece+BERT bi-encoder contrastively trained in-image on "
             "TPU (models/train_encoder.py; ICT views + corpus-mined "
             "paraphrase pairs + noise-token splicing, eval queries "
