@@ -124,7 +124,7 @@ def trained_embedder(model_dir: str, steps: int, train_kw: dict):
               f"({steps} steps, self-supervised ICT views — eval queries "
               f"never seen; {train_kw})...", flush=True)
         t0 = time.time()
-        cfg, params, tok = train(texts, steps=steps, seed=0,
+        cfg, params, tok = train(texts, steps=steps,
                                  log=lambda s: print(s, flush=True),
                                  **train_kw)
         print(f"trained in {time.time() - t0:.0f}s", flush=True)
@@ -144,12 +144,13 @@ def main() -> None:
         else 1500
     # training-recipe knobs (forwarded to train_encoder.train) so the
     # winning experiment-harness variant is reproducible from the CLI
-    train_kw = {"batch": 128, "seq_len": 96}
+    train_kw = {"batch": 128, "seq_len": 96, "seed": 0}
     for flag, key, cast in (("--batch", "batch", int),
                             ("--pooling", "pooling", str),
                             ("--hard-neg", "hard_neg_frac", float),
                             ("--splice-mined", "splice_mined", float),
-                            ("--mid-views", "mid_views", int)):
+                            ("--mid-views", "mid_views", int),
+                            ("--seed", "seed", int)):
         if flag in args:
             train_kw[key] = cast(args[args.index(flag) + 1])
     payload = {
