@@ -32,9 +32,15 @@ def _extract_archive(path: str) -> str:
     import tarfile
     import zipfile
 
+    stem = os.path.basename(path)
+    for ext in (".tar.gz", ".tar.bz2", ".tar.xz", ".tgz", ".zip", ".tar"):
+        if stem.endswith(ext):
+            # strip ONLY the archive extension: 'scifact.v1.zip' and
+            # 'scifact.v2.zip' must not collide on one extraction dir
+            stem = stem[:-len(ext)]
+            break
     dest = os.path.join(
-        os.path.dirname(os.path.abspath(path)),
-        os.path.basename(path).split(".")[0] + "_extracted")
+        os.path.dirname(os.path.abspath(path)), stem + "_extracted")
     if not os.path.isdir(dest):
         tmp = dest + ".tmp"
         if zipfile.is_zipfile(path):
@@ -176,7 +182,8 @@ def evaluate_beir(directory: str, *, embedder=None, mode: str = "hybrid",
         recs100.append(recall_at_k(ranked, rels, 100))
         mrrs.append(mrr_at_k(ranked, rels, 10))
     return {
-        "dataset": os.path.basename(directory.rstrip("/")).split(".")[0],
+        "dataset": os.path.basename(directory.rstrip("/"))
+        .removesuffix("_extracted"),
         "mode": mode,
         "documents": len(corpus),
         "queries": len(queries),

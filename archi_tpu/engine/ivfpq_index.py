@@ -1065,6 +1065,11 @@ class IVFPQIndex:
             # final scorer and over-fetch genuinely buys strict recall.
             refine_overfetch = 1 if rerank_store is not None else 8
         k1 = k if rerank_store is None else max(k, rerank_overfetch * k)
+        spill_dup = self._n_slots > self._n_rows
+        if rerank_store is None and spill_dup:
+            # spilled rows can occupy two of the top-k slots; over-fetch so
+            # the post-dedup truncation still returns k live rows
+            k1 = 2 * k
         vals, rows = self.search_dispatch(
             queries, k1, nprobe=nprobe, nprobe_blocks=nprobe_blocks,
             cell_gate=cell_gate, bias=bias,
@@ -1088,7 +1093,7 @@ class IVFPQIndex:
                                       k=k, bias=bias)
         vals = np.asarray(vals)
         rows_out = np.asarray(rows)
-        if rerank_store is None and self._n_slots > self._n_rows:
+        if rerank_store is None and spill_dup:
             # spilled index, no rerank tier: the ADC top-k can hold the
             # same original row twice — keep the better-scored copy
             # (vals are already descending per query, so the first
@@ -1099,8 +1104,8 @@ class IVFPQIndex:
             vals = np.where(dup, NEG_INF, vals)
             rows_out = np.where(dup, -1, rows_out)
             order = np.argsort(-vals, axis=1, kind="stable")
-            vals = np.take_along_axis(vals, order, axis=1)
-            rows_out = np.take_along_axis(rows_out, order, axis=1)
+            vals = np.take_along_axis(vals, order, axis=1)[:, :k]
+            rows_out = np.take_along_axis(rows_out, order, axis=1)[:, :k]
         ids_out = [
             [self._id_of(int(r)) if int(r) >= 0 else None for r in rr]
             for rr in rows_out
@@ -1133,7 +1138,9 @@ class IVFPQIndex:
                 out[s:s + rows] = np.asarray(arr[s:s + rows])
                 s += rows
             except Exception:
-                if rows * row_bytes <= (1 << 20):
+                if rows == 1 or rows * row_bytes <= (1 << 20):
+                    # can't shrink further (a single row may exceed the
+                    # 1 MB floor) — surface the real failure
                     raise
                 rows = max(1, rows // 2)
         return out

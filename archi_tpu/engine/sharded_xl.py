@@ -78,13 +78,32 @@ class ShardedXlPQIndex:
                 # are deterministic — flip per shard via xl_kw if wanted
                 self.shards.append(XlPQIndex(
                     dim, store_path=sp, normalize=False, **xl_kw))
-        # dense global rows: insertion order across the tier
+        # dense global rows: insertion order across the tier.  All row
+        # bookkeeping lives in geometrically-grown numpy buffers (valid
+        # prefix = n_rows / _gcount[s]) — per-add np.concatenate or
+        # per-search list→array conversion would be O(N) hot-path work
+        # at the 100M-row scale this tier targets
         self._shard_of = np.zeros((0,), np.int32)    # global row -> shard
         self._local_of = np.zeros((0,), np.int64)    # global row -> local
-        self._global_rows: list[list[int]] = [[] for _ in self.shards]
+        self._grows = [np.zeros((0,), np.int64) for _ in self.shards]
+        self._gcount = [0 for _ in self.shards]      # valid prefix per shard
+        self._alive_buf = np.zeros((0,), np.float32)
         self._ids: list = []                         # global row -> id
         self._id_rows: dict = {}                     # id -> [global rows]
         self._n_dead = 0
+
+    def _global_rows(self, s: int) -> np.ndarray:
+        return self._grows[s][:self._gcount[s]]
+
+    @staticmethod
+    def _grown(buf: np.ndarray, used: int, extra: int,
+               fill=0) -> np.ndarray:
+        if used + extra <= buf.shape[0]:
+            return buf
+        cap = max(used + extra, 2 * buf.shape[0], 1024)
+        out = np.full((cap,), fill, buf.dtype)
+        out[:used] = buf[:used]
+        return out
 
     # ------------------------------------------------------------------ size
     def __len__(self) -> int:
@@ -105,12 +124,10 @@ class ShardedXlPQIndex:
     @property
     def alive(self):
         """[capacity] f32 by GLOBAL row (pure-lexical ranking path)."""
-        out = np.zeros((self.capacity,), np.float32)
-        if self._ids:
-            out[:len(self._ids)] = np.fromiter(
-                (i is not None for i in self._ids), np.float32,
-                count=len(self._ids))
-        return jnp.asarray(out)
+        n = self.n_rows
+        if n == 0:
+            return jnp.zeros((self.capacity,), jnp.float32)
+        return jnp.asarray(self._alive_buf[:n])
 
     # ----------------------------------------------------------------- write
     def add(self, embeddings, ids: Sequence[Any]) -> list[int]:
@@ -130,11 +147,16 @@ class ShardedXlPQIndex:
             local = shard.add(embeddings, ids)
         g0 = self.n_rows
         grows = list(range(g0, g0 + n))
-        self._shard_of = np.concatenate(
-            [self._shard_of, np.full((n,), s, np.int32)])
-        self._local_of = np.concatenate(
-            [self._local_of, np.asarray(local, np.int64)])
-        self._global_rows[s].extend(grows)
+        self._shard_of = self._grown(self._shard_of, g0, n)
+        self._shard_of[g0:g0 + n] = s
+        self._local_of = self._grown(self._local_of, g0, n)
+        self._local_of[g0:g0 + n] = np.asarray(local, np.int64)
+        gc = self._gcount[s]
+        self._grows[s] = self._grown(self._grows[s], gc, n)
+        self._grows[s][gc:gc + n] = np.arange(g0, g0 + n, dtype=np.int64)
+        self._gcount[s] = gc + n
+        self._alive_buf = self._grown(self._alive_buf, g0, n)
+        self._alive_buf[g0:g0 + n] = 1.0
         self._ids.extend(ids)
         for g, i in zip(grows, ids):
             self._id_rows.setdefault(i, []).append(g)
@@ -152,6 +174,7 @@ class ShardedXlPQIndex:
             self.shards[s].delete(list(ids))
         for g in grows:
             self._ids[g] = None
+        self._alive_buf[np.asarray(grows, np.int64)] = 0.0
         self._n_dead += len(grows)
         return len(grows)
 
@@ -168,7 +191,7 @@ class ShardedXlPQIndex:
         """Global-row vector ([N] or [B, N]) → this shard's local layout."""
         if vec is None:
             return None
-        g = np.asarray(self._global_rows[s], np.int64)
+        g = self._global_rows(s)
         shard_n = self.shards[s].n_rows
         if vec.ndim == 1:
             out = np.full((shard_n,), fill, np.float32)
@@ -220,7 +243,7 @@ class ShardedXlPQIndex:
         all_v, all_r = [], []
         for (s, _parts, ctx), host_parts in zip(dispatched, fetched):
             sv, sr = self.shards[s].search_finalize_parts(ctx, host_parts)
-            gmap = np.asarray(self._global_rows[s], np.int64)
+            gmap = self._global_rows(s)
             ok = (sv > -1e29) & (sr >= 0) & (sr < gmap.shape[0])
             gr = np.where(ok, gmap[np.clip(sr, 0, gmap.shape[0] - 1)], -1)
             all_v.append(np.where(ok, sv, NEG_INF))
@@ -249,9 +272,10 @@ class ShardedXlPQIndex:
         base = path[:-4] if path.endswith(".npz") else path
         for s, shard in enumerate(self.shards):
             shard.save(f"{base}.shard{s}")
+        n = self.n_rows
         np.savez_compressed(
             path if path.endswith(".npz") else path + ".npz",
-            shard_of=self._shard_of, local_of=self._local_of,
+            shard_of=self._shard_of[:n], local_of=self._local_of[:n],
             meta=json.dumps({
                 "dim": self.dim, "n_shards": self.n_shards,
                 "ids": jsonable_ids(self._ids),
@@ -282,11 +306,15 @@ class ShardedXlPQIndex:
                                                  **xl_kw))
         idx._shard_of = np.asarray(z["shard_of"], np.int32)
         idx._local_of = np.asarray(z["local_of"], np.int64)
-        idx._global_rows = [[] for _ in idx.shards]
-        for g, s in enumerate(idx._shard_of):
-            idx._global_rows[int(s)].append(g)
+        # vectorized shard partition (a per-row Python loop is minutes of
+        # work + multi-GB int lists at the 100M rows this tier targets)
+        idx._grows = [np.nonzero(idx._shard_of == s)[0].astype(np.int64)
+                      for s in range(len(idx.shards))]
+        idx._gcount = [g.shape[0] for g in idx._grows]
         ids = meta["ids"]
         idx._ids = list(ids)
+        idx._alive_buf = np.fromiter((i is not None for i in ids),
+                                     np.float32, count=len(ids))
         idx._id_rows = {}
         for g, i in enumerate(ids):
             if i is not None:

@@ -125,6 +125,11 @@ class XlPQIndex:
         self._lock = threading.Lock()          # guards snapshot swaps
         self._build_lock = threading.Lock()    # serializes rebuilds
         self._refresh_thread: Optional[threading.Thread] = None
+        # health signal: consecutive snapshot-refresh failures. Serving
+        # stays correct on the stale snapshot + exact tail, but the tail
+        # grows unboundedly while this climbs — operators/monitors must
+        # be able to see it (refresh resets it to 0 on success)
+        self.refresh_failures = 0
 
     # ------------------------------------------------------------------ size
     def __len__(self) -> int:
@@ -212,8 +217,10 @@ class XlPQIndex:
             try:
                 self.refresh_snapshot()
             except Exception:
-                logger.exception("xl snapshot refresh failed; serving "
-                                 "continues on the stale tier")
+                self.refresh_failures += 1
+                logger.exception(
+                    "xl snapshot refresh failed (%d consecutive); serving "
+                    "continues on the stale tier", self.refresh_failures)
             return
         with self._build_lock:
             t = self._refresh_thread
@@ -224,8 +231,11 @@ class XlPQIndex:
                 try:
                     self.refresh_snapshot()
                 except Exception:
-                    logger.exception("xl snapshot refresh failed; "
-                                     "serving continues on the stale tier")
+                    self.refresh_failures += 1
+                    logger.exception(
+                        "xl snapshot refresh failed (%d consecutive); "
+                        "serving continues on the stale tier",
+                        self.refresh_failures)
 
             t = threading.Thread(target=guarded, name="xl-refresh",
                                  daemon=True)
@@ -292,6 +302,7 @@ class XlPQIndex:
                 self._n_snap = n_snap_new
                 self._snap_bias = snap_bias
                 self.tail = tail
+            self.refresh_failures = 0
             logger.info("xl snapshot refreshed: %d rows (PQ) + %d tail",
                         n_snap_new, n - n_snap_new)
 

@@ -121,9 +121,24 @@ def load_roster(path: str) -> dict[str, str]:
 def parse_score(grade_text: str, max_points: int = 100):
     """Extract (earned, max) from free-form grade text — the reference's
     ``calculate_total_score`` (``grader_app/app.py:757``) scans for
-    ``x/y`` point lines; we take the LAST ``x/y`` (the total on typical
-    rubric outputs) and fall back to a bare 'NN points' or None."""
-    fracs = re.findall(r"(\d+(?:\.\d+)?)\s*/\s*(\d+(?:\.\d+)?)", grade_text)
+    ``x/y`` point lines.  A fraction on a 'total' line wins; otherwise
+    the last plausible (earned <= max) ``x/y``; dates (``2026/08/19``)
+    are stripped first so they can never read as scores.  Falls back to
+    a bare 'NN points' or None."""
+    text = re.sub(r"\d{1,4}[-/]\d{1,2}[-/]\d{1,4}[-/]?\d*", " ", grade_text)
+    frac_re = r"(\d+(?:\.\d+)?)\s*/\s*(\d+(?:\.\d+)?)"
+    fracs = []
+    for ln in text.splitlines():
+        if re.search(r"\btotal\b", ln, re.IGNORECASE):
+            hit = re.findall(frac_re, ln)
+            if hit:
+                # the total is the first fraction ON its line
+                # ('Total 9/10 ... rubric item 1/4')
+                fracs = [hit[0]]
+                break
+    if not fracs:
+        allf = re.findall(frac_re, text)
+        fracs = [f for f in allf if float(f[0]) <= float(f[1])] or allf
     if fracs:
         earned, mx = float(fracs[-1][0]), float(fracs[-1][1])
         if mx > 0:

@@ -32,16 +32,11 @@ import numpy as np
 
 
 def measure_rtt(jnp) -> float:
-    """Median scalar round-trip through the relay (device sync + 4-byte
-    download)."""
-    x = jnp.zeros((), jnp.float32) + 1.0
-    float(x)  # warm path
-    samples = []
-    for i in range(7):
-        t0 = time.time()
-        float(jnp.asarray(i, jnp.float32) + x)
-        samples.append(time.time() - t0)
-    return float(np.median(samples))
+    """Median scalar relay round-trip (shared probe — one methodology
+    for every benchmark; see archi_tpu/benchmarking/timing.py)."""
+    from archi_tpu.benchmarking.timing import measure_relay_rtt
+
+    return measure_relay_rtt()
 
 
 def main() -> None:

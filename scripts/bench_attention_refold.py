@@ -57,15 +57,9 @@ def main() -> None:
     wo = jax.random.normal(ks[4], (H, H), jnp.bfloat16) * 0.05
     jax.block_until_ready(x)
 
-    def rtt() -> float:
-        z = jnp.zeros((), jnp.float32) + 1.0
-        float(z)
-        return float(np.median([
-            (lambda t0: (float(jnp.asarray(i, jnp.float32) + z),
-                         time.time() - t0)[1])(time.time())
-            for i in range(7)]))
+    from archi_tpu.benchmarking.timing import measure_relay_rtt
 
-    _rtt = rtt()
+    _rtt = measure_relay_rtt()
 
     def timeit(fn, x0):
         out = fn(x0)

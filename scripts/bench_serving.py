@@ -140,12 +140,9 @@ def main() -> None:
         print(json.dumps(entry), flush=True)
 
     def measure_rtt() -> float:
-        x = jnp.zeros((), jnp.float32) + 1.0
-        float(x)
-        return float(np.median([
-            (lambda t0: (float(jnp.asarray(i, jnp.float32) + x),
-                         time.time() - t0)[1])(time.time())
-            for i in range(7)]))
+        from archi_tpu.benchmarking.timing import measure_relay_rtt
+
+        return measure_relay_rtt()
 
     def client_pump(submit_fn, lat_out=None, sample_every=0,
                     rtt_sub=0.0):

@@ -27,14 +27,9 @@ import numpy as np
 
 
 def measure_rtt(jnp) -> float:
-    x = jnp.zeros((), jnp.float32) + 1.0
-    float(x)
-    s = []
-    for i in range(7):
-        t0 = time.time()
-        float(jnp.asarray(i, jnp.float32) + x)
-        s.append(time.time() - t0)
-    return float(np.median(s))
+    from archi_tpu.benchmarking.timing import measure_relay_rtt
+
+    return measure_relay_rtt()
 
 
 def prepopulate(idx, n, d, chunk=1 << 19):

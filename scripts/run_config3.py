@@ -53,17 +53,9 @@ def main() -> None:
     self_recall = float(np.mean(top1 == q_idx))
 
     # QPS: chained batches, scalar sync, runtime RTT subtracted
-    def rtt():
-        x = jnp.zeros((), jnp.float32) + 1
-        float(x)
-        s = []
-        for i in range(5):
-            t = time.time()
-            float(jnp.asarray(i, jnp.float32) + x)
-            s.append(time.time() - t)
-        return float(np.median(s))
+    from archi_tpu.benchmarking.timing import measure_relay_rtt
 
-    r = rtt()
+    r = measure_relay_rtt()
     steps = 15
     key = jax.random.PRNGKey(2)
     best = float("inf")

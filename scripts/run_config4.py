@@ -219,17 +219,9 @@ def main() -> None:
     print(f"exact GT scan: {exact_s:.0f}s", flush=True)
 
     # --- runtime RTT
-    def rtt():
-        x = jnp.zeros((), jnp.float32) + 1
-        float(x)
-        s = []
-        for i in range(5):
-            t = time.time()
-            float(jnp.asarray(i, jnp.float32) + x)
-            s.append(time.time() - t)
-        return float(np.median(s))
+    from archi_tpu.benchmarking.timing import measure_relay_rtt
 
-    r = rtt()
+    r = measure_relay_rtt()
 
     def strict_of(rows_h):
         return float(np.mean([

@@ -115,6 +115,7 @@ def xl_stack(tmp_path_factory):
     ctx.scheduler.stop()
 
 
+@pytest.mark.heavy  # 8-shard snapshot builds over HTTP — kernel/mesh tier
 def test_xl_sharded_ingest_query_delete_over_http(xl_stack):
     from archi_tpu.engine.sharded_xl import ShardedXlPQIndex
 

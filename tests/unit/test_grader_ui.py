@@ -293,6 +293,10 @@ def test_parse_score():
     assert parse_score("part a 2/3\npart b 1/2\nTotal 3/5") == (3.0, 5.0)
     assert parse_score("awarded 85 points", 100) == (85.0, 100.0)
     assert parse_score("no numbers here") is None
+    # dates and trailing fraction-shaped tokens must not read as scores
+    assert parse_score("Total: 8/10. Reviewed 2026/08/19") == (8.0, 10.0)
+    assert parse_score("Total 9/10 ... see rubric item 1/4") == (9.0, 10.0)
+    assert parse_score("score 8/10, graded on 2026/08/19") == (8.0, 10.0)
     assert performance_message(30) == "unsatisfactory performance"
     assert performance_message(70) == "satisfactory performance"
     assert performance_message(95) == "excellent work"

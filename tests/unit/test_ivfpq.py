@@ -635,11 +635,15 @@ def test_spill_build_improves_budget_recall_and_dedups():
     assert max(gains) > 0.0, gains
     assert coverage(spilled, 8) >= coverage(base, 8) - 0.06
 
-    # ADC-only search output carries no duplicate rows
+    # ADC-only search output carries no duplicate rows AND still fills
+    # all k slots with live rows (dedup over-fetches before truncating —
+    # duplicates must not silently burn result slots)
     _, vals, rows = spilled.search(q, k=20, nprobe_blocks=32)
+    assert vals.shape == (16, 20) and rows.shape == (16, 20)
     for b in range(16):
         live = [int(r) for r, v in zip(rows[b], vals[b]) if v > -1e29]
         assert len(live) == len(set(live))
+        assert len(live) == 20, f"dedup burned {20 - len(live)} slots"
 
     # save/load: distinct-row count survives (slots stay > rows)
     import tempfile, os
