@@ -21,6 +21,21 @@ import os
 from typing import Optional
 
 
+_ARCHIVE_EXTS = (".tar.gz", ".tar.bz2", ".tar.xz", ".tgz", ".zip", ".tar")
+
+
+def _dataset_name(path: str) -> str:
+    """Dataset name from a directory or archive path: basename with the
+    archive extension (and a prior ``_extracted`` unpack suffix) removed.
+    Strips ONLY the archive extension: 'scifact.v1.zip' and
+    'scifact.v2.zip' must not collide on one name."""
+    stem = os.path.basename(path.rstrip("/")).removesuffix("_extracted")
+    for ext in _ARCHIVE_EXTS:
+        if stem.endswith(ext):
+            return stem[:-len(ext)]
+    return stem
+
+
 def _extract_archive(path: str) -> str:
     """Unpack an official BEIR download (``nfcorpus.zip`` or ``.tar.gz``)
     next to itself and return the dataset directory inside it.
@@ -32,13 +47,7 @@ def _extract_archive(path: str) -> str:
     import tarfile
     import zipfile
 
-    stem = os.path.basename(path)
-    for ext in (".tar.gz", ".tar.bz2", ".tar.xz", ".tgz", ".zip", ".tar"):
-        if stem.endswith(ext):
-            # strip ONLY the archive extension: 'scifact.v1.zip' and
-            # 'scifact.v2.zip' must not collide on one extraction dir
-            stem = stem[:-len(ext)]
-            break
+    stem = _dataset_name(path)
     dest = os.path.join(
         os.path.dirname(os.path.abspath(path)), stem + "_extracted")
     if not os.path.isdir(dest):
@@ -182,8 +191,7 @@ def evaluate_beir(directory: str, *, embedder=None, mode: str = "hybrid",
         recs100.append(recall_at_k(ranked, rels, 100))
         mrrs.append(mrr_at_k(ranked, rels, 10))
     return {
-        "dataset": os.path.basename(directory.rstrip("/"))
-        .removesuffix("_extracted"),
+        "dataset": _dataset_name(directory),
         "mode": mode,
         "documents": len(corpus),
         "queries": len(queries),
