@@ -877,7 +877,11 @@ class IVFPQIndex:
         nb, blk, mc = self.code_blocks.shape
         if blk % sub:
             raise ValueError(f"block={blk} not divisible by sub={sub}")
-        if self.block_centroids is not None and self._bc_sub == sub:
+        if (self.block_centroids is not None and self._bc_sub == sub
+                and self.block_centroids.dtype == jnp.dtype(dtype)):
+            # cache hit requires the DTYPE too: a loaded index carries its
+            # saved (typically bf16) matrix, and a later f32 request must
+            # rebuild, not silently return the coarser one
             return self.block_centroids
         if self.packed:
             from archi_tpu.ops.pallas_adc import unpack_nibbles
