@@ -167,6 +167,43 @@ _DOC_KINDS = [
      "settings of {t0} including {t1} defaults are listed here."),
 ]
 
+# --- alias layer (VERDICT r4 item 2b): every topic's main term gets an
+# invented two-word alias, DEFINED ONLY in the topic's overview document
+# ("X, also known as Y").  Alias words are deterministic pseudo-words that
+# occur nowhere else in the corpus, so a query phrased with the alias
+# shares ZERO vocabulary with the troubleshooting/configuration docs —
+# retrieving those docs requires an actual synonymy mapping (alias ↔
+# topic), which lexical featurizers cannot do and a trained encoder can
+# only get from the defining sentence's distributional signal.
+_SYLLABLES = ["va", "zor", "quin", "mel", "tra", "dex", "pol", "ner",
+              "sil", "gam", "rup", "ked", "lox", "fen", "bri", "tam",
+              "osh", "wix", "cru", "yel"]
+
+
+def fixture_alias(topic_idx: int) -> str:
+    """Deterministic pseudo-word alias for topic ``topic_idx``; word
+    prefixes are index-derived so no alias word repeats across topics
+    (asserted by ``test_synonym_family_protocol_invariants``)."""
+    i = topic_idx
+    w1 = (_SYLLABLES[i % 20] + _SYLLABLES[(i // 20) % 20]
+          + _SYLLABLES[(i * 13 + 5) % 20])
+    w2 = (_SYLLABLES[(i + 7) % 20] + _SYLLABLES[((i + 7) // 20) % 20]
+          + _SYLLABLES[(i * 17 + 11) % 20])
+    return f"{w1} {w2}"
+
+
+def fixture_alias_split():
+    """(trainable, held_out): alias → topic slug maps.  Even-indexed
+    topics' aliases MAY appear in mined training pairs; odd-indexed
+    topics' aliases are eval-only — ``train_encoder.mine_pairs`` must
+    exclude them (pass ``exclude_terms=set(held_out)``), and the
+    synonym eval family (``fixture_synonym_queries``) uses only the
+    held-out half."""
+    trainable, held_out = {}, {}
+    for i, (slug, _t, _q) in enumerate(_TOPICS):
+        (trainable if i % 2 == 0 else held_out)[fixture_alias(i)] = slug
+    return trainable, held_out
+
 
 def fixture_corpus(seed: int = 7, n_distractors: int = 160):
     """Returns (docs, queries).
@@ -180,13 +217,22 @@ def fixture_corpus(seed: int = 7, n_distractors: int = 160):
     rng = np.random.default_rng(seed)
     docs = []
     queries = []
-    for slug, terms, questions in _TOPICS:
+    for ti, (slug, terms, questions) in enumerate(_TOPICS):
+        alias = fixture_alias(ti)
         names = []
         for kind, lead in _DOC_KINDS:
             name = f"{slug}-{kind}.md"
             names.append(name)
             body = [lead.format(terms=" ".join(terms), t0=terms[0],
                                 t1=terms[1], t2=terms[2])]
+            if kind == "overview":
+                # the ONLY place the alias exists in the corpus: a
+                # definition sentence plus one usage sentence tying the
+                # alias to the topic's vocabulary
+                body.append(f"The {terms[0]} service, also known as "
+                            f"{alias}, is documented on this page.")
+                body.append(f"Teams running {alias} should start with the "
+                            f"{terms[1]} material in this overview.")
             # topic-term sentences + deterministic generic filler
             for i in range(6):
                 t = terms[int(rng.integers(0, len(terms)))]
@@ -222,6 +268,31 @@ def fixture_corpus(seed: int = 7, n_distractors: int = 160):
         docs.append((name, "\n".join(body),
                      {"source": name, "topic": "misc"}))
     return docs, queries
+
+
+def fixture_synonym_queries():
+    """The TRUE synonymy eval (VERDICT r4 item 2b): queries phrased with
+    a topic's held-out alias instead of its main term, targeting the
+    TROUBLESHOOTING doc — which contains zero alias vocabulary (the alias
+    is defined only in the sibling overview doc).  A hit therefore
+    requires mapping alias → topic, not any form of lexical overlap:
+    the hashed-ngram featurizer's best move is to retrieve the overview
+    doc (where the alias literally appears), which does not count.
+
+    Only ODD-indexed topics appear here (``fixture_alias_split``):
+    their alias pairs are withheld from mined training supervision, so
+    the mapping can only come from the defining sentence's
+    distributional signal — the exposure a pretrained checkpoint gets."""
+    out = []
+    for i, (slug, terms, _q) in enumerate(_TOPICS):
+        if i % 2 == 0:
+            continue
+        out.append({
+            "question": f"problem with {fixture_alias(i)} and {terms[3]} "
+                        f"setup",
+            "reference_sources": [{"source": f"{slug}-troubleshooting.md"}],
+        })
+    return out
 
 
 def fixture_hard_queries():

@@ -39,11 +39,14 @@ from archi_tpu.models.bert import BertConfig, encode, init_params
 from archi_tpu.models.tokenizer import WordPieceTokenizer
 
 
-def small_config(vocab_size: int, pooling: str = "mean") -> BertConfig:
-    """4-layer, 256-wide encoder — trains to convergence in minutes on
-    one chip, big enough to learn real lexical+topical structure."""
-    return BertConfig(vocab_size=vocab_size, hidden_size=256, num_layers=4,
-                      num_heads=4, intermediate_size=1024,
+def small_config(vocab_size: int, pooling: str = "mean",
+                 hidden: int = 256, layers: int = 4) -> BertConfig:
+    """Default 4-layer, 256-wide encoder — trains to convergence in
+    minutes on one chip; ``hidden``/``layers`` scale it up (r5: the
+    6x384 variant is what first beat the hashed featurizer)."""
+    return BertConfig(vocab_size=vocab_size, hidden_size=hidden,
+                      num_layers=layers, num_heads=max(4, hidden // 64),
+                      intermediate_size=4 * hidden,
                       max_position_embeddings=256, pooling=pooling)
 
 
@@ -81,7 +84,9 @@ def _trim_expansion(expansion: str, acro: str) -> str | None:
 
 
 def mine_pairs(texts: list[str], *, salient_views: int = 2,
-               mid_views: int = 2) -> list[tuple[str, str]]:
+               mid_views: int = 2,
+               exclude_terms: set[str] | None = None
+               ) -> list[tuple[str, str]]:
     """Paraphrase supervision mined from the CORPUS ALONE (VERDICT r3
     item 3): no query templates, no eval leakage.
 
@@ -95,8 +100,22 @@ def mine_pairs(texts: list[str], *, salient_views: int = 2,
       queries — the chunk's LOWEST-DF (most identifying) terms, which
       teaches the encoder an IDF prior that plain uniform ICT sampling
       does not (generic words stop hijacking the mean pooling).
+
+    ``exclude_terms``: lowercased words that must never appear in a mined
+    QUERY view (the held-out-alias eval protocol,
+    ``benchmarking/fixture.py fixture_alias_split``): any pair whose
+    query side contains one is dropped, so the alias↔term mapping is
+    never supervised — it can only be absorbed distributionally from the
+    defining document's text.
     """
-    pairs: list[tuple[str, str]] = []
+    excl = {w.lower() for w in (exclude_terms or ())}
+
+    def _blocked(q: str) -> bool:
+        return bool(excl) and any(w in excl for w in _WORD_RE.findall(
+            q.lower()))
+
+    pairs_raw: list[tuple[str, str]] = []
+    pairs = pairs_raw
     # --- document frequency over word types
     df: dict[str, int] = {}
     tokenized = []
@@ -145,7 +164,9 @@ def mine_pairs(texts: list[str], *, salient_views: int = 2,
                 sel = rng.choice(len(mid), size=2, replace=False)
                 pairs.append(
                     (" ".join(mid[i] for i in sorted(sel)), t))
-    return pairs
+    if excl:
+        return [(q, d) for q, d in pairs_raw if not _blocked(q)]
+    return pairs_raw
 
 
 def _splice(q: str, noise: list[str], rng: np.random.Generator,
@@ -243,6 +264,8 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
           splice_prob: float = 0.4, hard_neg_frac: float = 0.0,
           splice_mined: float = 0.0, mid_views: int = 2,
           pooling: str = "mean",
+          exclude_query_terms: set[str] | None = None,
+          n_views: int = 4, hidden: int = 256, layers: int = 4,
           log_every: int = 100, log=print):
     """→ (config, params, tokenizer).  ``queries``: optional extra
     (query, positive_text) supervision mixed into the pair pool.
@@ -265,13 +288,16 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
 
     rng = np.random.default_rng(seed)
     tokenizer = WordPieceTokenizer.build_vocab(texts, size=vocab_size)
-    config = config or small_config(tokenizer.vocab_size, pooling=pooling)
+    config = config or small_config(tokenizer.vocab_size, pooling=pooling,
+                                    hidden=hidden, layers=layers)
     params = init_params(config, seed=seed)
 
     noise = noise_vocab(texts) if noise_augment else None
-    pairs = make_pairs(texts, rng, splice_prob=splice_prob, noise=noise)
+    pairs = make_pairs(texts, rng, n_views=n_views,
+                       splice_prob=splice_prob, noise=noise)
     if mine:
-        mined = mine_pairs(texts, mid_views=mid_views)
+        mined = mine_pairs(texts, mid_views=mid_views,
+                           exclude_terms=exclude_query_terms)
         if noise and splice_mined > 0.0:
             # mined views are SHORT (an acronym, a 2-term combination) —
             # precisely where wrapper-word hijack bites; splice them too
@@ -281,6 +307,14 @@ def train(texts: list[str], *, queries: list[tuple[str, str]] | None = None,
         pairs.extend(mined)
     if queries:
         pairs.extend(queries)
+    if exclude_query_terms:
+        # strict query-side holdout: the held-out alias words never
+        # appear on the QUERY side of any training pair (mined or ICT
+        # view) — they reach the model only as document text, the same
+        # distributional-only exposure a pretrained checkpoint gets
+        excl = {w.lower() for w in exclude_query_terms}
+        pairs = [(q, d) for q, d in pairs
+                 if not any(w in excl for w in _WORD_RE.findall(q.lower()))]
     rng.shuffle(pairs)
     if not pairs:
         raise ValueError("no trainable pairs from corpus")

@@ -39,7 +39,10 @@ import os
 import sys
 import time
 
-from archi_tpu.benchmarking.fixture import fixture_corpus, fixture_hard_queries
+from archi_tpu.benchmarking.fixture import (fixture_alias_split,
+                                            fixture_corpus,
+                                            fixture_hard_queries,
+                                            fixture_synonym_queries)
 from archi_tpu.benchmarking.harness import Benchmarker
 from archi_tpu.data.chunking import character_split
 from archi_tpu.engine.vectorstore import TpuVectorStore
@@ -106,6 +109,8 @@ def run_section(embedder, embedder_desc: str) -> dict:
         "retriever_ablation": retriever_ablation(store, queries),
         "hard_query_ablation": retriever_ablation(
             store, fixture_hard_queries()),
+        "synonym_query_ablation": retriever_ablation(
+            store, fixture_synonym_queries()),
         "n_questions": totals["n_questions"],
         "avg_time_per_question_s": totals["avg_time_elapsed"],
         "wall_s": round(time.time() - t0, 1),
@@ -120,11 +125,18 @@ def trained_embedder(model_dir: str, steps: int, train_kw: dict):
         from archi_tpu.models.train_encoder import save_model_dir, train
 
         texts, _m, _i = fixture_chunks()
+        # strict query-side holdout: the eval half of the alias split
+        # (fixture_alias_split) never appears on the query side of any
+        # training pair — distributional document-text exposure only
+        _trainable, held_out = fixture_alias_split()
+        held_words = {w for alias in held_out for w in alias.split()}
         print(f"training encoder on {len(texts)} fixture chunks "
               f"({steps} steps, self-supervised ICT views — eval queries "
-              f"never seen; {train_kw})...", flush=True)
+              f"never seen; {len(held_words)} held-out alias words "
+              f"query-side-excluded; {train_kw})...", flush=True)
         t0 = time.time()
         cfg, params, tok = train(texts, steps=steps,
+                                 exclude_query_terms=held_words,
                                  log=lambda s: print(s, flush=True),
                                  **train_kw)
         print(f"trained in {time.time() - t0:.0f}s", flush=True)
@@ -135,7 +147,7 @@ def trained_embedder(model_dir: str, steps: int, train_kw: dict):
 def main() -> None:
     args = sys.argv[1:]
     out_path = args[0] if args and not args[0].startswith("-") \
-        else "QUALITY_r04.json"
+        else "QUALITY_r05.json"
     which = args[args.index("--encoder") + 1] if "--encoder" in args \
         else "both"
     model_dir = args[args.index("--model-dir") + 1] if "--model-dir" in args \
@@ -150,6 +162,12 @@ def main() -> None:
                             ("--hard-neg", "hard_neg_frac", float),
                             ("--splice-mined", "splice_mined", float),
                             ("--mid-views", "mid_views", int),
+                            ("--n-views", "n_views", int),
+                            ("--seq-len", "seq_len", int),
+                            ("--lr", "lr", float),
+                            ("--tau", "tau", float),
+                            ("--hidden", "hidden", int),
+                            ("--layers", "layers", int),
                             ("--seed", "seed", int)):
         if flag in args:
             train_kw[key] = cast(args[args.index(flag) + 1])
@@ -167,9 +185,20 @@ def main() -> None:
             "queries = the fixture's frozen question templates plus the "
             "hard-query template family ('problem with {t2} and {t3} "
             "setup') — a disjoint template family whose phrasings appear "
-            "nowhere in the corpus or miners; frozen in "
-            "benchmarking/fixture.py before this round's training "
-            "changes."),
+            "nowhere in the corpus or miners."),
+        "synonym_protocol": (
+            "TRUE synonymy eval (VERDICT r4 item 2b): every topic's main "
+            "term has an invented two-word alias defined ONLY in the "
+            "overview doc ('X, also known as Y'); synonym queries use the "
+            "alias + one mid-rank term and target the TROUBLESHOOTING "
+            "doc, which contains zero alias vocabulary. Aliases are "
+            "split 50/50 (fixture_alias_split): the eval half is "
+            "query-side-excluded from ALL training pairs (mined AND ICT "
+            "views — strict protocol), so the mapping can only be "
+            "absorbed from the defining sentence as document text, the "
+            "distributional exposure a pretrained checkpoint gets. The "
+            "hashed featurizer's only lexical path is the overview doc, "
+            "which does not count as a hit."),
     }
     if which in ("hash", "both"):
         payload["hash"] = run_section(

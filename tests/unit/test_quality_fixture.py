@@ -6,7 +6,8 @@ QUALITY_r02.json)."""
 import numpy as np
 
 from archi_tpu.benchmarking.fixture import (
-    fixture_corpus, fixture_hard_queries,
+    fixture_alias_split, fixture_corpus, fixture_hard_queries,
+    fixture_synonym_queries,
 )
 from archi_tpu.benchmarking.harness import Benchmarker
 from archi_tpu.data.chunking import character_split
@@ -57,6 +58,50 @@ def test_sources_accuracy_on_fixture_subset():
     assert t["relative_source_accuracy"] >= 0.95
     assert t["source_accuracy"] >= 0.9
     assert t["recall_at_k"] >= 0.99
+
+
+def test_synonym_family_protocol_invariants():
+    """The true-synonymy eval (VERDICT r4 item 2b) is only valid if the
+    alias vocabulary is genuinely absent from the target docs and the
+    held-out half never reaches mined training supervision."""
+    docs, _ = fixture_corpus()
+    trainable, held_out = fixture_alias_split()
+    # split is disjoint, covers all 40 topics, aliases unique
+    assert not set(trainable) & set(held_out)
+    assert len(trainable) == len(held_out) == 20
+    assert len({*trainable, *held_out}) == 40
+    by_name = {name: text for name, text, _m in docs}
+    for alias, slug in {**trainable, **held_out}.items():
+        for w in alias.split():
+            # alias words live ONLY in the topic's overview doc
+            for name, text in by_name.items():
+                has = w in text.lower()
+                assert has == (name == f"{slug}-overview.md"), \
+                    f"alias word {w!r} leaks into {name}"
+    # synonym queries: held-out topics only, target doc shares no alias
+    # vocabulary with the query
+    syn = fixture_synonym_queries()
+    assert len(syn) == 20
+    for q in syn:
+        target = next(iter(q["reference_sources"][0].values()))
+        text = by_name[target].lower()
+        alias_words = q["question"].split()[2:-3]  # between 'with'..'and'
+        assert any(w not in text for w in alias_words)
+    # miner exclusion: no mined query view contains a held-out alias word
+    from archi_tpu.models.train_encoder import mine_pairs
+
+    held_words = {w for a in held_out for w in a.split()}
+    texts = [t for _n, t, _m in docs]
+    mined = mine_pairs(texts, exclude_terms=held_words)
+    assert mined, "miner found nothing"
+    for q, _d in mined:
+        assert not ({w for w in q.lower().split()} & held_words), \
+            f"held-out alias leaked into mined query {q!r}"
+    # ...but the TRAINABLE aliases do get mined (the aka-pattern works)
+    mined_all = mine_pairs(texts)
+    train_words = {w for a in trainable for w in a.split()}
+    assert any({w for w in q.lower().split()} & train_words
+               for q, _d in mined_all)
 
 
 def test_hybrid_beats_semantic_on_hard_queries():
