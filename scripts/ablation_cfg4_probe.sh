@@ -18,13 +18,13 @@ python scripts/fill_host_store.py --blocks 12 --threads 8 \
     --sub-rows 65536 --out "$STORE"
 
 # control: the exact r4 production settings (bf16 bc, sub=8, no gate)
-python scripts/run_config4.py /tmp/cfg4_12_control.json \
+python scripts/run_config4.py /root/repo/benchmark_results/r5/cfg4_12_control.json \
     --rows $ROWS --nlist 4096 --spill 0.15 --opq 4 \
     --index "$IDX" --store "$STORE" --no-adc \
     --rerank-sweep 256:320,384:320,512:320,768:320,1024:320
 
 # treatment 1: f32 mini-centroids (kills the ~0.3% bf16 ranking noise)
-python scripts/run_config4.py /tmp/cfg4_12_f32bc.json \
+python scripts/run_config4.py /root/repo/benchmark_results/r5/cfg4_12_f32bc.json \
     --rows $ROWS --nlist 4096 --spill 0.15 --opq 4 \
     --index "$IDX" --store "$STORE" --no-adc --bc-dtype f32 \
     --rerank-sweep 256:320,384:320,512:320,768:320
@@ -32,7 +32,7 @@ python scripts/run_config4.py /tmp/cfg4_12_f32bc.json \
 # treatment 2: f32 bc + cell gate (shrinks the block-ranking noise
 # field by nlist/gate; gate chosen at the same cell fraction that the
 # probe budget implies)
-python scripts/run_config4.py /tmp/cfg4_12_gate.json \
+python scripts/run_config4.py /root/repo/benchmark_results/r5/cfg4_12_gate.json \
     --rows $ROWS --nlist 4096 --spill 0.15 --opq 4 \
     --index "$IDX" --store "$STORE" --no-adc --bc-dtype f32 \
     --rerank-sweep 256:320:1:256,384:320:1:384,512:320:1:512,768:320:1:768

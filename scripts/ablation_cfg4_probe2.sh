@@ -16,13 +16,13 @@ IDX=/tmp/cfg4_12_idx
 ROWS=12582912
 
 # treatment 3: f32 bc + sub=16
-python scripts/run_config4.py /tmp/cfg4_12_sub16.json \
+python scripts/run_config4.py /root/repo/benchmark_results/r5/cfg4_12_sub16.json \
     --rows $ROWS --nlist 4096 --spill 0.15 --opq 4 \
     --index "$IDX" --store "$STORE" --no-adc --bc-dtype f32 --sub 16 \
     --rerank-sweep 256:320,384:320,512:320,768:320
 
 # treatment 4: QPS lever — hier_t=32 at the recall frontier points
-python scripts/run_config4.py /tmp/cfg4_12_hier32.json \
+python scripts/run_config4.py /root/repo/benchmark_results/r5/cfg4_12_hier32.json \
     --rows $ROWS --nlist 4096 --spill 0.15 --opq 4 \
     --index "$IDX" --store "$STORE" --no-adc --bc-dtype f32 --hier-t 32 \
     --rerank-sweep 512:320,768:320
