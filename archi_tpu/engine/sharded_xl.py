@@ -204,7 +204,14 @@ class ShardedXlPQIndex:
         return out
 
     def search(self, queries, k: int = 10, *, filter_mask=None, bias=None,
-               impl="auto", nprobe_blocks: int | None = None):
+               impl="auto", nprobe_blocks: int | None = None,
+               profile: dict | None = None):
+        """``profile``: optional dict that receives per-phase wall times
+        (``dispatch_s`` / ``fetch_s`` / ``rerank_s`` / ``merge_s``) plus
+        ``fetch_bytes`` — the cross-shard traffic of the query.  Feeds the
+        trace/metrics plane and ``scripts/bench_shard_scaling.py``."""
+        import time as _time
+        _t0 = _time.perf_counter()
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -236,8 +243,10 @@ class ShardedXlPQIndex:
             rows = np.full((b, k), -1, np.int64)
             return [[None] * k for _ in range(b)], vals, rows
 
+        _t1 = _time.perf_counter()
         # phase 2: ONE tree fetch across all shards (relay-RTT-bound)
         fetched = jax.device_get([parts for _s, parts, _c in dispatched])
+        _t2 = _time.perf_counter()
 
         # phase 3: per-shard host rerank + local→global row mapping
         all_v, all_r = [], []
@@ -249,6 +258,7 @@ class ShardedXlPQIndex:
             all_v.append(np.where(ok, sv, NEG_INF))
             all_r.append(gr)
 
+        _t3 = _time.perf_counter()
         av = np.concatenate(all_v, axis=1)
         ar = np.concatenate(all_r, axis=1)
         kk = min(k, av.shape[1])
@@ -265,6 +275,13 @@ class ShardedXlPQIndex:
              for r, v in zip(rr, vv)]
             for rr, vv in zip(rows, vals)
         ]
+        if profile is not None:
+            flat = jax.tree_util.tree_leaves(fetched)
+            profile.update(
+                dispatch_s=_t1 - _t0, fetch_s=_t2 - _t1,
+                rerank_s=_t3 - _t2,
+                merge_s=_time.perf_counter() - _t3,
+                fetch_bytes=int(sum(a.nbytes for a in flat)))
         return ids, vals, rows
 
     # -------------------------------------------------------------- persist
