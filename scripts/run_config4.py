@@ -200,14 +200,26 @@ def main() -> None:
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     qd = jnp.asarray(q)
 
-    # --- exact ground truth: streaming fused scan over regenerated blocks
+    # --- exact ground truth: streaming fused scan over regenerated blocks.
+    # Default scores in f32 (blocks upcast; the kernel then keeps the query
+    # f32 too) so GT semantics EXACTLY match the host rerank tier's
+    # f32-over-stored-bf16 scoring.  The r5 miss diagnostic
+    # (benchmark_results/r5/cfg4_12_miss_diag.json) showed the old bf16
+    # GT scan disagreed with the exact rerank on ~1e-5-margin boundary
+    # rows — every residual 12.58M "miss" was scorer disagreement (0
+    # geometry misses), so a bf16 GT floors strict@10 below what the
+    # index actually retrieves.  --gt-bf16 restores the old scan.
     from archi_tpu.engine.topk import topk_scores
 
+    gt_bf16 = "--gt-bf16" in args
     t0 = time.time()
     parts_v, parts_r = [], []
     zero_bias = jnp.zeros((BLOCK_ROWS,), jnp.float32)
     for i in range(N_BLOCKS):
-        v, r = topk_scores(qd, block_fn(i), zero_bias, BLOCK_ROWS, k=K,
+        blk_i = block_fn(i)
+        if not gt_bf16:
+            blk_i = blk_i.astype(jnp.float32)
+        v, r = topk_scores(qd, blk_i, zero_bias, BLOCK_ROWS, k=K,
                            impl="pallas")
         parts_v.append(v)
         parts_r.append(r + i * BLOCK_ROWS)
@@ -226,6 +238,37 @@ def main() -> None:
     def strict_of(rows_h):
         return float(np.mean([
             len(set(rows_h[b]) & set(exact[b])) / K for b in range(B)]))
+
+    # --- score-based recall@10: set-based strict@10 saturates on this
+    # corpus because k-boundary score gaps (p10 ~6e-5, see
+    # cfg4_12_miss_diag.json) sit BELOW f32 dot-product reproducibility —
+    # two exact scorers legitimately disagree on the boundary row.  A
+    # returned row therefore counts if ONE scorer (the host store's f32
+    # BLAS, same path the exact rerank uses) scores it >= the 10th-best
+    # ground-truth score under that same scorer.  This is the standard
+    # tie-aware recall of ANN benchmarking; both metrics are published.
+    # Scoring for the threshold test is f64 (error ~1e-13, far below the
+    # ~1e-5 boundary gaps) with a 1e-9 tie slack: the GT row that ATTAINS
+    # tau is scored twice in two separate BLAS calls, and without the
+    # slack a 1-ULP jitter fails its own `>= tau` test, deflating the
+    # metric below strict (observed: 0.978 vs strict 0.994).
+    gt_tau = None
+    if store is not None:
+        gt_tau = np.empty(B, np.float64)
+        q64 = q.astype(np.float64)
+        for b in range(B):
+            g = np.asarray(store.get(exact[b]), np.float64)
+            gt_tau[b] = float(np.min(g @ q64[b]))
+
+    def score_recall_of(rows_h):
+        if gt_tau is None:
+            return None
+        hits = 0
+        for b in range(B):
+            rb = np.unique(np.asarray(rows_h[b], np.int64))
+            g = np.asarray(store.get(rb), np.float64)
+            hits += min(K, int(np.sum(g @ q64[b] >= gt_tau[b] - 1e-9)))
+        return hits / (B * K)
 
     # --- ADC-only nprobe sweep (quantization-bound recall)
     sweep = []
@@ -369,6 +412,7 @@ def main() -> None:
                 "refine_overfetch": int(rfo),
                 **({"cell_gate": int(gate)} if gate else {}),
                 "recall_strict_at_10": round(strict, 3),
+                "recall_score_at_10": round(score_recall_of(rows_h), 4),
                 "self_top1": round(top1, 3),
                 "ms_per_batch32": round(best * 1e3, 1),
                 "query_qps": round(B / best, 1),
@@ -413,6 +457,9 @@ def main() -> None:
         "corpus_equiv_gb": round(N * D * 2 / 1e9, 1),
         "codes_gb": round(code_gb, 2),
         "build_s": round(build_s, 1),
+        "gt_scoring": "bf16-dot (legacy)" if gt_bf16 else
+                      "f32 over stored-bf16 values (matches the exact "
+                      "host rerank's scorer; see cfg4_12_miss_diag.json)",
         "exact_gt_scan_s": round(exact_s, 1),
         "relay_rtt_ms": round(r * 1e3, 1),
         "nprobe_sweep": sweep,
