@@ -147,7 +147,16 @@ class BM25Index:
         self._postings: list[dict[int, int]] = []  # term_id -> {row: tf}
         self._doc_len: dict[int, int] = {}          # row -> length
         self._len_sum = 0
-        # device/built state
+        # device/built state.  Two locks: _mutate_lock serializes every
+        # mutator (add/remove/build/flush — queries take it only when
+        # they find pending work in _ensure_built, so the steady-state
+        # query path stays lock-free on it); _buf_lock guards the
+        # device-buffer pointer swap so queries snapshot a consistent
+        # (rows, tf, dl, segments) view.  Without the mutate lock, two
+        # first-queries could both enter _flush_delta/build and one
+        # would jnp.pad(None) after the other's reset (seen live as an
+        # HTTP 500 under 16 concurrent cold queries).
+        self._mutate_lock = threading.RLock()
         self._buf_lock = threading.Lock()
         self._rows_buf = None
         self._tf_buf = None
@@ -176,6 +185,10 @@ class BM25Index:
     def add_analyzed(self, rows: Sequence[int],
                      term_lists: Sequence[list[str]]) -> None:
         assert len(rows) == len(term_lists)
+        with self._mutate_lock:
+            self._add_analyzed_locked(rows, term_lists)
+
+    def _add_analyzed_locked(self, rows, term_lists) -> None:
         for row, terms in zip(rows, term_lists):
             self._doc_len[row] = len(terms)
             self._len_sum += len(terms)
@@ -191,6 +204,10 @@ class BM25Index:
 
     def remove(self, rows: Sequence[int]) -> None:
         """Hard-remove rows (callers usually just mask; used by compaction)."""
+        with self._mutate_lock:
+            self._remove_locked(rows)
+
+    def _remove_locked(self, rows) -> None:
         rowset = set(rows)
         for plist in self._postings:
             for r in rowset & plist.keys():
@@ -286,36 +303,46 @@ class BM25Index:
             self._term_segments.setdefault(tid, []).append((base + rel, length))
 
     def build(self) -> None:
-        """Full rebuild: one contiguous segment per term."""
-        self._rows_buf = None
-        self._cap = 0
-        self._nnz = 0
-        self._term_segments = {}
-        self._delta.clear()
-        entries = self._emit_entries(
-            {tid: p for tid, p in enumerate(self._postings)})
-        if entries is None:
-            self._ensure_capacity(CHUNK)
-        else:
-            self._append_device(*entries)
-        self._n_flushes = 0
-        self._needs_rebuild = False
-        self.full_builds += 1
+        """Full rebuild: one contiguous segment per term.  Concurrent
+        queries see either the pre-build state or (briefly, between the
+        locked reset and the locked append publish) an empty snapshot —
+        never a torn one."""
+        with self._mutate_lock:
+            with self._buf_lock:
+                self._rows_buf = None
+                self._cap = 0
+                self._nnz = 0
+                self._term_segments = {}
+            self._delta.clear()
+            entries = self._emit_entries(
+                {tid: p for tid, p in enumerate(self._postings)})
+            if entries is None:
+                self._ensure_capacity(CHUNK)
+            else:
+                self._append_device(*entries)
+            self._n_flushes = 0
+            self._needs_rebuild = False
+            self.full_builds += 1
 
     def _flush_delta(self) -> None:
-        entries = self._emit_entries(self._delta)
-        self._delta.clear()
-        if entries is None:
-            return
-        self._append_device(*entries)
-        self._n_flushes += 1
-        self.delta_flushes += 1
+        with self._mutate_lock:
+            entries = self._emit_entries(self._delta)
+            self._delta.clear()
+            if entries is None:
+                return
+            self._append_device(*entries)
+            self._n_flushes += 1
+            self.delta_flushes += 1
 
     def _ensure_built(self) -> None:
-        if self._needs_rebuild or self._n_flushes >= REBUILD_FLUSHES:
-            self.build()
-        elif self._delta:
-            self._flush_delta()
+        if not (self._needs_rebuild or self._n_flushes >= REBUILD_FLUSHES
+                or self._delta):
+            return  # steady state: no locking on the query path
+        with self._mutate_lock:  # one winner does the work; losers re-check
+            if self._needs_rebuild or self._n_flushes >= REBUILD_FLUSHES:
+                self.build()
+            elif self._delta:
+                self._flush_delta()
 
     # ------------------------------------------------------------------ query
     def query_terms(self, query: str) -> list[str]:
@@ -327,13 +354,14 @@ class BM25Index:
         with self._buf_lock:  # consistent snapshot vs concurrent ingest
             rows_buf, tf_buf, dl_buf = (
                 self._rows_buf, self._tf_buf, self._dl_buf)
+            segments = self._term_segments
         work: list[tuple[int, int, float]] = []
         for t in set(self.query_terms(query)):
             tid = self._term_ids.get(t)
             if tid is None:
                 continue
             idf = self._idf(tid)
-            for start, length in self._term_segments.get(tid, ()):
+            for start, length in segments.get(tid, ()):
                 while length > 0:
                     step = min(length, CHUNK)
                     work.append((start, step, idf))

@@ -191,3 +191,38 @@ def test_rebuild_after_flush_limit_and_remove():
             rtol=1e-6, atol=1e-7)
     finally:
         bm25_mod.REBUILD_FLUSHES = old
+
+
+def test_concurrent_cold_queries_race_free():
+    """Regression: two cold queries finding a pending delta must not both
+    enter the flush/build path — one thread's build() reset made the other
+    jnp.pad(None) (seen live as an HTTP 500 under 16 concurrent clients).
+    Also checks scores stay correct and identical across threads."""
+    import threading
+
+    idx = BM25Index()
+    idx.add(list(range(64)), [f"doc number{i} common quota" for i in range(64)])
+    # delta is pending: every thread's first scores() call wants a flush
+    ref = None
+    errs = []
+    outs = {}
+    bar = threading.Barrier(16)
+
+    def worker(i):
+        try:
+            bar.wait()
+            outs[i] = np.asarray(idx.scores("common quota", 128))
+        except Exception as e:  # pragma: no cover - the regression itself
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    fresh = BM25Index()
+    fresh.add(list(range(64)), [f"doc number{i} common quota" for i in range(64)])
+    ref = np.asarray(fresh.scores("common quota", 128))
+    for i, s in outs.items():
+        np.testing.assert_allclose(s, ref, rtol=1e-6, atol=1e-7)
