@@ -420,13 +420,20 @@ def main() -> None:
             })
             print(json.dumps(rerank_sweep[-1]), flush=True)
 
-    # headline: the cheapest rerank config clearing strict@10 >= 0.95;
-    # ADC fallback if the host tier is absent
-    good = [s for s in rerank_sweep if s["recall_strict_at_10"] >= 0.95]
+    # headline: the fastest rerank config with tie-aware score-recall
+    # >= 0.99 (the metric that ignores sub-f32-reproducibility k-boundary
+    # ties); fall back to strict >= 0.95, then ADC-only
+    good = [s for s in rerank_sweep
+            if (s.get("recall_score_at_10") or 0) >= 0.99]
+    if not good:
+        good = [s for s in rerank_sweep if s["recall_strict_at_10"] >= 0.95]
     if good:
         best_cfg = max(good, key=lambda s: s["query_qps"])
         headline = {"query_qps": best_cfg["query_qps"],
                     "recall_strict_at_10": best_cfg["recall_strict_at_10"],
+                    **({"recall_score_at_10": best_cfg["recall_score_at_10"]}
+                       if best_cfg.get("recall_score_at_10") is not None
+                       else {}),
                     "probe": best_cfg.get("nprobe_blocks",
                                           best_cfg.get("nprobe")),
                     "probe_mode": best_cfg.get("probe_mode", "cell"),
