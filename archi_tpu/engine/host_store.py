@@ -110,6 +110,21 @@ class HostVectorStore:
         self._write_meta()
         return rows
 
+    @classmethod
+    def view(cls, parent: "HostVectorStore", lo: int,
+             hi: int) -> "HostVectorStore":
+        """Zero-copy read-only window [lo, hi) over another store's rows —
+        shard a corpus plane across indexes WITHOUT duplicating the file
+        (77 GB at config-4 scale).  The view shares the parent's memmap;
+        appends are refused (appends would clobber the parent's rows)."""
+        assert 0 <= lo <= hi <= len(parent), (lo, hi, len(parent))
+        v = cls(parent.dim, path=None, capacity=1024, dtype=parent.dtype)
+        v._buf = parent._buf[lo:hi]
+        v._n = hi - lo
+        v._cap = hi - lo
+        v.add = _refuse_append  # type: ignore[method-assign]
+        return v
+
     def get(self, rows) -> np.ndarray:
         """Gather rows (negative/dead ids → zero vectors) → [len, D] f32."""
         rows = np.asarray(rows, np.int64)
@@ -181,3 +196,8 @@ def exact_rerank(store: HostVectorStore, queries, vals, rows, *, k: int,
         order = np.argsort(-scores, axis=1)[:, :kk]
     return (np.take_along_axis(scores, order, axis=1),
             np.take_along_axis(rows, order, axis=1))
+
+
+def _refuse_append(*_a, **_k):
+    raise RuntimeError("HostVectorStore.view is read-only: appending "
+                       "would clobber the parent store's rows")

@@ -56,9 +56,12 @@ class ShardedXlPQIndex:
     supports_batched_bias = True
 
     def __init__(self, dim: int, *, devices=None, store_dir: str | None =
-                 None, normalize: bool = True, **xl_kw):
+                 None, stores=None, normalize: bool = True, **xl_kw):
         """``store_dir``: per-shard host memmaps land there
         (``shard<j>.bf16``); None keeps every shard's plane in RAM.
+        ``stores``: pre-built per-shard ``HostVectorStore``s instead
+        (e.g. zero-copy ``HostVectorStore.view`` windows over one big
+        corpus plane — pair with ``adopt_stores``).
         ``xl_kw`` forwards to each shard's ``XlPQIndex`` (nlist, pq_m,
         nprobe_blocks, min_snapshot_rows, build_block_rows, ...)."""
         self.dim = int(dim)
@@ -68,10 +71,16 @@ class ShardedXlPQIndex:
         self.store_dir = store_dir
         if store_dir:
             os.makedirs(store_dir, exist_ok=True)
+        if stores is not None:
+            assert len(stores) == len(self.devices), \
+                (len(stores), len(self.devices))
         self.shards: list[XlPQIndex] = []
         for j, dev in enumerate(self.devices):
             sp = (os.path.join(store_dir, f"shard{j}.bf16")
                   if store_dir else None)
+            if stores is not None:
+                xl_kw = dict(xl_kw, store=stores[j])
+                sp = None
             with jax.default_device(dev):
                 # shards see pre-normalized rows/queries (one normalize at
                 # the wrapper); async refresh stays off so CPU-mesh tests
@@ -184,6 +193,31 @@ class ShardedXlPQIndex:
         for s, shard in enumerate(self.shards):
             with jax.default_device(self.devices[s]):
                 shard.refresh_snapshot()
+
+    def adopt_stores(self, ids_per_shard, *, refresh: bool = True) -> None:
+        """Register pre-filled per-shard host planes (``XlPQIndex.
+        adopt_store``): the bulk-load path for corpus shards disk-sliced
+        from one big plane via ``HostVectorStore.view`` — no re-upload
+        through ``add``.  Global rows are assigned shard-major in shard
+        order; may only be called on a fresh tier."""
+        assert self.n_rows == 0, "adopt_stores requires a fresh tier"
+        for s, ids in enumerate(ids_per_shard):
+            with jax.default_device(self.devices[s]):
+                self.shards[s].adopt_store(ids, refresh=refresh)
+            n = len(ids)
+            g0 = self.n_rows
+            self._shard_of = self._grown(self._shard_of, g0, n)
+            self._shard_of[g0:g0 + n] = s
+            self._local_of = self._grown(self._local_of, g0, n)
+            self._local_of[g0:g0 + n] = np.arange(n, dtype=np.int64)
+            self._grows[s] = self._grown(self._grows[s], 0, n)
+            self._grows[s][:n] = np.arange(g0, g0 + n, dtype=np.int64)
+            self._gcount[s] = n
+            self._alive_buf = self._grown(self._alive_buf, g0, n)
+            self._alive_buf[g0:g0 + n] = 1.0
+            self._ids.extend(ids)
+            for j, i in enumerate(ids):
+                self._id_rows.setdefault(i, []).append(g0 + j)
 
     # ---------------------------------------------------------------- search
     def _slice_to_shard(self, vec: Optional[np.ndarray], s: int,

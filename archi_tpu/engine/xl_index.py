@@ -158,6 +158,31 @@ class XlPQIndex:
         return out
 
     # ----------------------------------------------------------------- write
+    def adopt_store(self, ids: Sequence[Any], *,
+                    refresh: bool = True) -> None:
+        """Register rows that ALREADY exist in the host plane.
+
+        The production bulk-load path for planes filled out of process —
+        e.g. a corpus shard disk-sliced from a larger store, or a plane
+        written by a separate ingest job (the same adopt pattern as the
+        out-of-process ANN build).  ``ids[i]`` names host-plane row i;
+        must cover the whole plane, may only be called on a fresh index.
+        With ``refresh`` the PQ snapshot is built immediately (streams
+        the plane through the device encoder); rows are pre-normalized
+        by contract, matching ``add``'s post-normalize state.
+        """
+        n = len(self.store)
+        assert self.n_rows == 0, "adopt_store requires a fresh index"
+        assert len(ids) == n, (len(ids), n)
+        self._ids = list(ids)
+        for r, i in enumerate(self._ids):
+            self._id_rows.setdefault(i, []).append(r)
+        if refresh:
+            self.refresh_snapshot()
+        elif n:
+            # no snapshot yet: serve the whole plane via the exact tail
+            self.tail.add(self.store.get(np.arange(n)), self._ids)
+
     def add(self, embeddings, ids: Sequence[Any]) -> list[int]:
         embeddings = np.asarray(embeddings, np.float32)
         n = embeddings.shape[0]

@@ -192,3 +192,39 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.sort(v1), np.sort(v2), atol=2e-3)
     _, _, rows = idx2.search(v[5:6], k=3)
     assert 5 not in set(map(int, rows[0]))
+
+
+def test_adopt_stores_from_plane_views():
+    """Bulk-load: one big corpus plane sliced into zero-copy per-shard
+    views, adopted without add() — results match brute force and ids map
+    shard-major global rows back to the original corpus order."""
+    import ml_dtypes
+
+    from archi_tpu.engine.host_store import HostVectorStore
+
+    n, n_shards = 2048, 4
+    v = corpus(n, seed=9)
+    parent = HostVectorStore(DIM, dtype=ml_dtypes.bfloat16)
+    parent.add(v)
+    per = n // n_shards
+    views = [HostVectorStore.view(parent, s * per, (s + 1) * per)
+             for s in range(n_shards)]
+    idx = make_index(devices=jax.devices()[:n_shards], stores=views,
+                     normalize=False)
+    idx.adopt_stores([[f"c{s * per + j}" for j in range(per)]
+                      for s in range(n_shards)])
+    assert len(idx) == n
+    assert all(ix._n_snap == per for ix in idx.shards)
+
+    rng = np.random.default_rng(10)
+    qi = rng.integers(0, n, 8)
+    q = v[qi] + 0.02 * rng.standard_normal((8, DIM)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids, vals, rows = idx.search(q, k=5)
+    ref = brute_rows(v, q, 5)
+    hit = np.mean([len({f"c{r}" for r in ref[b]} & set(ids[b])) / 5
+                   for b in range(8)])
+    assert hit >= 0.9, hit
+    # global rows == original corpus rows (shard-major adopt order)
+    assert all(ids[b][0] == f"c{int(rows[b][0])}" for b in range(8))
+    assert all(int(rows[b][0]) == int(qi[b]) for b in range(8))

@@ -240,3 +240,48 @@ def test_through_vectorstore():
     vs.delete(["d7"])
     res2 = vs.hybrid_search("document about topic 7 w7", k=3)
     assert all("topic 7 " not in d.page_content for d, _ in res2)
+
+
+def test_adopt_store_matches_add_path():
+    """A pre-filled host plane adopted via adopt_store (bulk-load path,
+    e.g. a disk-sliced corpus shard through HostVectorStore.view) serves
+    the same results as the same rows ingested through add()."""
+    from archi_tpu.engine.host_store import HostVectorStore
+
+    rng = np.random.default_rng(5)
+    idx_add, x = _mk(rng, n=4096)
+
+    parent = HostVectorStore(64, dtype=np.float32)
+    parent.add(x)
+    view = HostVectorStore.view(parent, 0, len(parent))
+    with pytest.raises(RuntimeError):
+        view.add(x[:1])
+    idx_adopt = XlPQIndex(
+        64, store=view, nlist=32, block=128, pq_m=16, pq_refine_m=16,
+        nprobe_blocks=24, rerank_overfetch=32, min_snapshot_rows=2048,
+        build_block_rows=1024, tile_n=256, normalize=False)
+    idx_adopt.adopt_store([f"c{i}" for i in range(len(x))])
+    assert idx_adopt._n_snap == 4096 and len(idx_adopt) == 4096
+
+    q = x[rng.integers(0, len(x), 8)] + 0.02 * rng.standard_normal(
+        (8, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # both paths serve brute-force-quality results (the two snapshots
+    # train independent k-means, so candidate sets — and the score dtype
+    # of the default f16 RAM store vs this f32 view — may differ at the
+    # margin; recall and score exactness are the adopt contract)
+    exact = np.argsort(-(x.astype(np.float64) @ q.T.astype(np.float64)),
+                       axis=0)[:5].T                       # [8, 5]
+    for idx in (idx_add, idx_adopt):
+        ids, vals, rows = idx.search(q, k=5)
+        hit = np.mean([len({f"c{r}" for r in exact[b]} & set(ids[b])) / 5
+                       for b in range(8)])
+        assert hit >= 0.9, (idx, hit)
+    # adopt path's scores are exact f32 inner products of returned rows
+    _ids_b, vals_b, rows_b = idx_adopt.search(q, k=5)
+    want = np.take_along_axis(x @ q.T, np.asarray(rows_b).T, axis=0).T
+    np.testing.assert_allclose(np.asarray(vals_b), want,
+                               rtol=2e-5, atol=2e-5)
+
+    # view window really is a window (no copy): parent row 1 == view row 1
+    assert np.shares_memory(view._buf, parent._buf)
