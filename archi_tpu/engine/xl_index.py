@@ -73,6 +73,7 @@ class XlPQIndex:
                  nprobe_blocks: int = 128, cell_gate: int | None = None,
                  block_rank_sub: int = 8, rerank_overfetch: int = 16,
                  extract: str = "auto", hier_t: int = 64,
+                 pq_spill: float = 0.0, pq_opq_iters: int = 0,
                  min_snapshot_rows: int = 1 << 17,
                  refresh_fraction: float = 0.25,
                  build_block_rows: int = 1 << 17,
@@ -102,6 +103,10 @@ class XlPQIndex:
         # IVFPQIndex.search_dispatch)
         self.extract = str(extract)
         self.hier_t = int(hier_t)
+        # snapshot build treatments (see IVFPQIndex.build_streaming /
+        # docs/pq_scale.md: probe-spill multi-assignment + OPQ rotation)
+        self.pq_spill = float(pq_spill)
+        self.pq_opq_iters = int(pq_opq_iters)
         self.rerank_overfetch = int(rerank_overfetch)
         self.min_snapshot_rows = int(min_snapshot_rows)
         self.refresh_fraction = float(refresh_fraction)
@@ -292,7 +297,8 @@ class XlPQIndex:
                 block_fn, n_blocks, br,
                 nlist=nlist, block=min(self.block, n_snap_new),
                 m=self.pq_m, ksub=self.ksub, refine_m=self.pq_refine_m,
-                train_blocks=min(2, n_blocks))
+                train_blocks=min(2, n_blocks),
+                spill_frac=self.pq_spill, opq_iters=self.pq_opq_iters)
             ivf.ensure_block_centroids(dtype=jnp.bfloat16,
                                        sub=self.block_rank_sub)
 
@@ -516,6 +522,8 @@ class XlPQIndex:
                     "extract": self.extract,
                     "hier_t": self.hier_t,
                     "rerank_overfetch": self.rerank_overfetch,
+                    "pq_spill": self.pq_spill,
+                    "pq_opq_iters": self.pq_opq_iters,
                     "min_snapshot_rows": self.min_snapshot_rows,
                     "refresh_fraction": self.refresh_fraction,
                     "build_block_rows": self.build_block_rows,
