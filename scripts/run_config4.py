@@ -99,9 +99,31 @@ def main() -> None:
 
     block_fn = make_block_fn(jax.random.PRNGKey(0), N_BLOCKS)
 
-    # --- host full-precision tier (filled by fill_host_store.py)
-    store = None
-    if not no_rerank and os.path.exists(store_path):
+    def open_store():
+        """Open + verify the host full-precision tier (filled by
+        fill_host_store.py).  Called AFTER the index build so a
+        concurrently-running fill has the build's ~1h to finish — the
+        store is only consumed by the rerank sweep."""
+        if no_rerank or not os.path.exists(store_path):
+            return None
+        if "--wait-store" in args:
+            # a concurrent fill_host_store.py may still be streaming the
+            # tail blocks; the sweep is worthless without the tier, so
+            # wait (bounded) for the fill to catch up
+            deadline = time.time() + 2 * 3600
+            while time.time() < deadline:
+                try:
+                    store = HostVectorStore(D, path=store_path, capacity=N,
+                                            dtype=ml_dtypes.bfloat16)
+                    n_now = len(store)
+                    del store
+                except Exception:  # torn meta.json mid-write
+                    n_now = -1
+                if n_now >= N:
+                    break
+                print(f"waiting for host store fill: {n_now}/{N} rows",
+                      flush=True)
+                time.sleep(120)
         store = HostVectorStore(D, path=store_path, capacity=N,
                                 dtype=ml_dtypes.bfloat16)
         if len(store) != N:
@@ -111,8 +133,7 @@ def main() -> None:
             print(f"host store has {len(store)} rows, run needs {N} — "
                   f"run fill_host_store.py for this size; continuing "
                   f"ADC-only", flush=True)
-            store = None
-    if store is not None:
+            return None
         # verify alignment + bit-identity on a scattered row sample
         probe = np.array([0, 1, N // 3, N // 2, N - 1])
         dev_rows = np.stack([
@@ -123,6 +144,7 @@ def main() -> None:
                               np.asarray(host_rows).view(np.uint16)), \
             "host store rows != device corpus rows (stale fill?)"
         print("host tier verified bit-identical on sample rows", flush=True)
+        return store
 
     # --- build (two-pass stream; only codes stay resident), or reload a
     # prior run's index (--index PATH: ~10 GB of codes round-trips disk
@@ -187,6 +209,8 @@ def main() -> None:
     code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
     print(f"built {N} rows in {build_s:.0f}s; codes {code_gb:.1f} GB "
           f"(corpus would be {N * D * 2 / 1e9:.0f} GB)", flush=True)
+
+    store = open_store()
 
     # --- queries: noisy copies of known rows
     rng = np.random.default_rng(1)
