@@ -56,12 +56,15 @@ class ShardedXlPQIndex:
     supports_batched_bias = True
 
     def __init__(self, dim: int, *, devices=None, store_dir: str | None =
-                 None, stores=None, normalize: bool = True, **xl_kw):
+                 None, stores=None, normalize: bool = True,
+                 snapshot_sources=None, **xl_kw):
         """``store_dir``: per-shard host memmaps land there
         (``shard<j>.bf16``); None keeps every shard's plane in RAM.
         ``stores``: pre-built per-shard ``HostVectorStore``s instead
         (e.g. zero-copy ``HostVectorStore.view`` windows over one big
         corpus plane — pair with ``adopt_stores``).
+        ``snapshot_sources``: optional per-shard out-of-band snapshot
+        block providers (see ``XlPQIndex.snapshot_source``).
         ``xl_kw`` forwards to each shard's ``XlPQIndex`` (nlist, pq_m,
         nprobe_blocks, min_snapshot_rows, build_block_rows, ...)."""
         self.dim = int(dim)
@@ -81,6 +84,8 @@ class ShardedXlPQIndex:
             if stores is not None:
                 xl_kw = dict(xl_kw, store=stores[j])
                 sp = None
+            if snapshot_sources is not None:
+                xl_kw = dict(xl_kw, snapshot_source=snapshot_sources[j])
             with jax.default_device(dev):
                 # shards see pre-normalized rows/queries (one normalize at
                 # the wrapper); async refresh stays off so CPU-mesh tests

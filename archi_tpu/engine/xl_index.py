@@ -79,7 +79,7 @@ class XlPQIndex:
                  build_block_rows: int = 1 << 17,
                  async_refresh: bool = False,
                  dtype=jnp.bfloat16, tile_n: int = 4096,
-                 normalize: bool = True, **_kw):
+                 normalize: bool = True, snapshot_source=None, **_kw):
         import ml_dtypes
 
         self.dim = int(dim)
@@ -112,6 +112,17 @@ class XlPQIndex:
         self.refresh_fraction = float(refresh_fraction)
         self.build_block_rows = int(build_block_rows)
         self.async_refresh = bool(async_refresh)
+        # optional out-of-band snapshot block provider: maps snapshot
+        # block index i -> a device array holding host-plane rows
+        # [i*build_block_rows, (i+1)*build_block_rows) (bit-identical
+        # when upcast to f32).  Lets bulk-restore/benchmark paths whose
+        # plane contents are device-regenerable (or device-resident
+        # elsewhere) rebuild snapshots WITHOUT uploading the plane
+        # through the host->device link — at the 77 GB design scale the
+        # relay upload would dominate the build.  Runtime-injected, not
+        # serialized; adds/refreshes fall back to the plane upload when
+        # the refresh covers a partial block.
+        self.snapshot_source = snapshot_source
 
         self.store = store if store is not None else HostVectorStore(
             dim, path=store_path, dtype=ml_dtypes.bfloat16)
@@ -288,9 +299,17 @@ class XlPQIndex:
             n_snap_new = n_blocks * br
             buf = self.store._buf
 
-            def block_fn(i):
-                return jnp.asarray(
-                    np.asarray(buf[i * br:(i + 1) * br], np.float32))
+            if self.snapshot_source is not None \
+                    and br == self.build_block_rows:
+                src = self.snapshot_source
+
+                def block_fn(i):
+                    # provider contract: bits == plane rows upcast to f32
+                    return jnp.asarray(src(i)).astype(jnp.float32)
+            else:
+                def block_fn(i):
+                    return jnp.asarray(
+                        np.asarray(buf[i * br:(i + 1) * br], np.float32))
 
             nlist = max(1, min(self.nlist, n_snap_new))
             ivf = IVFPQIndex.build_streaming(

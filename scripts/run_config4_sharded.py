@@ -80,8 +80,26 @@ def main() -> None:
     views = [HostVectorStore.view(parent, s * per_shard, (s + 1) * per_shard)
              for s in range(n_shards)]
     t0 = time.time()
+    # snapshot sources: each shard's plane slice is exactly bps generator
+    # blocks, so its snapshot builds from device-REGENERATED blocks (bit-
+    # identical to the plane, verified below) instead of uploading the
+    # 77 GB plane back through the relay at ~MB/s
+    sources = [
+        (lambda i, s=s: block_fn(s * bps + i)) for s in range(n_shards)]
+    for s in (0, n_shards - 1):
+        probe = np.array([0, per_shard // 2, per_shard - 1])
+        dev_rows = np.stack([
+            np.asarray(block_fn(int((s * per_shard + r) // BLOCK_ROWS))
+                       [int(r % BLOCK_ROWS)]) for r in probe])
+        assert np.array_equal(
+            dev_rows.view(np.uint16),
+            np.asarray(views[s]._buf[probe]).view(np.uint16)), \
+            f"shard {s} plane rows != device-regenerated rows"
+    print("snapshot sources verified bit-identical vs shard planes",
+          flush=True)
     idx = ShardedXlPQIndex(
         D, devices=[dev] * n_shards, stores=views, normalize=False,
+        snapshot_sources=sources,
         nlist=16384 // n_shards, block=512, pq_m=96, pq_refine_m=96,
         ksub=16, pq_spill=0.15, pq_opq_iters=4,
         rerank_overfetch=max(1, 320 // (K * n_shards)),

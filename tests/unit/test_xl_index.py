@@ -285,3 +285,45 @@ def test_adopt_store_matches_add_path():
 
     # view window really is a window (no copy): parent row 1 == view row 1
     assert np.shares_memory(view._buf, parent._buf)
+
+
+def test_snapshot_source_builds_identical_snapshot():
+    """An out-of-band snapshot_source (device-regenerable plane bits)
+    must yield the same snapshot as the plane-upload build: same
+    ranking structures, identical search results on the same queries.
+    This is the no-reupload bulk-restore path the config-4 sharded
+    runner uses (scripts/run_config4_sharded.py)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    x = _corpus(rng, 4096)
+    kw = dict(nlist=32, block=128, pq_m=16, pq_refine_m=16,
+              nprobe_blocks=24, rerank_overfetch=32,
+              min_snapshot_rows=2048, build_block_rows=1024, tile_n=256,
+              normalize=False)
+    from archi_tpu.engine.host_store import HostVectorStore
+    s1 = HostVectorStore(64, dtype=np.float32); s1.add(x)
+    s2 = HostVectorStore(64, dtype=np.float32); s2.add(x)
+
+    idx_plane = XlPQIndex(64, store=s1, **kw)
+    idx_plane.adopt_store([f"c{i}" for i in range(len(x))])
+
+    calls = []
+
+    def source(i):
+        calls.append(i)
+        return jnp.asarray(x[i * 1024:(i + 1) * 1024])
+
+    idx_src = XlPQIndex(64, store=s2, snapshot_source=source, **kw)
+    idx_src.adopt_store([f"c{i}" for i in range(len(x))])
+    assert calls, "snapshot_source was never consulted"
+
+    q = x[rng.integers(0, len(x), 8)] + 0.02 * rng.standard_normal(
+        (8, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids_a, vals_a, rows_a = idx_plane.search(q, k=5)
+    ids_b, vals_b, rows_b = idx_src.search(q, k=5)
+    assert ids_a == ids_b
+    np.testing.assert_array_equal(np.asarray(rows_a), np.asarray(rows_b))
+    np.testing.assert_allclose(np.asarray(vals_a), np.asarray(vals_b),
+                               rtol=0, atol=0)
