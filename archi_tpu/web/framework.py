@@ -231,7 +231,14 @@ class App:
 
     def serve(self, host: str = "127.0.0.1", port: int = 8000,
               *, background: bool = False) -> int:
-        self._server = ThreadingHTTPServer((host, port), self._make_handler())
+        # socketserver's default listen backlog is 5: a burst of
+        # concurrent clients (the serving benchmarks open 256 sockets at
+        # once; production front-ends reconnect in thundering herds) gets
+        # connection resets before a single request is read.  Deepen the
+        # accept queue to the ThreadingHTTPServer's real concurrency.
+        srv_cls = type("DeepBacklogHTTPServer", (ThreadingHTTPServer,),
+                       {"request_queue_size": 512})
+        self._server = srv_cls((host, port), self._make_handler())
         actual_port = self._server.server_address[1]
         if background:
             self._thread = threading.Thread(

@@ -34,6 +34,13 @@ import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax
+
+# the env var alone is not enough on rigs whose sitecustomize force-
+# registers the TPU backend and pre-sets JAX_PLATFORMS (so setdefault
+# is a no-op there) — this benchmark is CPU-co-located by definition
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
@@ -151,6 +158,12 @@ def main() -> None:
         "hybrid_end_to_end": run_wave("/api/query/hybrid",
                                       lambda q: {"query": q, "k": 5}),
     }
+    # production co-located config: concurrent requests coalesce into one
+    # fused engine pass via the MicroBatcher
+    # (data_manager.serving.micro_batch) — same route, same store
+    store.enable_micro_batching(max_batch=64, max_wait_ms=4.0, workers=2)
+    result["hybrid_micro_batched"] = run_wave(
+        "/api/query/hybrid", lambda q: {"query": q, "k": 5})
     app.shutdown()
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
