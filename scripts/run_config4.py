@@ -79,6 +79,15 @@ def main() -> None:
     rows = None
     if "--rows" in args:
         rows = int(args[args.index("--rows") + 1])
+    # --gt-only / --gt-cache split the run into two processes: queries +
+    # exact GT scan + store identity check need block_fn regens whose f32
+    # generator intermediates (~1.5 GB/block) OOM the chip once 13+ GB of
+    # codes + sub=16 block centroids are resident.  The GT builder runs
+    # with NO index and saves {q, q_src, exact}; the sweep process loads
+    # them and never touches block_fn.
+    gt_cache = args[args.index("--gt-cache") + 1] if "--gt-cache" in args \
+        else None
+    gt_only = "--gt-only" in args
 
     import jax
 
@@ -98,6 +107,31 @@ def main() -> None:
     N = N_BLOCKS * BLOCK_ROWS
 
     block_fn = make_block_fn(jax.random.PRNGKey(0), N_BLOCKS)
+    have_gt = bool(gt_cache) and not gt_only and os.path.exists(gt_cache)
+
+    # Row extraction MUST go through one jitted gather with the indices as
+    # an ARGUMENT: `block_fn(bi)[int(r)]` bakes each row id into a new
+    # executable, and 32 query rows = 32 multi-minute remote compiles on
+    # this relay.  One fixed-shape take() compiles once and serves every
+    # block.
+    take32 = jax.jit(lambda blk, ii: jnp.take(blk, ii, axis=0))
+
+    def fetch_rows(row_ids):
+        """[len(row_ids), D] bf16 rows regenerated on device, downloaded
+        in one small transfer per distinct block."""
+        out = np.empty((len(row_ids), D), dtype=ml_dtypes.bfloat16)
+        by_block: dict[int, list[tuple[int, int]]] = {}
+        for j, rr in enumerate(row_ids):
+            by_block.setdefault(int(rr // BLOCK_ROWS), []).append(
+                (j, int(rr % BLOCK_ROWS)))
+        for bi, pairs in by_block.items():
+            ii = np.full((32,), pairs[0][1], np.int32)
+            for t, (_j, rofs) in enumerate(pairs):
+                ii[t] = rofs
+            got = np.asarray(take32(block_fn(bi), jnp.asarray(ii)))
+            for t, (j, _rofs) in enumerate(pairs):
+                out[j] = got[t]
+        return out
 
     def open_store():
         """Open + verify the host full-precision tier (filled by
@@ -134,11 +168,16 @@ def main() -> None:
                   f"run fill_host_store.py for this size; continuing "
                   f"ADC-only", flush=True)
             return None
+        if have_gt:
+            # identity was attested when the GT cache was built (same
+            # store file, same generator seed); regenerating blocks here
+            # would OOM against the resident codes + block centroids
+            print("host tier identity attested at GT-cache build",
+                  flush=True)
+            return store
         # verify alignment + bit-identity on a scattered row sample
         probe = np.array([0, 1, N // 3, N // 2, N - 1])
-        dev_rows = np.stack([
-            np.asarray(block_fn(int(r // BLOCK_ROWS))[int(r % BLOCK_ROWS)])
-            for r in probe])
+        dev_rows = fetch_rows(probe)
         host_rows = store._buf[probe]
         assert np.array_equal(dev_rows.view(np.uint16),
                               np.asarray(host_rows).view(np.uint16)), \
@@ -162,8 +201,13 @@ def main() -> None:
         else 0.0
     opq = int(args[args.index("--opq") + 1]) if "--opq" in args else 0
     t0 = time.time()
-    if index_path and (os.path.exists(index_path)
-                       or os.path.exists(index_path + ".npz")):
+    if gt_only:
+        # GT-builder mode: no index at all — full HBM headroom for the
+        # block generator and the f32 GT scan
+        idx = None
+        build_s, code_gb = 0.0, 0.0
+    elif index_path and (os.path.exists(index_path)
+                         or os.path.exists(index_path + ".npz")):
         idx = IVFPQIndex.load(index_path)
         print(f"loaded index from {index_path}", flush=True)
     else:
@@ -176,53 +220,60 @@ def main() -> None:
             train_blocks=2, train_sample=1 << 21, coarse_iters=8,
             pq_iters=10, seed=0, spill_frac=spill, opq_iters=opq)
     t_bc = time.time()
-    if "--sub" in args:
+    if idx is not None and "--sub" in args:
         # sub-block ranking granularity (MAX over `sub` finer means per
         # block; see IVFPQIndex.ensure_block_centroids)
         idx.block_rank_sub = int(args[args.index("--sub") + 1])
-    bc_dtype = jnp.bfloat16
-    if "--bc-dtype" in args and args[args.index("--bc-dtype") + 1] == "f32":
-        # f32 mini-centroids: at this corpus's ~0.002 score gaps, bf16
-        # input rounding (~0.3% relative) is itself ranking noise
-        bc_dtype = jnp.float32
-    idx.ensure_block_centroids(dtype=bc_dtype)
-    jax.block_until_ready(idx.block_centroids)
-    print(f"block centroids: {time.time()-t_bc:.0f}s "
-          f"(n_blocks={idx.code_blocks.shape[0]}, "
-          f"max_bpc={idx.cell_blocks.shape[1]})", flush=True)
-    if index_path and not (os.path.exists(index_path)
-                           or os.path.exists(index_path + ".npz")):
-        # save AFTER the block centroids: bc rides into the npz, and the
-        # sweep-critical decode ran at maximal HBM headroom first.
-        # Serialization must never cost a finished 40-min build its
-        # sweep: d2h has failed before under post-build HBM/relay
-        # pressure — warn and sweep anyway
-        try:
-            idx.save(index_path)
-            print(f"saved index to {index_path}", flush=True)
-        except Exception as e:
-            print(f"index save FAILED ({type(e).__name__}: "
-                  f"{str(e)[:160]}) — continuing to sweep without "
-                  f"an on-disk index", flush=True)
-    jax.block_until_ready(idx.code_blocks)
-    build_s = time.time() - t0
-    code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
-    print(f"built {N} rows in {build_s:.0f}s; codes {code_gb:.1f} GB "
-          f"(corpus would be {N * D * 2 / 1e9:.0f} GB)", flush=True)
+    if idx is not None:
+        bc_dtype = jnp.bfloat16
+        if "--bc-dtype" in args \
+                and args[args.index("--bc-dtype") + 1] == "f32":
+            # f32 mini-centroids: at this corpus's ~0.002 score gaps, bf16
+            # input rounding (~0.3% relative) is itself ranking noise
+            bc_dtype = jnp.float32
+        idx.ensure_block_centroids(dtype=bc_dtype)
+        jax.block_until_ready(idx.block_centroids)
+        print(f"block centroids: {time.time()-t_bc:.0f}s "
+              f"(n_blocks={idx.code_blocks.shape[0]}, "
+              f"max_bpc={idx.cell_blocks.shape[1]})", flush=True)
+        if index_path and not (os.path.exists(index_path)
+                               or os.path.exists(index_path + ".npz")):
+            # save AFTER the block centroids: bc rides into the npz, and
+            # the sweep-critical decode ran at maximal HBM headroom first.
+            # Serialization must never cost a finished 40-min build its
+            # sweep: d2h has failed before under post-build HBM/relay
+            # pressure — warn and sweep anyway
+            try:
+                idx.save(index_path)
+                print(f"saved index to {index_path}", flush=True)
+            except Exception as e:
+                print(f"index save FAILED ({type(e).__name__}: "
+                      f"{str(e)[:160]}) — continuing to sweep without "
+                      f"an on-disk index", flush=True)
+        jax.block_until_ready(idx.code_blocks)
+        build_s = time.time() - t0
+        code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
+        print(f"built {N} rows in {build_s:.0f}s; codes {code_gb:.1f} GB "
+              f"(corpus would be {N * D * 2 / 1e9:.0f} GB)", flush=True)
 
     store = open_store()
 
-    # --- queries: noisy copies of known rows
-    rng = np.random.default_rng(1)
-    q_src = np.sort(rng.choice(N, B, replace=False))
-    src_blocks = q_src // BLOCK_ROWS
-    q = np.stack([
-        np.array(block_fn(int(bi))[int(r % BLOCK_ROWS)], dtype=np.float32)
-        for bi, r in zip(src_blocks, q_src)
-    ])
-    q = q + 0.03 * rng.standard_normal(q.shape).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    qd = jnp.asarray(q)
+    if have_gt:
+        gtc = np.load(gt_cache)
+        q, q_src, exact = gtc["q"], gtc["q_src"], gtc["exact"]
+        assert q.shape == (B, D) and exact.shape == (B, K), \
+            "GT cache shape mismatch — rebuild with --gt-only"
+        qd = jnp.asarray(q)
+        exact_s = 0.0
+        print(f"loaded queries + exact GT from {gt_cache}", flush=True)
+    else:
+        # --- queries: noisy copies of known rows
+        rng = np.random.default_rng(1)
+        q_src = np.sort(rng.choice(N, B, replace=False))
+        q = fetch_rows(q_src).astype(np.float32)
+        q = q + 0.03 * rng.standard_normal(q.shape).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qd = jnp.asarray(q)
 
     # --- exact ground truth: streaming fused scan over regenerated blocks.
     # Default scores in f32 (blocks upcast; the kernel then keeps the query
@@ -236,23 +287,31 @@ def main() -> None:
     from archi_tpu.engine.topk import topk_scores
 
     gt_bf16 = "--gt-bf16" in args
-    t0 = time.time()
-    parts_v, parts_r = [], []
-    zero_bias = jnp.zeros((BLOCK_ROWS,), jnp.float32)
-    for i in range(N_BLOCKS):
-        blk_i = block_fn(i)
-        if not gt_bf16:
-            blk_i = blk_i.astype(jnp.float32)
-        v, r = topk_scores(qd, blk_i, zero_bias, BLOCK_ROWS, k=K,
-                           impl="pallas")
-        parts_v.append(v)
-        parts_r.append(r + i * BLOCK_ROWS)
-    av = jnp.concatenate(parts_v, axis=1)
-    ar = jnp.concatenate(parts_r, axis=1)
-    mv, mp = jax.lax.top_k(av, K)
-    exact = np.asarray(jnp.take_along_axis(ar, mp, axis=1))
-    exact_s = time.time() - t0
-    print(f"exact GT scan: {exact_s:.0f}s", flush=True)
+    if not have_gt:
+        t0 = time.time()
+        parts_v, parts_r = [], []
+        zero_bias = jnp.zeros((BLOCK_ROWS,), jnp.float32)
+        for i in range(N_BLOCKS):
+            blk_i = block_fn(i)
+            if not gt_bf16:
+                blk_i = blk_i.astype(jnp.float32)
+            v, r = topk_scores(qd, blk_i, zero_bias, BLOCK_ROWS, k=K,
+                               impl="pallas")
+            parts_v.append(v)
+            parts_r.append(r + i * BLOCK_ROWS)
+        av = jnp.concatenate(parts_v, axis=1)
+        ar = jnp.concatenate(parts_r, axis=1)
+        mv, mp = jax.lax.top_k(av, K)
+        exact = np.asarray(jnp.take_along_axis(ar, mp, axis=1))
+        exact_s = time.time() - t0
+        print(f"exact GT scan: {exact_s:.0f}s", flush=True)
+
+    if gt_only:
+        assert gt_cache, "--gt-only needs --gt-cache PATH"
+        np.savez(gt_cache, q=q, q_src=q_src, exact=exact)
+        print(f"GT cache saved to {gt_cache} "
+              f"(store verified: {store is not None})", flush=True)
+        return
 
     # --- runtime RTT
     from archi_tpu.benchmarking.timing import measure_relay_rtt
