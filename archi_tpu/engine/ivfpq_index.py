@@ -1188,14 +1188,23 @@ class IVFPQIndex:
         savez(path, **arrays)
 
     @classmethod
-    def load(cls, path: str) -> "IVFPQIndex":
+    def load(cls, path: str, *, drop_refine: bool = False) -> "IVFPQIndex":
+        """drop_refine: skip the refine codec + its codes entirely (never
+        uploaded to the device).  Safe whenever searches run with
+        ``refine_overfetch=1`` + an exact host rerank tier: the refine
+        stage then reorders the same candidate set the host rescores
+        exactly, so it cannot change results — and its ~5.3 GB of codes
+        (at 100M rows, m=96 packed) are the HBM headroom the sub=16
+        block-centroid ranking needs."""
         z = load_npz(path)
         meta = json.loads(str(z["meta"]))
         codec = PQCodec.from_arrays(
             {"codebooks": z["codebooks"],
              **({"rotation": z["rotation"]} if "rotation" in z else {})})
         codec2 = refine_codes = None
-        if "refine_codebooks" in z:
+        if drop_refine:
+            pass
+        elif "refine_codebooks" in z:
             codec2 = PQCodec.from_arrays(
                 {"codebooks": z["refine_codebooks"],
                  **({"rotation": z["refine_rotation"]}

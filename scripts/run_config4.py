@@ -208,7 +208,8 @@ def main() -> None:
         build_s, code_gb = 0.0, 0.0
     elif index_path and (os.path.exists(index_path)
                          or os.path.exists(index_path + ".npz")):
-        idx = IVFPQIndex.load(index_path)
+        idx = IVFPQIndex.load(index_path,
+                              drop_refine="--drop-refine" in args)
         print(f"loaded index from {index_path}", flush=True)
     else:
         # nlist ~ 1.3 * sqrt(N) blocks of 512 measured best on the r3
@@ -224,6 +225,13 @@ def main() -> None:
         # sub-block ranking granularity (MAX over `sub` finer means per
         # block; see IVFPQIndex.ensure_block_centroids)
         idx.block_rank_sub = int(args[args.index("--sub") + 1])
+    if idx is not None and "--drop-refine" in args:
+        # With refine_overfetch=1 + exact host rerank, the refine stage
+        # cannot change the candidate SET (top-C reorder of the same C
+        # rows the host rescores exactly anyway) — free its ~5.3 GB of
+        # codes so sub=16 block centroids + search workspace fit in HBM
+        idx.refine_codec = None
+        idx.refine_codes = None
     if idx is not None:
         bc_dtype = jnp.bfloat16
         if "--bc-dtype" in args \
@@ -252,7 +260,9 @@ def main() -> None:
                       f"an on-disk index", flush=True)
         jax.block_until_ready(idx.code_blocks)
         build_s = time.time() - t0
-        code_gb = (idx.code_blocks.size + idx.refine_codes.size) / 1e9
+        code_gb = (idx.code_blocks.size
+                   + (idx.refine_codes.size
+                      if idx.refine_codes is not None else 0)) / 1e9
         print(f"built {N} rows in {build_s:.0f}s; codes {code_gb:.1f} GB "
               f"(corpus would be {N * D * 2 / 1e9:.0f} GB)", flush=True)
 
@@ -313,10 +323,14 @@ def main() -> None:
               f"(store verified: {store is not None})", flush=True)
         return
 
-    # --- runtime RTT
-    from archi_tpu.benchmarking.timing import measure_relay_rtt
+    # --- runtime RTT (--rtt MS reuses a previously measured value: the
+    # probe is a burst of tiny RPCs, the relay's most wedge-prone shape)
+    if "--rtt" in args:
+        r = float(args[args.index("--rtt") + 1]) / 1e3
+    else:
+        from archi_tpu.benchmarking.timing import measure_relay_rtt
 
-    r = measure_relay_rtt()
+        r = measure_relay_rtt()
 
     def strict_of(rows_h):
         return float(np.mean([
